@@ -1,0 +1,204 @@
+"""Frozen, hashable configuration tree for the whole framework.
+
+The reference (AMT-SAGA) keeps hyperparameters as module constants /
+argparse flags scattered over scripts (SURVEY.md C17).  Here every knob
+lives in one frozen dataclass tree so that configs are hashable (usable as
+static args to ``jax.jit``), serializable to/from JSON, and overridable
+from the CLI with ``key=value`` flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class DSPConfig:
+    """Spectrogram front-end (SURVEY.md C1-C4)."""
+
+    sample_rate: int = 16000
+    n_fft: int = 2048
+    hop: int = 512
+    # Log-frequency (pseudo-CQT) binning: semitone-aligned bins from fmin.
+    fmin: float = 27.5  # A0
+    bins_per_octave: int = 36
+    n_bins: int = 252  # 7 octaves * 36
+    # Magnitude domain: residual subtraction happens in LINEAR magnitude;
+    # models may view log1p(residual).
+    pad_frames_to: int = 16  # pad time axis to a multiple of this (TPU tiling)
+
+    @property
+    def freq_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def num_frames(self, n_samples: int) -> int:
+        raw = max(0, 1 + (n_samples - self.n_fft) // self.hop)
+        m = self.pad_frames_to
+        return ((raw + m - 1) // m) * m
+
+    def raw_num_frames(self, n_samples: int) -> int:
+        return max(0, 1 + (n_samples - self.n_fft) // self.hop)
+
+    def frame_to_seconds(self, frame: int) -> float:
+        return frame * self.hop / self.sample_rate
+
+
+@dataclass(frozen=True)
+class SynthConfig:
+    """Template synthesizer (SURVEY.md C8, Lsynth)."""
+
+    pitch_min: int = 21   # A0
+    pitch_max: int = 108  # C8 (inclusive)
+    n_harmonics: int = 8
+    harmonic_rolloff: float = 1.0   # amplitude of h-th harmonic ~ h**-rolloff
+    decay_seconds: float = 0.7      # exp decay time constant of a held note
+    release_seconds: float = 0.05   # release after note-off
+    # Template extent must cover the longest grid duration + release tail +
+    # one analysis window, else ring-out beyond the template survives
+    # subtraction and is re-detected as spurious notes.
+    template_frames: int = 80       # max template extent (frames)
+    # Candidate duration grid, in seconds (SURVEY.md 3.4 / config 2).
+    duration_grid: Tuple[float, ...] = (0.25, 0.5, 1.0, 2.0)
+    n_instruments: int = 1          # >1 for MusicNet-style multi-instrument
+    # Per-instrument timbre: rolloff per instrument idx (cycled if fewer).
+    instrument_rolloffs: Tuple[float, ...] = (1.0, 0.5, 1.5, 2.0)
+
+    @property
+    def n_pitches(self) -> int:
+        return self.pitch_max - self.pitch_min + 1
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """SAGA generative-subtractive loop (SURVEY.md C9)."""
+
+    max_notes: int = 64
+    # Terminate when residual energy falls below this fraction of initial.
+    silence_rel: float = 1e-3
+    # Minimum least-squares gain for a note to be accepted.
+    min_gain: float = 1e-2
+    # Minimum score (energy reduction) relative to current residual energy.
+    min_score_rel: float = 1e-4
+    n_pitch_candidates: int = 8  # top-K pitches rescored by subtraction
+    # Penalty weight on over-subtraction (energy a candidate template tries
+    # to remove that isn't in the residual).  Without it, clamping makes
+    # over-long/over-loud candidates score as well as exact ones, so
+    # duration selection is ill-posed.
+    over_penalty: float = 1.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Flax note-classifier CNN (SURVEY.md C7)."""
+
+    channels: Tuple[int, ...] = (16, 32, 64)
+    kernel_size: Tuple[int, int] = (3, 3)
+    hidden: int = 128
+    dropout: float = 0.0
+    # Heads: onset (per-frame logit), pitch (P-way), duration (D-way over
+    # the duration grid), instrument (I-way), velocity/gain (regression).
+    dtype: str = "float32"  # compute dtype for the conv tower
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    learning_rate: float = 3e-4
+    weight_decay: float = 1e-4
+    steps: int = 200
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 100
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Chunked long-audio transcription (SURVEY.md 3.5, config 4)."""
+
+    chunk_seconds: float = 20.0
+    overlap_seconds: float = 2.0
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Batching / sharding / runtime (SURVEY.md L6, DESIGN)."""
+
+    batch_size: int = 32
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel: int = 1
+    use_pallas: bool = False  # swap Pallas kernels in for the jnp paths
+    classifier: str = "heuristic"  # "heuristic" | "cnn"
+    profile: bool = False
+
+
+@dataclass(frozen=True)
+class Config:
+    dsp: DSPConfig = field(default_factory=DSPConfig)
+    synth: SynthConfig = field(default_factory=SynthConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    stream: StreamConfig = field(default_factory=StreamConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    # ---- serialization ----
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        def build(tp, sub):
+            kwargs = {}
+            for f in dataclasses.fields(tp):
+                if f.name in sub:
+                    v = sub[f.name]
+                    if dataclasses.is_dataclass(f.type) or f.name in _SUBCONFIGS:
+                        kwargs[f.name] = build(_SUBCONFIGS[f.name], v)
+                    elif isinstance(v, list):
+                        kwargs[f.name] = tuple(v)
+                    else:
+                        kwargs[f.name] = v
+            return tp(**kwargs)
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, **dotted: Any) -> "Config":
+        """Override with dotted keys, e.g. ``override(**{"dsp.hop": 256})``."""
+        d = self.to_dict()
+        for key, val in dotted.items():
+            parts = key.split(".")
+            node = d
+            for p in parts[:-1]:
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"unknown config key: {key}")
+            node[leaf] = val
+        return Config.from_dict(d)
+
+
+_SUBCONFIGS = {
+    "dsp": DSPConfig,
+    "synth": SynthConfig,
+    "loop": LoopConfig,
+    "model": ModelConfig,
+    "train": TrainConfig,
+    "stream": StreamConfig,
+    "run": RunConfig,
+}
+
+
+def default_config() -> Config:
+    return Config()

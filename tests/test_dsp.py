@@ -1,0 +1,85 @@
+"""DSP front-end tests: jnp STFT vs scipy + NumPy mirror parity (C2, C3)."""
+
+import numpy as np
+import scipy.signal
+
+from amt_saga_tpu.dsp.audio import load_wav, pad_to_length, save_wav
+from amt_saga_tpu.dsp.cqt import bin_center_freqs, logf_filterbank
+from amt_saga_tpu.golden.dsp_np import spectrogram_np, stft_magnitude_np
+
+
+def _jnp_spec(wave, cfg):
+    import jax.numpy as jnp
+
+    from amt_saga_tpu.dsp.cqt import logf_spectrogram
+    from amt_saga_tpu.dsp.stft import stft_magnitude
+
+    mag = stft_magnitude(jnp.asarray(wave), cfg.dsp)
+    return np.asarray(logf_spectrogram(mag, cfg.dsp))
+
+
+def test_stft_matches_scipy(tiny_config):
+    cfg = tiny_config.dsp
+    rng = np.random.default_rng(0)
+    wave = rng.standard_normal(cfg.sample_rate).astype(np.float32)
+
+    ours = stft_magnitude_np(wave, cfg, pad=False)
+
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(cfg.n_fft) / cfg.n_fft)
+    _, _, z = scipy.signal.stft(
+        wave, fs=cfg.sample_rate, window=win, nperseg=cfg.n_fft,
+        noverlap=cfg.n_fft - cfg.hop, boundary=None, padded=False,
+        detrend=False, return_onesided=True)
+    ref = np.abs(z.T) * win.sum()  # scipy normalizes by win.sum()
+
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_jnp_matches_numpy_spectrogram(tiny_config):
+    cfg = tiny_config
+    rng = np.random.default_rng(1)
+    wave = rng.standard_normal(cfg.dsp.sample_rate * 2).astype(np.float32)
+    a = _jnp_spec(wave, cfg)
+    b = spectrogram_np(wave, cfg.dsp)
+    assert a.shape == b.shape
+    assert a.shape[0] % cfg.dsp.pad_frames_to == 0
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_filterbank_semitone_alignment(tiny_config):
+    cfg = tiny_config.dsp
+    fb = logf_filterbank(cfg)
+    assert fb.shape == (cfg.n_fft // 2 + 1, cfg.n_bins)
+    assert np.all(fb >= 0)
+    # A pure tone at a bin center lands most energy in that bin.
+    centers = bin_center_freqs(cfg)
+    k = cfg.n_bins // 2
+    t = np.arange(cfg.sample_rate, dtype=np.float64) / cfg.sample_rate
+    tone = np.sin(2 * np.pi * centers[k] * t).astype(np.float32)
+    spec = spectrogram_np(tone, cfg, pad=False)
+    assert abs(int(np.argmax(spec.sum(axis=0))) - k) <= 1
+
+
+def test_wav_roundtrip(tmp_path, tiny_config):
+    sr = tiny_config.dsp.sample_rate
+    t = np.arange(sr, dtype=np.float64) / sr
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = str(tmp_path / "t.wav")
+    save_wav(path, wave, sr)
+    back, sr2 = load_wav(path, sr)
+    assert sr2 == sr
+    np.testing.assert_allclose(back, wave, atol=1e-3)
+    assert len(pad_to_length(back, sr * 2)) == sr * 2
+    assert len(pad_to_length(back, sr // 2)) == sr // 2
+
+
+def test_resample(tmp_path, tiny_config):
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = str(tmp_path / "t.wav")
+    save_wav(path, wave, sr)
+    back, sr2 = load_wav(path, 8000)
+    assert sr2 == 8000
+    assert abs(len(back) - 8000) <= 1
