@@ -78,8 +78,10 @@ class LoopConfig:
     max_notes: int = 64
     # Terminate when residual energy falls below this fraction of initial.
     silence_rel: float = 1e-3
-    # Minimum least-squares gain for a note to be accepted.
-    min_gain: float = 1e-2
+    # Minimum least-squares gain for a note to be accepted (gains below
+    # ~0.04 are inaudible leftovers of imperfect polyphonic subtraction
+    # and show up as spurious velocity<=5 notes).
+    min_gain: float = 0.04
     # Minimum score (energy reduction) relative to current residual energy.
     min_score_rel: float = 1e-4
     n_pitch_candidates: int = 8  # top-K pitches rescored by subtraction

@@ -25,6 +25,14 @@ from amt_saga_tpu.config import (  # noqa: E402
 
 
 @pytest.fixture(scope="session")
+def tiny_transcriber(tiny_config):
+    """Session-scoped Transcriber: jit-compile the loop once per run."""
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    return Transcriber(tiny_config)
+
+
+@pytest.fixture(scope="session")
 def tiny_config() -> Config:
     """Small shapes so the full pipeline runs fast on 1 CPU core."""
     return Config(

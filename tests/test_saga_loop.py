@@ -1,0 +1,75 @@
+"""TPU-path SAGA loop vs golden CPU oracle: decision-level parity
+(SURVEY.md §4.4: same jitted code runs on CPU backend in CI and on the
+TPU chip; BASELINE north star: MIDI bit-for-bit on the same audio)."""
+
+import numpy as np
+
+from amt_saga_tpu.core.midi import notes_to_midi_bytes
+from amt_saga_tpu.evaluation.f1 import note_f1
+from amt_saga_tpu.golden.pipeline import transcribe_golden
+from amt_saga_tpu.runtime.fixtures import make_clip, make_corpus
+from amt_saga_tpu.saga.loop import Transcriber
+
+
+def _assert_sequences_identical(pred, gold):
+    a, b = pred.sorted().notes, gold.sorted().notes
+    assert len(a) == len(b), (a, b)
+    for x, y in zip(a, b):
+        assert x == y, (x, y)
+    assert notes_to_midi_bytes(pred) == notes_to_midi_bytes(gold)
+
+
+def test_single_clip_bitwise_parity_isol(tiny_config, tiny_transcriber):
+    wave, ref = make_clip(tiny_config, kind="isol", seconds=6.0,
+                          n_notes=5, seed=0)
+    tr = tiny_transcriber
+    pred = tr.transcribe(wave)
+    gold = transcribe_golden(wave, tiny_config).sequence
+    _assert_sequences_identical(pred, gold)
+    assert note_f1(pred, ref).f1 == 1.0
+
+
+def test_batched_lockstep_parity(tiny_config, tiny_transcriber):
+    clips = make_corpus(tiny_config, kind="isol", n_clips=3, seconds=4.0,
+                        n_notes=3, seed=10)
+    waves = np.stack([w for w, _ in clips])
+    tr = tiny_transcriber
+    preds = tr.transcribe_batch(waves)
+    for (wave, ref), pred in zip(clips, preds):
+        gold = transcribe_golden(wave, tiny_config).sequence
+        _assert_sequences_identical(pred, gold)
+        assert note_f1(pred, ref).f1 == 1.0
+
+
+def test_polyphonic_parity(tiny_config, tiny_transcriber):
+    wave, ref = make_clip(tiny_config, kind="mus", seconds=5.0,
+                          n_voices=2, seed=1)
+    tr = tiny_transcriber
+    pred = tr.transcribe(wave)
+    gold = transcribe_golden(wave, tiny_config).sequence
+    _assert_sequences_identical(pred, gold)
+    assert note_f1(pred, ref).f1 >= 0.75
+
+
+def test_batch_with_silent_lane(tiny_config, tiny_transcriber):
+    wave, ref = make_clip(tiny_config, kind="isol", seconds=4.0,
+                          n_notes=3, seed=2)
+    silent = np.zeros_like(wave)
+    tr = tiny_transcriber
+    preds = tr.transcribe_batch(np.stack([wave, silent]))
+    assert len(preds[1]) == 0
+    assert note_f1(preds[0], ref).f1 == 1.0
+
+
+def test_heterogeneous_lane_lengths_terminate_independently(tiny_config, tiny_transcriber):
+    # One busy lane, one nearly-empty lane: the empty lane must stop
+    # appending while the busy lane continues (done-mask correctness).
+    busy, ref_busy = make_clip(tiny_config, kind="mus", seconds=5.0,
+                               n_voices=2, seed=3)
+    sparse, ref_sparse = make_clip(tiny_config, kind="isol", seconds=5.0,
+                                   n_notes=1, seed=4)
+    tr = tiny_transcriber
+    preds = tr.transcribe_batch(np.stack([busy, sparse]))
+    assert len(preds[1]) == len(ref_sparse)
+    gold_busy = transcribe_golden(busy, tiny_config).sequence
+    _assert_sequences_identical(preds[0], gold_busy)
