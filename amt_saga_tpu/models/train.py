@@ -1,0 +1,165 @@
+"""Classifier training loop (SURVEY.md C14, call stack 3.2).
+
+The reference trains its CNN with a standard PyTorch loop + torch.save
+checkpoints [SURVEY.md C14].  TPU-native: one jitted ``train_step``
+(donated state, optax AdamW), host-side synthetic-fixture batch generation
+(:mod:`amt_saga_tpu.runtime.dataset`), Orbax checkpointing, JSONL metrics.
+
+Losses (heads of :class:`amt_saga_tpu.models.classifier.NoteClassifier`):
+* onset_pitch: sigmoid BCE over the [T, Q] map with positive-class
+  weighting (onsets are sparse),
+* duration: softmax CE at labeled onset frames only,
+* presence: sigmoid BCE with positive weighting.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..runtime.dataset import ExampleBatch, make_example_batch
+from ..utils.logging import MetricsWriter, get_logger
+from .classifier import build_classifier, init_params
+
+log = get_logger(__name__)
+
+POS_WEIGHT = 64.0  # onsets are ~1/(T*Q) sparse; upweight positives
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_state(cfg: Config, rng: jax.Array) -> tuple[TrainState, Any]:
+    params = init_params(cfg, rng)
+    tx = optax.adamw(cfg.train.learning_rate,
+                     weight_decay=cfg.train.weight_decay)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def loss_fn(params: Any, batch: dict[str, jnp.ndarray], cfg: Config,
+            model, rng: jax.Array
+            ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    out = model.apply({"params": params}, batch["spec"], train=True,
+                      rngs={"dropout": rng})
+
+    # Onset/pitch BCE with positive weighting.
+    logits = out["onset_pitch"]
+    labels = batch["onset_pitch"]
+    bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+    w = 1.0 + (POS_WEIGHT - 1.0) * labels
+    l_onset = jnp.sum(bce * w) / jnp.sum(w)
+
+    # Duration CE at labeled frames.
+    dur_labels = batch["duration"]
+    mask = (dur_labels >= 0).astype(jnp.float32)
+    safe = jnp.maximum(dur_labels, 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        out["duration"], safe)
+    l_dur = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    # Presence BCE.
+    pres = batch["presence"]
+    bce_p = optax.sigmoid_binary_cross_entropy(out["presence"], pres)
+    w_p = 1.0 + (POS_WEIGHT - 1.0) * pres
+    l_pres = jnp.sum(bce_p * w_p) / jnp.sum(w_p)
+
+    loss = l_onset + 0.5 * l_dur + 0.5 * l_pres
+    return loss, {"loss": loss, "l_onset": l_onset, "l_dur": l_dur,
+                  "l_pres": l_pres}
+
+
+@partial(jax.jit, static_argnames=("cfg", "model", "tx"), donate_argnums=0)
+def train_step(state: TrainState, batch: dict[str, jnp.ndarray],
+               cfg: Config, model, tx) -> tuple[TrainState, dict]:
+    rng = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed),
+                             state.step)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, metrics), grads = grad_fn(state.params, batch, cfg, model, rng)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
+def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
+                   seed: int = 0) -> Iterator[dict[str, jnp.ndarray]]:
+    i = seed
+    while True:
+        eb: ExampleBatch = make_example_batch(
+            cfg, batch_size=cfg.train.batch_size, seconds=seconds,
+            seed=i, kind=kind)
+        yield {
+            "spec": jnp.asarray(eb.spec),
+            "onset_pitch": jnp.asarray(eb.onset_pitch),
+            "duration": jnp.asarray(eb.duration),
+            "presence": jnp.asarray(eb.presence),
+        }
+        i += 1
+
+
+def save_checkpoint(cfg: Config, state: TrainState, path: str | None = None
+                    ) -> str:
+    import orbax.checkpoint as ocp
+
+    path = path or os.path.abspath(cfg.train.checkpoint_dir)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, f"step_{int(state.step)}"),
+               jax.device_get(state.params), force=True)
+    ckptr.wait_until_finished()
+    return os.path.join(path, f"step_{int(state.step)}")
+
+
+def load_checkpoint(cfg: Config, path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    rng = jax.random.PRNGKey(0)
+    template = jax.device_get(init_params(cfg, rng))
+    ckptr = ocp.StandardCheckpointer()
+    # Orbax requires absolute paths and fails with a cryptic tensorstore
+    # error on relative ones.
+    restored = ckptr.restore(os.path.abspath(path), template)
+    # Orbax restores whatever was saved even if the template disagrees;
+    # validate shapes so a config/checkpoint mismatch fails HERE, not at
+    # some later apply().
+    for kp, (a, b) in zip(
+            jax.tree_util.tree_leaves_with_path(template),
+            zip(jax.tree.leaves(template), jax.tree.leaves(restored))):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"checkpoint/config mismatch at {jax.tree_util.keystr(kp[0])}: "
+                f"config expects {np.shape(a)}, checkpoint has {np.shape(b)}")
+    return restored
+
+
+def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
+          kind: str = "mus", metrics: MetricsWriter | None = None,
+          checkpoint: bool = True) -> TrainState:
+    """Run the training loop; returns final state."""
+    steps = steps if steps is not None else cfg.train.steps
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state, tx = create_state(cfg, rng)
+    model = build_classifier(cfg)
+    it = batch_iterator(cfg, seconds=seconds, kind=kind,
+                        seed=cfg.train.seed)
+    mw = metrics or MetricsWriter()
+    for i in range(steps):
+        batch = next(it)
+        state, m = train_step(state, batch, cfg, model, tx)
+        if i % 20 == 0 or i == steps - 1:
+            m = {k: float(v) for k, v in m.items()}
+            mw.write({"event": "train_step", "step": i, **m})
+            log.info("step %d loss %.4f", i, m["loss"])
+    if checkpoint:
+        path = save_checkpoint(cfg, state)
+        mw.write({"event": "checkpoint", "path": path,
+                  "step": int(state.step)})
+    return state

@@ -1,0 +1,118 @@
+"""Training-example generator (SURVEY.md C13) + dataset loaders (C10-C12).
+
+Produces dense per-frame label maps for the fully-convolutional classifier
+from (audio, ground-truth NoteSequence) pairs:
+
+* ``onset_pitch`` [T, Q]: 1 where a note of flat class q starts at frame t.
+* ``duration``    [T]: duration-grid class index at onset frames, -1 else.
+* ``presence``    [T]: 1 where any onset occurs.
+
+Residual-style augmentation (SURVEY.md C13: the classifier runs on
+RESIDUALS inside the loop, not just full mixes): with probability
+``residual_p`` a random subset of ground-truth notes is subtracted from
+the spectrogram using the same template bank the loop uses, and those
+notes are removed from the labels — mimicking mid-loop states.
+
+Dataset semantics of MAPS (ISOL/MUS), MAESTRO (long) and MusicNet (multi)
+are reproduced by the fixture generator (:mod:`.fixtures`); real corpora
+are not downloadable in this environment (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import Config
+from ..core.notes import NoteSequence
+from ..golden.dsp_np import spectrogram_np
+from ..synth.templates import template_bank, template_lead
+from .fixtures import make_clip
+
+
+@dataclass
+class ExampleBatch:
+    spec: np.ndarray         # [B, T, F] float32 linear magnitude
+    onset_pitch: np.ndarray  # [B, T, Q] float32 0/1
+    duration: np.ndarray     # [B, T] int32 class or -1
+    presence: np.ndarray     # [B, T] float32 0/1
+
+
+def _labels_for(seq: NoteSequence, cfg: Config, n_frames: int
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n_q = cfg.synth.n_instruments * cfg.synth.n_pitches
+    n_d = len(cfg.synth.duration_grid)
+    onset_pitch = np.zeros((n_frames, n_q), dtype=np.float32)
+    duration = np.full((n_frames,), -1, dtype=np.int32)
+    presence = np.zeros((n_frames,), dtype=np.float32)
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    grid = np.asarray(cfg.synth.duration_grid)
+    for n in seq:
+        t = int(round(n.onset / spf))
+        if not (0 <= t < n_frames):
+            continue
+        pi = n.pitch - cfg.synth.pitch_min
+        if not (0 <= pi < cfg.synth.n_pitches):
+            continue
+        q = n.program * cfg.synth.n_pitches + pi
+        onset_pitch[t, q] = 1.0
+        duration[t] = int(np.argmin(np.abs(grid - n.duration))) % n_d
+        presence[t] = 1.0
+    return onset_pitch, duration, presence
+
+
+def _subtract_notes(spec: np.ndarray, notes: list, cfg: Config
+                    ) -> np.ndarray:
+    """Subtract the templates of given ground-truth notes (host NumPy)."""
+    bank = template_bank(cfg.synth, cfg.dsp)
+    lead = template_lead(cfg.dsp)
+    tmax = cfg.synth.template_frames
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    grid = np.asarray(cfg.synth.duration_grid)
+    res = np.concatenate([
+        np.zeros((lead, spec.shape[1]), np.float32),
+        spec,
+        np.zeros((tmax, spec.shape[1]), np.float32),
+    ])
+    for n in notes:
+        t = int(round(n.onset / spf))
+        pi = n.pitch - cfg.synth.pitch_min
+        di = int(np.argmin(np.abs(grid - n.duration)))
+        g = n.velocity / 127.0
+        w = bank[n.program, pi, di]
+        res[t:t + tmax] = np.maximum(res[t:t + tmax] - g * w, 0.0)
+    return res[lead:lead + spec.shape[0]]
+
+
+def make_example_batch(
+    cfg: Config,
+    *,
+    batch_size: int = 8,
+    seconds: float = 4.0,
+    seed: int = 0,
+    kind: str = "mus",
+    residual_p: float = 0.5,
+    programs: tuple[int, ...] = (0,),
+) -> ExampleBatch:
+    rng = np.random.default_rng(seed)
+    specs, ops, durs, pres = [], [], [], []
+    for b in range(batch_size):
+        wave, seq = make_clip(cfg, kind=kind, seconds=seconds,
+                              seed=seed * 1000 + b, programs=programs)
+        spec = spectrogram_np(wave, cfg.dsp)
+        notes = list(seq)
+        if notes and rng.random() < residual_p:
+            k = int(rng.integers(1, max(2, len(notes))))
+            idx = rng.permutation(len(notes))[:k]
+            removed = [notes[i] for i in idx]
+            spec = _subtract_notes(spec, removed, cfg)
+            notes = [n for i, n in enumerate(notes) if i not in set(idx)]
+        op, du, pr = _labels_for(NoteSequence(notes), cfg, spec.shape[0])
+        specs.append(spec)
+        ops.append(op)
+        durs.append(du)
+        pres.append(pr)
+    return ExampleBatch(
+        spec=np.stack(specs), onset_pitch=np.stack(ops),
+        duration=np.stack(durs), presence=np.stack(pres))

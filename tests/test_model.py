@@ -1,0 +1,99 @@
+"""Classifier + trainer tests (SURVEY.md C7/C13/C14)."""
+
+import numpy as np
+import jax
+import pytest
+
+from amt_saga_tpu.models.classifier import (
+    build_classifier,
+    init_params,
+    make_cnn_score_fn,
+)
+from amt_saga_tpu.models.train import (
+    batch_iterator,
+    create_state,
+    load_checkpoint,
+    save_checkpoint,
+    train,
+    train_step,
+)
+from amt_saga_tpu.runtime.dataset import make_example_batch
+
+
+def test_classifier_shapes(tiny_config):
+    cfg = tiny_config
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    model = build_classifier(cfg)
+    spec = np.random.default_rng(0).random((2, 48, cfg.dsp.n_bins),
+                                           dtype=np.float32)
+    out = model.apply({"params": params}, spec)
+    n_q = cfg.synth.n_instruments * cfg.synth.n_pitches
+    assert out["onset_pitch"].shape == (2, 48, n_q)
+    assert out["duration"].shape == (2, 48, len(cfg.synth.duration_grid))
+    assert out["presence"].shape == (2, 48)
+
+
+def test_example_batch_labels(tiny_config):
+    cfg = tiny_config
+    eb = make_example_batch(cfg, batch_size=2, seconds=3.0, seed=0,
+                            kind="isol", residual_p=0.0)
+    assert eb.spec.shape[0] == 2
+    assert eb.onset_pitch.shape[:2] == eb.spec.shape[:2]
+    # every labeled onset has presence and a duration class
+    t, q = np.nonzero(eb.onset_pitch[0])
+    assert len(t) > 0
+    assert np.all(eb.presence[0][t] == 1.0)
+    assert np.all(eb.duration[0][t] >= 0)
+
+
+def test_residual_augmentation_reduces_labels(tiny_config):
+    cfg = tiny_config
+    full = make_example_batch(cfg, batch_size=4, seconds=3.0, seed=1,
+                              kind="mus", residual_p=0.0)
+    aug = make_example_batch(cfg, batch_size=4, seconds=3.0, seed=1,
+                             kind="mus", residual_p=1.0)
+    assert aug.onset_pitch.sum() < full.onset_pitch.sum()
+    # augmented spectrogram has less energy than the full mix
+    assert aug.spec.sum() < full.spec.sum()
+
+
+def test_training_reduces_loss(tiny_config):
+    cfg = tiny_config.override(**{"train.batch_size": 2,
+                                  "train.learning_rate": 1e-3})
+    state, tx = create_state(cfg, jax.random.PRNGKey(0))
+    from amt_saga_tpu.models.classifier import build_classifier
+    model = build_classifier(cfg)
+    it = batch_iterator(cfg, seconds=2.0, kind="isol", seed=0)
+    batch = next(it)  # overfit one batch: loss must drop sharply
+    losses = []
+    for _ in range(15):
+        state, m = train_step(state, batch, cfg, model, tx)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_checkpoint_roundtrip(tiny_config, tmp_path):
+    cfg = tiny_config.override(**{"train.checkpoint_dir": str(tmp_path),
+                                  "train.batch_size": 2})
+    state, _ = create_state(cfg, jax.random.PRNGKey(0))
+    path = save_checkpoint(cfg, state)
+    restored = load_checkpoint(cfg, path)
+    leaves_a = jax.tree.leaves(state.params)
+    leaves_b = jax.tree.leaves(restored)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cnn_score_fn_plugs_into_loop(tiny_config, tiny_transcriber):
+    # Smoke: an untrained CNN drops into the loop's score_fn slot and the
+    # whole device program still compiles and terminates.
+    from amt_saga_tpu.runtime.fixtures import make_clip
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    cfg = tiny_config
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tr = Transcriber(cfg, score_fn=make_cnn_score_fn(cfg, params))
+    wave, _ = make_clip(cfg, kind="isol", seconds=3.0, n_notes=2, seed=0)
+    seq = tr.transcribe(wave)
+    assert len(seq) <= cfg.loop.max_notes
