@@ -1,0 +1,124 @@
+"""Sharded transcription + training (SURVEY.md §2.3/§2.4, layer L6).
+
+Data-parallel transcription: the batched while_loop is embarrassingly
+parallel over clips — shard the batch dim over the ``data`` axis and jit;
+no collectives are needed inside the loop (each lane is independent), so
+scaling is linear over ICI.
+
+Tensor-parallel training: the classifier's trunk Dense layer is sharded
+column-wise and the head kernels row-wise over the ``model`` axis; XLA
+inserts the psum for the row-sharded matmuls.  Data-parallel gradients
+fall out of jitting the global-batch loss with a sharded batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..saga.loop import (
+    ScoreFn,
+    TemplateArrays,
+    heuristic_scores,
+    transcribe_waves,
+)
+from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding
+
+
+def make_sharded_transcriber(cfg: Config, mesh: Mesh,
+                             tmpl: TemplateArrays,
+                             score_fn: ScoreFn = heuristic_scores):
+    """Returns a jitted fn: waves [B, N] (B % data-axis == 0) -> NotesBatch,
+    batch sharded over the 'data' axis, note arrays sharded the same way."""
+    in_s = data_sharding(mesh, 2)
+    out_s = jax.tree.map(lambda _: NamedSharding(mesh, P(DATA_AXIS)),
+                         _notes_batch_structure())
+
+    fn = jax.jit(
+        lambda waves: transcribe_waves(waves, cfg, tmpl, score_fn),
+        in_shardings=in_s,
+        out_shardings=out_s,
+    )
+    return fn
+
+
+def _notes_batch_structure():
+    from ..saga.loop import NotesBatch
+
+    return NotesBatch(onset=0, dur=0, pitch=0, gain=0, program=0, count=0,
+                      residual_energy=0)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """Tensor-parallel PartitionSpecs for the classifier parameters.
+
+    trunk kernel [in, hidden]   -> shard hidden (columns) over 'model'
+    trunk bias   [hidden]       -> shard over 'model'
+    head kernels [hidden, out]  -> shard hidden (rows) over 'model'
+                                    (XLA adds the psum)
+    everything else             -> replicated
+    """
+
+    def spec_for(path, leaf) -> NamedSharding:
+        names = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(names)
+        if "trunk" in joined and names[-1] == "kernel":
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        if "trunk" in joined and names[-1] == "bias":
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        if "head_" in joined and names[-1] == "kernel":
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def make_sharded_train_step(cfg: Config, mesh: Mesh, model, tx,
+                            state_template):
+    """Returns (jitted_step, shard_state) for DP(batch) x TP(model) training.
+
+    ``shard_state`` places a host TrainState onto the mesh with TP param
+    shardings; the jitted step keeps it there (donated).
+    """
+    from ..models.train import TrainState, train_step
+
+    p_shard = param_shardings(state_template.params, mesh)
+    opt_shard = jax.tree.map(
+        lambda leaf: (p_shard if _is_params_like(leaf, state_template.params)
+                      else NamedSharding(mesh, P())),
+        state_template.opt_state,
+        is_leaf=lambda x: _is_params_like(x, state_template.params),
+    )
+    state_shardings = TrainState(
+        params=p_shard, opt_state=opt_shard,
+        step=NamedSharding(mesh, P()))
+    batch_shardings = {
+        "spec": data_sharding(mesh, 3),
+        "onset_pitch": data_sharding(mesh, 3),
+        "duration": data_sharding(mesh, 2),
+        "presence": data_sharding(mesh, 2),
+    }
+
+    step = jax.jit(
+        partial(train_step, cfg=cfg, model=model, tx=tx),
+        in_shardings=(state_shardings, batch_shardings),
+        out_shardings=(state_shardings, NamedSharding(mesh, P())),
+        donate_argnums=0,
+    )
+
+    def shard_state(state):
+        return jax.device_put(state, state_shardings)
+
+    return step, shard_state
+
+
+def _is_params_like(x, params) -> bool:
+    """True if x is a pytree with the same structure as params (e.g. the
+    mu/nu slots inside the Adam optimizer state)."""
+    return (jax.tree_util.tree_structure(x)
+            == jax.tree_util.tree_structure(params))

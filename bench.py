@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §6; BASELINE.md).
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is the ratio against the measured golden-CPU-path
+throughput recorded in BASELINE.md (the reference stand-in — the real
+reference mount was empty and published no numbers; see SURVEY.md §0/§6).
+Re-measure the denominator with ``python bench.py --golden``.
+
+Default run: batched lockstep transcription (heuristic classifier, default
+config) of a mixed ISOL/MUS synthetic corpus on the available chip,
+steady-state median over repeated runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+# Measured 2026-08-16 on this machine's 1 CPU core (see BASELINE.md):
+# golden path, default config, 4x10s clips (2 ISOL + 2 MUS), warm caches.
+GOLDEN_CPU_AUDIO_SEC_PER_SEC = 31.0
+
+
+def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
+    from amt_saga_tpu.runtime.fixtures import make_clip
+
+    waves = []
+    for i in range(batch):
+        kind = "isol" if i % 2 == 0 else "mus"
+        w, _ = make_clip(cfg, kind=kind, seconds=seconds, n_notes=8,
+                         n_voices=3, seed=i)
+        waves.append(w)
+    return np.stack(waves)
+
+
+def bench_tpu(batch: int, seconds: float, repeats: int) -> dict:
+    import jax
+
+    from amt_saga_tpu import default_config
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    cfg = default_config()
+    waves = _make_waves(cfg, batch, seconds)
+    tr = Transcriber(cfg)
+    dev_waves = jax.device_put(waves)
+
+    def run():
+        notes = tr._fn(dev_waves)
+        jax.block_until_ready(notes)
+        return notes
+
+    t0 = time.time()
+    notes = run()  # compile + warmup
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    wall = statistics.median(times)
+    audio_sec = batch * seconds
+    value = audio_sec / wall
+    total_notes = int(np.sum(np.asarray(notes.count)))
+    return {
+        "metric": "transcription_throughput",
+        "value": round(value, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / GOLDEN_CPU_AUDIO_SEC_PER_SEC, 2),
+        "detail": {
+            "batch": batch,
+            "clip_seconds": seconds,
+            "median_wall_s": round(wall, 4),
+            "compile_s": round(compile_s, 1),
+            "notes_emitted": total_notes,
+            "device": str(jax.devices()[0]),
+            "baseline_cpu_audio_sec_per_sec": GOLDEN_CPU_AUDIO_SEC_PER_SEC,
+        },
+    }
+
+
+def bench_golden(seconds: float, clips: int) -> dict:
+    from amt_saga_tpu import default_config
+    from amt_saga_tpu.golden.pipeline import transcribe_golden
+
+    cfg = default_config()
+    waves = _make_waves(cfg, clips, seconds)
+    transcribe_golden(waves[0][:cfg.dsp.sample_rate], cfg)  # warm caches
+    t0 = time.time()
+    for w in waves:
+        transcribe_golden(w, cfg)
+    wall = time.time() - t0
+    value = clips * seconds / wall
+    return {
+        "metric": "golden_cpu_throughput",
+        "value": round(value, 2),
+        "unit": "audio-sec/sec",
+        "vs_baseline": 1.0,
+        "detail": {"clips": clips, "clip_seconds": seconds,
+                   "wall_s": round(wall, 2)},
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--golden", action="store_true",
+                   help="measure the golden CPU denominator instead")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    if args.golden:
+        rec = bench_golden(args.seconds, max(2, args.batch // 8))
+    else:
+        rec = bench_tpu(args.batch, args.seconds, args.repeats)
+
+    detail = rec.pop("detail", None)
+    if detail:
+        print(json.dumps({"detail": detail}), file=sys.stderr)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,11 +8,19 @@ before jax initializes its backends, hence before any test imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend with 8 virtual devices.  NB: the axon TPU plugin's
+# sitecustomize.py imports jax at interpreter startup (before conftest), so
+# JAX_PLATFORMS=axon from the env is already captured by jax.config —
+# os.environ tweaks are too late; override the config value directly.
+# XLA_FLAGS is still read at (lazy) backend init, which has not happened yet.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
