@@ -84,12 +84,22 @@ class LoopConfig:
     min_gain: float = 0.04
     # Minimum score (energy reduction) relative to current residual energy.
     min_score_rel: float = 1e-4
-    n_pitch_candidates: int = 8  # top-K pitches rescored by subtraction
-    # Penalty weight on over-subtraction (energy a candidate template tries
-    # to remove that isn't in the residual).  Without it, clamping makes
-    # over-long/over-loud candidates score as well as exact ones, so
-    # duration selection is ill-posed.
-    over_penalty: float = 1.0
+    # Notes extracted per loop iteration: up to n_extract time-DISJOINT
+    # coarse-score peaks (masked argmax, radius template_frames+1) are
+    # evaluated and subtracted together.  Because their subtraction windows
+    # cannot overlap, this is exactly equal to n_extract steps of the
+    # one-note greedy loop on time-separated content, but costs one
+    # iteration of the while_loop — the dominant cost on TPU is iteration
+    # count, not per-iteration FLOPs.  n_extract=1 is the classic loop.
+    n_extract: int = 4
+    # Candidate scoring uses the closed form
+    #   score = 2*g*<window, W> - g^2*||W||^2
+    # which equals (energy reduction) - 1.0*(over-subtraction energy):
+    # clamped under- and over-shoot have disjoint support, so their squared
+    # energies sum to the unclamped residual.  The unit over-subtraction
+    # penalty is what makes duration selection well-posed (an over-long
+    # template is no longer free); the closed form is what makes scoring
+    # ALL (pitch, duration, offset) candidates a pure batched dot product.
 
 
 @dataclass(frozen=True)

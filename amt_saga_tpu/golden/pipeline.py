@@ -14,14 +14,16 @@ op-for-op):
    ``E > silence_rel * E0``:
    a. Matched filter: ``A[t, f] = sum_tau env[tau] * R[t+tau, f]`` with the
       unit-L2 temporal envelope; coarse score ``C[t, q] = A[t] . prof[q]``
-      over flattened (instrument, pitch) q.
-   b. ``t*`` and top-K candidate (instrument, pitch) at ``t*`` — stable
-      first-max / stable descending sort.
-   c. Candidates = topK x duration-grid x onset offsets {-1, 0, +1}
-      (C-order flattening).  For each: least-squares gain
-      ``g = <window, W>/||W||^2`` (clamped >= 0); score = exact clamped
-      energy reduction minus ``over_penalty`` times the over-subtraction
-      energy ``||max(g*W - window, 0)||^2``.
+      over flattened (instrument, pitch) q.  (Associativity pinned as
+      ``(R . prof) then env``, matching the TPU band-matmul formulation.)
+   b. ``t*`` = first-max of the flattened [T, Q] coarse map.
+   c. Candidates = ALL (q, d, o) triples over flattened instrument*pitch,
+      the duration grid, and onset offsets {-1, 0, +1} (C-order
+      flattening).  For each: least-squares gain
+      ``g = max(<window, W> / ||W||^2, 0)`` and the closed-form score
+      ``2*g*<window, W> - g^2*||W||^2`` — which equals the exact clamped
+      energy reduction minus the over-subtraction energy (disjoint
+      supports; see LoopConfig).
    d. Accept the first-max candidate iff ``g >= min_gain`` and
       ``score >= min_score_rel * E``; else terminate.
    e. Subtract ``max(window - g*W, 0)`` in place; record
@@ -50,6 +52,21 @@ from .dsp_np import spectrogram_np
 
 ONSET_OFFSETS = (-1, 0, 1)
 
+# Must match saga.loop.DECISION_DROP_BITS (see the comment there): decision
+# values are mantissa-truncated before comparisons so CPU/TPU last-ulp
+# differences cannot flip the greedy loop's choices.
+DECISION_DROP_BITS = 13
+
+
+def quantize_decisions_np(x: np.ndarray) -> np.ndarray:
+    i = np.ascontiguousarray(x, dtype=np.float32).view(np.int32)
+    mask = np.int32(~((1 << DECISION_DROP_BITS) - 1))
+    return (i & mask).view(np.float32)
+
+
+def _q_scalar(x: float) -> float:
+    return float(quantize_decisions_np(np.array([x], np.float32))[0])
+
 
 @dataclass
 class GoldenResult:
@@ -63,20 +80,19 @@ class GoldenResult:
     residual_energy: float
 
 
-def _matched_filter(res: np.ndarray, env: np.ndarray,
-                    n_frames: int) -> np.ndarray:
-    """A[t, f] = sum_tau env[tau] * res[t+tau, f] for t in [0, n_frames)."""
+def _coarse_scores(res: np.ndarray, env: np.ndarray, prof_flat: np.ndarray,
+                   n_frames: int) -> np.ndarray:
+    """C[t, q] = sum_tau env[tau] * (res[t+tau] . prof[q]).
+
+    Associativity pinned as (res . prof) first, then the env-weighted sum
+    over tau — the same order as the TPU band-matmul formulation.
+    """
+    cp = (res @ prof_flat.T).astype(np.float32)          # [Tp, Q]
     tmax = len(env)
-    out = np.empty((n_frames, res.shape[1]), dtype=np.float32)
+    out = np.empty((n_frames, cp.shape[1]), dtype=np.float32)
     for t in range(n_frames):
-        out[t] = env @ res[t:t + tmax]
+        out[t] = env @ cp[t:t + tmax]
     return out
-
-
-def _stable_topk(scores: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the k largest values, ties broken by lower index."""
-    order = np.argsort(-scores, kind="stable")
-    return order[:k]
 
 
 def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
@@ -113,64 +129,86 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
     count = 0
     for _ in range(cap):
         e_cur = float(np.sum(np.square(res), dtype=np.float32))
-        if e0 <= 0.0 or e_cur <= loop.silence_rel * e0:
+        e_q = _q_scalar(e_cur)
+        sil_q = _q_scalar(loop.silence_rel * e0)
+        if e0 <= 0.0 or e_q <= sil_q:
             break
 
-        # (a) coarse matched-filter score over (frame, instrument*pitch)
-        filt = _matched_filter(res, env, n_frames)       # [T, F]
-        coarse = filt @ prof_flat.T                      # [T, Q]
-        flat_best = int(np.argmax(coarse.reshape(-1)))
-        t_star = flat_best // coarse.shape[1]
+        # (a/b) coarse matched-filter score -> up to n_extract time-disjoint
+        # peaks (masked argmax, radius template_frames+1: windows of
+        # distinct peaks cannot overlap, so extracting them in one
+        # iteration equals sequential greedy extraction).
+        coarse = _coarse_scores(res, env, prof_flat, n_frames)   # [T, Q]
+        n_k = max(1, loop.n_extract)
+        radius = tmax + 1
+        m_raw = quantize_decisions_np(np.max(coarse, axis=1))    # [T]
+        # Only local maxima are eligible (see saga/loop.py: shoulders of
+        # masked stronger peaks must not become separate onsets).
+        left = np.concatenate([[-np.inf], m_raw[:-1]])
+        right = np.concatenate([m_raw[1:], [-np.inf]])
+        m_work = np.where((m_raw >= left) & (m_raw >= right),
+                          m_raw, -np.inf)
+        t_frames = np.arange(n_frames)
+        peaks: list[tuple[int, bool]] = []
+        for _i in range(n_k):
+            t_i = int(np.argmax(m_work))
+            peaks.append((t_i, bool(np.isfinite(m_work[t_i]))))
+            m_work = np.where(np.abs(t_frames - t_i) <= radius,
+                              -np.inf, m_work)
 
-        # (b) top-K (instrument, pitch) candidates at t*
-        top_q = _stable_topk(coarse[t_star], loop.n_pitch_candidates)
-
-        # (c) candidate grid: K x D x O, C-order
+        # (c) per peak: ALL (q, d, o) candidates, closed-form scores
+        # (C-order).  Windows of distinct peaks are disjoint, so scoring
+        # against the live residual equals scoring against the
+        # pre-iteration residual.
         n_o = len(ONSET_OFFSETS)
-        cand_g = np.zeros((len(top_q), n_d, n_o), dtype=np.float32)
-        cand_s = np.zeros((len(top_q), n_d, n_o), dtype=np.float32)
-        cand_t = np.zeros((len(top_q), n_d, n_o), dtype=np.int32)
-        for ki, q in enumerate(top_q):
-            qi, qp = int(q) // n_p, int(q) % n_p
-            for di in range(n_d):
-                w = bank[qi, qp, di]
-                nrm = max(float(norms[qi, qp, di]), 1e-12)
-                for oi, off in enumerate(ONSET_OFFSETS):
-                    t_c = min(max(t_star + off, 0), n_frames - 1)
-                    window = res[t_c:t_c + tmax]
-                    g = max(float(np.sum(window * w, dtype=np.float32))
-                            / nrm, 0.0)
-                    new = np.maximum(window - g * w, 0.0)
-                    over = np.maximum(g * w - window, 0.0)
-                    s = (float(np.sum(np.square(window), dtype=np.float32))
-                         - float(np.sum(np.square(new), dtype=np.float32))
-                         - loop.over_penalty
-                         * float(np.sum(np.square(over), dtype=np.float32)))
-                    cand_g[ki, di, oi] = g
-                    cand_s[ki, di, oi] = s
-                    cand_t[ki, di, oi] = t_c
+        n_q = n_i * n_p
+        bank_mat = bank.reshape(n_q * n_d, -1)                   # [QD, M]
+        nrm_flat = np.maximum(norms.reshape(n_q * n_d), 1e-12)   # [QD]
+        any_acc = False
+        for t_star, valid in peaks:
+            if not valid or count >= cap:
+                continue
+            dots = np.zeros((n_o, n_q * n_d), dtype=np.float32)
+            t_cands = np.zeros(n_o, dtype=np.int32)
+            for oi, off in enumerate(ONSET_OFFSETS):
+                t_c = min(max(t_star + off, 0), n_frames - 1)
+                t_cands[oi] = t_c
+                window = res[t_c:t_c + tmax].reshape(-1)         # [M]
+                dots[oi] = bank_mat @ window
+            g_all = np.maximum(dots / nrm_flat[None, :], 0.0)    # [O, QD]
+            s_all = (2.0 * g_all * dots
+                     - np.square(g_all) * nrm_flat[None, :])
+            # -> C-order (q, d, o)
+            g_qdo = np.transpose(g_all.reshape(n_o, n_q, n_d), (1, 2, 0))
+            s_qdo = quantize_decisions_np(
+                np.transpose(s_all.reshape(n_o, n_q, n_d), (1, 2, 0)))
 
-        best = int(np.argmax(cand_s.reshape(-1)))
-        ki, rem = divmod(best, n_d * n_o)
-        di, oi = divmod(rem, n_o)
-        g_best = float(cand_g[ki, di, oi])
-        s_best = float(cand_s[ki, di, oi])
-        if g_best < loop.min_gain or s_best < loop.min_score_rel * e_cur:
+            best = int(np.argmax(s_qdo.reshape(-1)))
+            q, rem = divmod(best, n_d * n_o)
+            di, oi = divmod(rem, n_o)
+            g_best = float(g_qdo[q, di, oi])
+            s_best = float(s_qdo[q, di, oi])
+            g_q = _q_scalar(g_best)
+            thr_q = _q_scalar(loop.min_score_rel * e_cur)
+            if g_q < loop.min_gain or s_best < thr_q:
+                continue
+
+            qi, qp = q // n_p, q % n_p
+            t_best = int(t_cands[oi])
+            w = bank[qi, qp, di]
+            res[t_best:t_best + tmax] = np.maximum(
+                res[t_best:t_best + tmax] - g_best * w, 0.0)
+
+            onset_f[count] = t_best
+            dur_f[count] = durs[di]
+            pitch_i[count] = qp
+            gains[count] = g_best
+            programs[count] = qi
+            count += 1
+            any_acc = True
+
+        if not any_acc:
             break
-
-        q = int(top_q[ki])
-        qi, qp = q // n_p, q % n_p
-        t_best = int(cand_t[ki, di, oi])
-        w = bank[qi, qp, di]
-        res[t_best:t_best + tmax] = np.maximum(
-            res[t_best:t_best + tmax] - g_best * w, 0.0)
-
-        onset_f[count] = t_best
-        dur_f[count] = durs[di]
-        pitch_i[count] = qp
-        gains[count] = g_best
-        programs[count] = qi
-        count += 1
 
     seq = note_arrays_to_sequence(
         onset_f, dur_f, pitch_i, gains, programs, count,

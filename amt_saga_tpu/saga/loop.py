@@ -20,12 +20,17 @@ Structure of one loop iteration (all lanes in lockstep, done lanes no-op):
    (temporal-envelope conv + spectral-profile matmul — two MXU ops); a
    trained CNN classifier plugs in through the same signature
    (``RunConfig.classifier``).
-2. Global argmax -> onset frame t*; ``lax.top_k`` -> K candidate
-   (instrument, pitch) at t*.
+2. Peak picking: up to ``n_extract`` time-disjoint coarse-score peaks per
+   lane (masked argmax, radius template_frames+1).  Disjoint subtraction
+   windows make one multi-peak iteration exactly equal to that many
+   single-note greedy iterations — and iteration count, not per-iteration
+   FLOPs, dominates TPU wall time.
 3. Batched candidate evaluation (BASELINE: "batched candidate-pitch
-   evaluation"): a ``lax.scan`` over the K x D(duration) grid evaluates
-   least-squares gain + over-subtraction-penalized energy reduction for
-   O onset offsets at once; flat argmax picks the winner.
+   evaluation"): ALL (instrument*pitch, duration, onset-offset) candidates
+   are scored at once with ONE matmul of the onset windows against the
+   flattened template bank, using the closed form
+   ``score = 2*g*<w,W> - g^2*||W||^2`` (== clamped energy reduction minus
+   over-subtraction energy; see LoopConfig); flat argmax picks the winner.
 4. Masked subtract (clamped at 0) + masked note append.
 """
 
@@ -52,6 +57,20 @@ from ..synth.templates import (
 )
 
 ONSET_OFFSETS = (-1, 0, 1)  # must match golden.pipeline.ONSET_OFFSETS
+
+# Decision values (scores, peak heights, energies) are mantissa-truncated
+# before every comparison: TPU and CPU float reductions differ in the last
+# few ulps, and a single flipped argmax cascades through the greedy loop.
+# Truncation makes near-ties land in the same bucket on both backends,
+# where the shared first-max rule resolves them identically.  Gains and
+# residuals stay full precision.  Must match golden.pipeline.
+DECISION_DROP_BITS = 13
+
+
+def quantize_decisions(x: jnp.ndarray) -> jnp.ndarray:
+    i = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    mask = jnp.int32(~((1 << DECISION_DROP_BITS) - 1))
+    return jax.lax.bitcast_convert_type(i & mask, jnp.float32)
 
 
 class TemplateArrays(NamedTuple):
@@ -114,16 +133,23 @@ def pad_residual(spec: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 
 def heuristic_scores(res: jnp.ndarray, tmpl: TemplateArrays,
                      n_frames: int) -> jnp.ndarray:
-    """Matched-filter coarse scores [B, T, Q] (golden step a)."""
-    lhs = res[:, None, :, :]                       # [B, 1, Tp, F]
-    rhs = tmpl.env[None, None, :, None]            # [1, 1, Tmax, 1]
-    a = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )[:, 0, :n_frames, :]                          # [B, T, F]
-    return jnp.einsum("btf,qf->btq", a, tmpl.prof,
-                      precision=jax.lax.Precision.HIGHEST)
+    """Matched-filter coarse scores [B, T, Q] (golden step a).
+
+    Two MXU matmuls instead of a temporal conv (an 80-tap conv over
+    [B, Tp, F] compiled ~30x slower than this): project onto spectral
+    profiles first, then apply the temporal envelope as a banded [T, Tp]
+    matrix — associativity pinned to match the golden path.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    cp = jnp.einsum("bsf,qf->bsq", res, tmpl.prof, precision=hi)
+    tmax = tmpl.env.shape[0]
+    tp = res.shape[1]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (n_frames, tp), 0)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (n_frames, tp), 1)
+    d = s_idx - t_idx
+    band = jnp.where((d >= 0) & (d < tmax),
+                     tmpl.env[jnp.clip(d, 0, tmax - 1)], 0.0)
+    return jnp.einsum("ts,bsq->btq", band, cp, precision=hi)
 
 
 ScoreFn = Callable[[jnp.ndarray, TemplateArrays, int], jnp.ndarray]
@@ -142,95 +168,119 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     tmax = cfg.synth.template_frames
     n_q, n_d = tmpl.norms.shape
     n_o = len(ONSET_OFFSETS)
-    n_k = loop.n_pitch_candidates
     offsets = jnp.asarray(ONSET_OFFSETS, dtype=jnp.int32)
+    hi = jax.lax.Precision.HIGHEST
 
     res, notes = carry.res, carry.notes
     e_cur = jnp.sum(jnp.square(res), axis=(1, 2))
+    e_q = quantize_decisions(e_cur)
     active = (~carry.done) & (carry.e0 > 0.0) & (
-        e_cur > loop.silence_rel * carry.e0)
+        e_q > quantize_decisions(loop.silence_rel * carry.e0))
 
-    # (1) coarse scores and (2) onset/pitch candidates
+    # (1) coarse scores -> up to n_extract time-disjoint peaks per lane.
     coarse = score_fn(res, tmpl, n_frames)                    # [B, T, Q]
     b = coarse.shape[0]
-    flat_best = jnp.argmax(coarse.reshape(b, -1), axis=1)
-    t_star = (flat_best // n_q).astype(jnp.int32)             # [B]
-    at_t = jnp.take_along_axis(
-        coarse, t_star[:, None, None], axis=1)[:, 0, :]       # [B, Q]
-    _, top_q = jax.lax.top_k(at_t, n_k)                       # [B, K]
+    n_k = max(1, loop.n_extract)
+    radius = tmax + 1  # peaks >= radius+1 apart => windows stay disjoint
+    m_raw = quantize_decisions(jnp.max(coarse, axis=2))       # [B, T]
+    # Only LOCAL MAXIMA are eligible peaks: the shoulder of a stronger
+    # (masked) peak must not be picked as a separate onset — a masked true
+    # onset is simply extracted on a later iteration instead.
+    left = jnp.pad(m_raw[:, :-1], ((0, 0), (1, 0)),
+                   constant_values=-np.inf)
+    right = jnp.pad(m_raw[:, 1:], ((0, 0), (0, 1)),
+                    constant_values=-np.inf)
+    m0 = jnp.where((m_raw >= left) & (m_raw >= right), m_raw, -jnp.inf)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (b, n_frames), 1)
 
-    # Candidate onset frames (clamped like golden) and their windows.
-    t_cand = jnp.clip(t_star[:, None] + offsets[None, :], 0,
-                      n_frames - 1)                           # [B, O]
+    def pick(m_cur, _):
+        t_i = jnp.argmax(m_cur, axis=1).astype(jnp.int32)     # first-max
+        peak = jnp.take_along_axis(m_cur, t_i[:, None], 1)[:, 0]
+        m_next = jnp.where(jnp.abs(tt - t_i[:, None]) <= radius,
+                           -jnp.inf, m_cur)
+        return m_next, (t_i, peak)
+
+    _, (t_sel, peaks) = jax.lax.scan(pick, m0, None, length=n_k)
+    t_sel = jnp.transpose(t_sel)                              # [B, K]
+    valid = jnp.transpose(jnp.isfinite(peaks))                # [B, K]
+
+    # Candidate onset frames (clamped like golden) and their windows —
+    # all gathered from the PRE-subtraction residual; windows of distinct
+    # peaks are disjoint, so parallel extraction == sequential greedy.
+    t_cand = jnp.clip(t_sel[:, :, None] + offsets[None, None, :], 0,
+                      n_frames - 1)                           # [B, K, O]
 
     def lane_windows(res_b, t_b):
         return jax.vmap(
             lambda t: jax.lax.dynamic_slice_in_dim(res_b, t, tmax, axis=0)
         )(t_b)
 
-    windows = jax.vmap(lane_windows)(res, t_cand)             # [B, O, Tmax, F]
-    win_e = jnp.sum(jnp.square(windows), axis=(2, 3))         # [B, O]
+    windows = jax.vmap(lane_windows)(
+        res, t_cand.reshape(b, -1))                    # [B, K*O, Tmax, F]
 
-    # (3) scan over the K x D candidate grid (keeps memory at
-    # [B, O, Tmax, F] per step instead of materializing all templates).
-    def cand_step(_, kd):
-        k, d = kd // n_d, kd % n_d
-        q = top_q[:, k]                                       # [B]
-        w = tmpl.bank[q, d]                                   # [B, Tmax, F]
-        nrm = jnp.maximum(tmpl.norms[q, d], 1e-12)            # [B]
-        dot = jnp.einsum("botf,btf->bo", windows, w,
-                         precision=jax.lax.Precision.HIGHEST)
-        g = jnp.maximum(dot / nrm[:, None], 0.0)              # [B, O]
-        scaled = g[:, :, None, None] * w[:, None]
-        new = jnp.maximum(windows - scaled, 0.0)
-        over = jnp.maximum(scaled - windows, 0.0)
-        s = (win_e - jnp.sum(jnp.square(new), axis=(2, 3))
-             - loop.over_penalty * jnp.sum(jnp.square(over), axis=(2, 3)))
-        return None, (g, s)
+    # (2) ALL (q, d, o) candidates per peak, closed-form scores (golden
+    # step c): one batched matmul against the flattened template bank.
+    bank_mat = tmpl.bank.reshape(n_q * n_d, -1)               # [QD, M]
+    nrm_flat = jnp.maximum(tmpl.norms.reshape(n_q * n_d), 1e-12)
+    win_mat = windows.reshape(b, n_k * n_o, -1)               # [B, KO, M]
+    dots = jnp.einsum("bom,cm->boc", win_mat, bank_mat, precision=hi)
+    g_all = jnp.maximum(dots / nrm_flat[None, None, :], 0.0)  # [B, KO, QD]
+    s_all = 2.0 * g_all * dots - jnp.square(g_all) * nrm_flat[None, None, :]
+    # -> [B, K, Q*D*O] in golden's C-order (q, d, o)
+    g_kqdo = jnp.transpose(
+        g_all.reshape(b, n_k, n_o, n_q, n_d), (0, 1, 3, 4, 2))
+    s_kqdo = jnp.transpose(
+        s_all.reshape(b, n_k, n_o, n_q, n_d), (0, 1, 3, 4, 2))
+    g_flat = g_kqdo.reshape(b, n_k, -1)
+    s_flat = quantize_decisions(s_kqdo).reshape(b, n_k, -1)
 
-    _, (g_all, s_all) = jax.lax.scan(
-        cand_step, None, jnp.arange(n_k * n_d))               # [KD, B, O]
-    # -> [B, K*D*O] in golden's C-order (k, d, o)
-    g_flat = jnp.transpose(g_all, (1, 0, 2)).reshape(b, -1)
-    s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
-
-    best = jnp.argmax(s_flat, axis=1)                         # [B]
-    g_best = jnp.take_along_axis(g_flat, best[:, None], 1)[:, 0]
-    s_best = jnp.take_along_axis(s_flat, best[:, None], 1)[:, 0]
-    k_best = best // (n_d * n_o)
+    best = jnp.argmax(s_flat, axis=2)                         # [B, K]
+    g_best = jnp.take_along_axis(g_flat, best[..., None], 2)[..., 0]
+    s_best = jnp.take_along_axis(s_flat, best[..., None], 2)[..., 0]
+    q_best = best // (n_d * n_o)
     d_best = (best // n_o) % n_d
     o_best = best % n_o
-    q_best = jnp.take_along_axis(top_q, k_best[:, None], 1)[:, 0]
-    t_best = jnp.take_along_axis(t_cand, o_best[:, None], 1)[:, 0]
+    t_best = jnp.take_along_axis(t_cand, o_best[..., None], 2)[..., 0]
 
-    accept = active & (g_best >= loop.min_gain) & (
-        s_best >= loop.min_score_rel * e_cur)
+    accept = (active[:, None] & valid
+              & (quantize_decisions(g_best) >= loop.min_gain)
+              & (s_best >= quantize_decisions(
+                  loop.min_score_rel * e_cur)[:, None]))      # [B, K]
 
-    # (4) masked subtract + masked append
-    w_best = tmpl.bank[q_best, d_best]                        # [B, Tmax, F]
-    gain_eff = jnp.where(accept, g_best, 0.0)
+    # (3) masked subtract + masked append, sequentially over the K peaks
+    # (their windows are disjoint, so order does not change the result;
+    # order only defines the append positions).
+    n_p = cfg.synth.n_pitches
+    cap = notes.onset.shape[1]
 
     def lane_subtract(res_b, w_b, g_b, t_b):
         window = jax.lax.dynamic_slice_in_dim(res_b, t_b, tmax, axis=0)
         new = jnp.maximum(window - g_b * w_b, 0.0)
         return jax.lax.dynamic_update_slice_in_dim(res_b, new, t_b, axis=0)
 
-    res_new = jax.vmap(lane_subtract)(res, w_best, gain_eff, t_best)
+    def extract_i(i, state):
+        res_i, notes_i, any_acc = state
+        acc = accept[:, i] & (notes_i.count < cap)
+        w = tmpl.bank[q_best[:, i], d_best[:, i]]             # [B, Tmax, F]
+        gain_eff = jnp.where(acc, g_best[:, i], 0.0)
+        res_i = jax.vmap(lane_subtract)(res_i, w, gain_eff, t_best[:, i])
+        idx = notes_i.count
+        app = jax.vmap(_append_row)
+        notes_i = notes_i._replace(
+            onset=app(notes_i.onset, idx, t_best[:, i], acc),
+            dur=app(notes_i.dur, idx, tmpl.durs[d_best[:, i]], acc),
+            pitch=app(notes_i.pitch, idx, q_best[:, i] % n_p, acc),
+            gain=app(notes_i.gain, idx, g_best[:, i], acc),
+            program=app(notes_i.program, idx, q_best[:, i] // n_p, acc),
+            count=notes_i.count + acc.astype(jnp.int32),
+        )
+        return res_i, notes_i, any_acc | acc
 
-    # Flattened q = instrument * n_pitches + pitch (golden's C-order).
-    n_p = cfg.synth.n_pitches
-    idx = notes.count
-    app = jax.vmap(_append_row)
-    notes_new = NotesBatch(
-        onset=app(notes.onset, idx, t_best, accept),
-        dur=app(notes.dur, idx, tmpl.durs[d_best], accept),
-        pitch=app(notes.pitch, idx, q_best % n_p, accept),
-        gain=app(notes.gain, idx, g_best, accept),
-        program=app(notes.program, idx, q_best // n_p, accept),
-        count=notes.count + accept.astype(jnp.int32),
-        residual_energy=jnp.sum(jnp.square(res_new), axis=(1, 2)),
-    )
-    return _Carry(res_new, notes_new, ~accept | carry.done, carry.e0,
+    res_new, notes_new, any_acc = jax.lax.fori_loop(
+        0, n_k, extract_i, (res, notes, jnp.zeros((b,), bool)))
+    notes_new = notes_new._replace(
+        residual_energy=jnp.sum(jnp.square(res_new), axis=(1, 2)))
+    return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,
                   carry.it + 1)
 
 

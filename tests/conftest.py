@@ -49,5 +49,5 @@ def tiny_config() -> Config:
         synth=SynthConfig(pitch_min=36, pitch_max=84, n_harmonics=6,
                           template_frames=40,
                           duration_grid=(0.25, 0.5, 1.0)),
-        loop=LoopConfig(max_notes=24, n_pitch_candidates=4),
+        loop=LoopConfig(max_notes=24),
     )
