@@ -1,0 +1,307 @@
+"""Command-line entry points (SURVEY.md C16, layer L5).
+
+    python -m amt_saga_tpu transcribe in.wav out.mid [--long] [--profile]
+    python -m amt_saga_tpu transcribe-corpus in_dir/ out_dir/ [--resume]
+    python -m amt_saga_tpu train [--steps N] [--kind isol|mus|multi]
+    python -m amt_saga_tpu evaluate pred_dir/ ref_dir/ [--offset]
+    python -m amt_saga_tpu fixtures out_dir/ [--kind ...] [--clips N]
+    python -m amt_saga_tpu bench [...]
+
+Config handling (SURVEY.md §5): ``--config cfg.json`` loads a JSON config
+tree; repeated ``--set key=value`` dotted overrides apply on top (e.g.
+``--set dsp.hop=256 --set loop.max_notes=128``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from .config import Config, default_config
+from .utils.logging import MetricsWriter, get_logger
+from .utils.profiling import maybe_profile
+
+log = get_logger("amt_saga_tpu")
+
+
+def _parse_value(raw: str):
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return raw
+
+
+def load_config(args) -> Config:
+    cfg = default_config()
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    for kv in getattr(args, "set", None) or []:
+        if "=" not in kv:
+            raise SystemExit(f"--set expects key=value, got: {kv!r}")
+        key, val = kv.split("=", 1)
+        cfg = cfg.override(**{key: _parse_value(val)})
+    return cfg
+
+
+def _make_transcriber(cfg: Config):
+    from .saga.loop import Transcriber
+
+    score_fn = None
+    if cfg.run.classifier == "cnn":
+        ckpt = os.environ.get("AMT_CHECKPOINT") or os.path.join(
+            cfg.train.checkpoint_dir)
+        from .models.classifier import make_cnn_score_fn
+        from .models.train import load_checkpoint
+
+        steps = sorted(glob.glob(os.path.join(ckpt, "step_*")))
+        if not steps:
+            raise SystemExit(
+                f"run.classifier=cnn but no checkpoint under {ckpt!r} "
+                "(train first, or set AMT_CHECKPOINT)")
+        params = load_checkpoint(cfg, steps[-1])
+        log.info("using CNN classifier from %s", steps[-1])
+        score_fn = make_cnn_score_fn(cfg, params)
+    if score_fn is None:
+        return Transcriber(cfg)
+    return Transcriber(cfg, score_fn=score_fn)
+
+
+def cmd_transcribe(args) -> int:
+    cfg = load_config(args)
+    from .core.midi import write_midi
+    from .dsp.audio import load_wav
+    from .stream.chunk import transcribe_long
+
+    wave, _ = load_wav(args.input, cfg.dsp.sample_rate)
+    tr = _make_transcriber(cfg)
+    t0 = time.time()
+    with maybe_profile(args.profile):
+        if args.long or len(wave) > int(
+                cfg.stream.chunk_seconds * cfg.dsp.sample_rate):
+            seq = transcribe_long(wave, tr, cfg)
+        else:
+            seq = tr.transcribe(wave)
+    wall = time.time() - t0
+    write_midi(args.output, seq)
+    log.info("%s: %d notes -> %s (%.2fs, %.1f audio-sec/sec)",
+             args.input, len(seq), args.output, wall,
+             len(wave) / cfg.dsp.sample_rate / max(wall, 1e-9))
+    return 0
+
+
+def cmd_transcribe_corpus(args) -> int:
+    cfg = load_config(args)
+    from .core.midi import write_midi
+    from .dsp.audio import load_wav, pad_to_length
+    from .runtime.manifest import Manifest
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    manifest = Manifest(args.manifest or
+                        os.path.join(args.output_dir, "manifest.jsonl"))
+    paths = sorted(glob.glob(os.path.join(args.input_dir, "*.wav")))
+    todo = [p for p in paths if not manifest.is_done(p)]
+    log.info("%d clips, %d already done, %d to go",
+             len(paths), manifest.n_done, len(todo))
+    if not todo:
+        return 0
+
+    tr = _make_transcriber(cfg)
+    bs = cfg.run.batch_size
+    metrics = MetricsWriter()
+    # Length-bucket into one static shape (max length) per batch to avoid
+    # recompiles; clips are padded with silence.
+    waves = []
+    for p in todo:
+        w, _ = load_wav(p, cfg.dsp.sample_rate)
+        waves.append(w)
+    max_len = max(len(w) for w in waves)
+    with maybe_profile(args.profile):
+        for i in range(0, len(todo), bs):
+            batch_paths = todo[i:i + bs]
+            batch = np.stack([
+                pad_to_length(w, max_len) for w in waves[i:i + bs]])
+            if len(batch) < bs:
+                batch = np.concatenate([
+                    batch,
+                    np.zeros((bs - len(batch), max_len), np.float32)])
+            t0 = time.time()
+            seqs = tr.transcribe_batch(batch)[:len(batch_paths)]
+            wall = time.time() - t0
+            for p, seq in zip(batch_paths, seqs):
+                out = os.path.join(
+                    args.output_dir,
+                    os.path.splitext(os.path.basename(p))[0] + ".mid")
+                write_midi(out, seq)
+                manifest.mark_done(p, notes=len(seq), output=out)
+            metrics.write({
+                "event": "corpus_batch", "clips": len(batch_paths),
+                "audio_sec_per_sec":
+                    len(batch) * max_len / cfg.dsp.sample_rate / wall,
+            })
+    return 0
+
+
+def cmd_train(args) -> int:
+    cfg = load_config(args)
+    from .models.train import train
+
+    train(cfg, steps=args.steps, kind=args.kind,
+          metrics=MetricsWriter(args.metrics))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    cfg = load_config(args)
+    from .core.midi import read_midi
+    from .evaluation.f1 import corpus_f1
+
+    pairs = []
+    for pred_path in sorted(glob.glob(os.path.join(args.pred_dir, "*.mid"))):
+        name = os.path.basename(pred_path)
+        ref_path = os.path.join(args.ref_dir, name)
+        if not os.path.exists(ref_path):
+            log.warning("no reference for %s, skipping", name)
+            continue
+        pairs.append((read_midi(pred_path), read_midi(ref_path)))
+    if not pairs:
+        raise SystemExit("no (pred, ref) MIDI pairs found")
+    r = corpus_f1(pairs, with_offset=args.offset,
+                  with_instrument=args.instrument)
+    print(json.dumps({
+        "precision": round(r.precision, 4), "recall": round(r.recall, 4),
+        "f1": round(r.f1, 4), "n_pred": r.n_pred, "n_ref": r.n_ref,
+        "n_clips": len(pairs),
+    }))
+    return 0
+
+
+def cmd_fixtures(args) -> int:
+    cfg = load_config(args)
+    from .core.midi import write_midi
+    from .dsp.audio import save_wav
+    from .runtime.fixtures import make_clip
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i in range(args.clips):
+        wave, seq = make_clip(
+            cfg, kind=args.kind, seconds=args.seconds, seed=args.seed + i,
+            programs=tuple(range(cfg.synth.n_instruments)))
+        base = os.path.join(args.output_dir, f"{args.kind}_{i:04d}")
+        save_wav(base + ".wav", wave, cfg.dsp.sample_rate)
+        write_midi(base + ".mid", seq)
+    log.info("wrote %d %s fixture pairs to %s", args.clips, args.kind,
+             args.output_dir)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    return subprocess.call([sys.executable, bench] + args.rest)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", help="JSON config file")
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="dotted config override, repeatable")
+    p.add_argument("--profile", action="store_true",
+                   help="wrap the run in jax.profiler.trace")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="amt_saga_tpu",
+        description="TPU-native AMT-SAGA: audio -> MIDI transcription")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("transcribe", help="one WAV -> one MIDI")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--long", action="store_true",
+                   help="force chunked streaming transcription")
+    _add_common(p)
+    p.set_defaults(fn=cmd_transcribe)
+
+    p = sub.add_parser("transcribe-corpus",
+                       help="directory of WAVs -> directory of MIDIs "
+                            "(resumable)")
+    p.add_argument("input_dir")
+    p.add_argument("output_dir")
+    p.add_argument("--manifest", help="manifest path (default: in out dir)")
+    p.add_argument("--resume", action="store_true",
+                   help="(default behavior; flag kept for clarity)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_transcribe_corpus)
+
+    p = sub.add_parser("train", help="train the CNN classifier")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--kind", default="mus",
+                   choices=["isol", "mus", "long", "multi"])
+    p.add_argument("--metrics", help="metrics JSONL path (default stderr)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate",
+                       help="note-event F1 of predicted vs reference MIDI")
+    p.add_argument("pred_dir")
+    p.add_argument("ref_dir")
+    p.add_argument("--offset", action="store_true",
+                   help="also require offset agreement")
+    p.add_argument("--instrument", action="store_true",
+                   help="also require program agreement (MusicNet)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("fixtures", help="generate synthetic WAV+MIDI pairs")
+    p.add_argument("output_dir")
+    p.add_argument("--kind", default="isol",
+                   choices=["isol", "mus", "long", "multi"])
+    p.add_argument("--clips", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--seed", type=int, default=0)
+    _add_common(p)
+    p.set_defaults(fn=cmd_fixtures)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.add_argument("rest", nargs=argparse.REMAINDER)
+    p.set_defaults(fn=cmd_bench)
+    return ap
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across CLI invocations.
+
+    Every CLI run is a fresh process; without this it pays the full
+    compile (tens of seconds to minutes on the remote-compile service)
+    every time.  Opt out with AMT_NO_COMPILE_CACHE=1.
+    """
+    if os.environ.get("AMT_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "AMT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "amt_saga_tpu",
+                     "xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    _enable_compilation_cache()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

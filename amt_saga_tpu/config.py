@@ -130,8 +130,11 @@ class TrainConfig:
 class StreamConfig:
     """Chunked long-audio transcription (SURVEY.md 3.5, config 4)."""
 
+    # Overlap must cover one full template extent + lead (so every onset is
+    # transcribed by a chunk that sees the whole note); for the default DSP
+    # that is 80 frames * 32 ms + lead ~= 2.66 s.
     chunk_seconds: float = 20.0
-    overlap_seconds: float = 2.0
+    overlap_seconds: float = 3.0
 
 
 @dataclass(frozen=True)

@@ -88,7 +88,10 @@ def make_cnn_score_fn(cfg: Config, params: Any):
     model = build_classifier(cfg)
 
     def score_fn(res: jnp.ndarray, tmpl, n_frames: int) -> jnp.ndarray:
-        out = model.apply({"params": params}, res[:, :n_frames, :])
+        # The Pallas path may carry 128-aligned padded bins; the model was
+        # built for n_bins inputs.
+        out = model.apply({"params": params},
+                          res[:, :n_frames, :cfg.dsp.n_bins])
         gate = jax.nn.log_sigmoid(out["presence"])[..., None]
         return out["onset_pitch"] + gate
 

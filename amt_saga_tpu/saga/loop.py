@@ -86,12 +86,20 @@ class TemplateArrays(NamedTuple):
 def load_template_arrays(cfg: Config) -> TemplateArrays:
     bank = template_bank(cfg.synth, cfg.dsp)
     n_i, n_p, n_d, tmax, f = bank.shape
+    bank = bank.reshape(n_i * n_p, n_d, tmax, f)
+    prof = spectral_profiles(cfg.synth, cfg.dsp).reshape(n_i * n_p, f)
+    if cfg.run.use_pallas and f % 128:
+        # The Pallas path carries F padded to the 128-lane tiling (sliced
+        # DMA alignment).  Zero columns contribute zero to every dot
+        # product / energy, so all decisions are unchanged.
+        pad = 128 - f % 128
+        bank = np.pad(bank, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        prof = np.pad(prof, ((0, 0), (0, pad)))
     return TemplateArrays(
-        bank=jnp.asarray(bank.reshape(n_i * n_p, n_d, tmax, f)),
+        bank=jnp.asarray(bank),
         norms=jnp.asarray(
             template_sq_norms(cfg.synth, cfg.dsp).reshape(n_i * n_p, n_d)),
-        prof=jnp.asarray(
-            spectral_profiles(cfg.synth, cfg.dsp).reshape(n_i * n_p, f)),
+        prof=jnp.asarray(prof),
         env=jnp.asarray(onset_envelope(cfg.synth, cfg.dsp)),
         durs=jnp.asarray(duration_grid_frames(cfg.synth, cfg.dsp)),
     )
@@ -118,17 +126,32 @@ class _Carry(NamedTuple):
 
 
 def spectrogram_batch(waves: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """[B, N] waveforms -> [B, T, n_bins] linear log-freq magnitude."""
+    """[B, N] waveforms -> [B, T, n_bins] linear log-freq magnitude.
+
+    With ``run.use_pallas`` the fused K1 kernel (framing + window + DFT +
+    magnitude + log-binning in one VMEM pass) replaces the rfft path.
+    """
+    if cfg.run.use_pallas:
+        from ..ops.spectrogram_pallas import spectrogram_pallas
+
+        # Keep the 128-aligned padded bins (see load_template_arrays).
+        return spectrogram_pallas(waves, cfg.dsp, keep_padded_bins=True)
     mag = jax.vmap(lambda w: stft_magnitude(w, cfg.dsp))(waves)
     return logf_spectrogram(mag, cfg.dsp)
 
 
 def pad_residual(spec: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Front-pad by the template lead, back-pad by the template extent so a
-    template placed at padded index p models a note at true frame p."""
+    template placed at padded index p models a note at true frame p.
+
+    The extra 8 rows give the K2 Pallas kernel room for its 8-aligned
+    enclosing-window DMA; they are zero and change no computed value
+    (energies, matched filter, and windows are unaffected), so golden
+    parity is preserved.
+    """
     lead = template_lead(cfg.dsp)
     tmax = cfg.synth.template_frames
-    return jnp.pad(spec, ((0, 0), (lead, tmax), (0, 0)))
+    return jnp.pad(spec, ((0, 0), (lead, tmax + 8), (0, 0)))
 
 
 def heuristic_scores(res: jnp.ndarray, tmpl: TemplateArrays,
@@ -263,7 +286,13 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
         acc = accept[:, i] & (notes_i.count < cap)
         w = tmpl.bank[q_best[:, i], d_best[:, i]]             # [B, Tmax, F]
         gain_eff = jnp.where(acc, g_best[:, i], 0.0)
-        res_i = jax.vmap(lane_subtract)(res_i, w, gain_eff, t_best[:, i])
+        if cfg.run.use_pallas:
+            from ..ops.subtract_pallas import subtract_pallas
+
+            res_i, _ = subtract_pallas(res_i, w, gain_eff, t_best[:, i])
+        else:
+            res_i = jax.vmap(lane_subtract)(res_i, w, gain_eff,
+                                            t_best[:, i])
         idx = notes_i.count
         app = jax.vmap(_append_row)
         notes_i = notes_i._replace(

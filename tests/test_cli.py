@@ -1,0 +1,92 @@
+"""CLI + manifest tests (SURVEY.md C16, §5).
+
+Driven through the real argv surface (cli.main), on the CPU test backend.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from amt_saga_tpu.cli import main
+from amt_saga_tpu.runtime.manifest import Manifest
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg_file(tmp_path_factory, tiny_config):
+    p = tmp_path_factory.mktemp("cfg") / "tiny.json"
+    p.write_text(tiny_config.to_json())
+    return str(p)
+
+
+def _tiny_args(cfg_file):
+    return ["--config", cfg_file]
+
+
+def test_fixtures_and_transcribe_and_evaluate(tmp_path, tiny_cfg_file):
+    fx = str(tmp_path / "fx")
+    assert main(["fixtures", fx, "--kind", "isol", "--clips", "2",
+                 "--seconds", "3.0"] + _tiny_args(tiny_cfg_file)) == 0
+    wavs = sorted(os.listdir(fx))
+    assert "isol_0000.wav" in wavs and "isol_0000.mid" in wavs
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    assert main(["transcribe", os.path.join(fx, "isol_0000.wav"),
+                 os.path.join(out, "isol_0000.mid"),
+                 "--set", "run.batch_size=2"]
+                + _tiny_args(tiny_cfg_file)) == 0
+    assert os.path.exists(os.path.join(out, "isol_0000.mid"))
+
+    # evaluate predicted vs fixture ground truth
+    assert main(["evaluate", out, fx] + _tiny_args(tiny_cfg_file)) == 0
+
+
+def test_transcribe_corpus_resumable(tmp_path, tiny_cfg_file, capsys):
+    fx = str(tmp_path / "fx")
+    main(["fixtures", fx, "--kind", "isol", "--clips", "3",
+          "--seconds", "2.0"] + _tiny_args(tiny_cfg_file))
+    out = str(tmp_path / "mids")
+    args = ["transcribe-corpus", fx, out, "--set", "run.batch_size=2"] + \
+        _tiny_args(tiny_cfg_file)
+    assert main(args) == 0
+    mids = [f for f in os.listdir(out) if f.endswith(".mid")]
+    assert len(mids) == 3
+    man = Manifest(os.path.join(out, "manifest.jsonl"))
+    assert man.n_done == 3
+    # second run: everything skipped, no recompile/transcribe needed
+    assert main(args) == 0
+    assert Manifest(os.path.join(out, "manifest.jsonl")).n_done == 3
+
+
+def test_config_file_and_overrides(tmp_path, tiny_cfg_file):
+    from amt_saga_tpu.cli import load_config
+
+    class A:
+        config = tiny_cfg_file
+        set = ["loop.max_notes=7", "dsp.hop=128"]
+
+    cfg = load_config(A())
+    assert cfg.loop.max_notes == 7
+    assert cfg.dsp.hop == 128
+
+
+def test_bad_override_key_fails(tiny_cfg_file):
+    from amt_saga_tpu.cli import load_config
+
+    class A:
+        config = tiny_cfg_file
+        set = ["loop.nonexistent=1"]
+
+    with pytest.raises(KeyError):
+        load_config(A())
+
+
+def test_manifest_roundtrip(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    m = Manifest(p)
+    assert not m.is_done("a.wav")
+    m.mark_done("a.wav", notes=3)
+    m2 = Manifest(p)
+    assert m2.is_done("a.wav") and m2.n_done == 1

@@ -1,0 +1,89 @@
+"""Pallas kernel tests (SURVEY.md §2.2, §4.2): K1/K2 vs their pure-jnp
+equivalents, and the full use_pallas pipeline end-to-end.
+
+On the CPU test backend the kernels run in Pallas interpret mode — the
+same kernel code the TPU compiles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amt_saga_tpu.dsp.cqt import logf_spectrogram
+from amt_saga_tpu.dsp.stft import stft_magnitude
+from amt_saga_tpu.evaluation.f1 import note_f1
+from amt_saga_tpu.ops.spectrogram_pallas import spectrogram_pallas
+from amt_saga_tpu.ops.subtract_pallas import subtract_pallas
+from amt_saga_tpu.runtime.fixtures import make_clip
+from amt_saga_tpu.saga.loop import Transcriber
+
+
+def _jnp_spec(waves, cfg):
+    mag = jax.vmap(lambda x: stft_magnitude(x, cfg.dsp))(waves)
+    return logf_spectrogram(mag, cfg.dsp)
+
+
+def test_k1_matches_jnp_on_noise(tiny_config):
+    cfg = tiny_config
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    ref = np.asarray(_jnp_spec(w, cfg))
+    out = np.asarray(spectrogram_pallas(w, cfg.dsp))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_k1_matches_jnp_on_fixture(tiny_config):
+    cfg = tiny_config
+    wave, _ = make_clip(cfg, kind="mus", seconds=3.0, n_voices=2, seed=0)
+    w = jnp.asarray(wave[None])
+    ref = np.asarray(_jnp_spec(w, cfg))
+    out = np.asarray(spectrogram_pallas(w, cfg.dsp))
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-4)
+    # padding frames are exactly zero (convention parity)
+    t_raw = cfg.dsp.raw_num_frames(len(wave))
+    assert np.all(out[:, t_raw:] == 0.0)
+
+
+def test_k2_matches_reference():
+    rng = np.random.default_rng(1)
+    b, tp, f, tmax = 3, 40, 128, 8
+    res = jnp.asarray(np.abs(rng.standard_normal((b, tp, f))
+                             ).astype(np.float32))
+    w = jnp.asarray(np.abs(rng.standard_normal((b, tmax, f))
+                           ).astype(np.float32))
+    g = jnp.asarray(np.array([0.7, 0.0, 2.0], np.float32))
+    # onsets arbitrary (unaligned); K2 needs >= 8 rows of slack after the
+    # last window (here max t0 + tmax + 8 = 32 + 8 = 40 == tp)
+    t0 = jnp.asarray(np.array([0, 5, 24], np.int32))
+    new, removed = subtract_pallas(res, w, g, t0)
+
+    ref = np.asarray(res).copy()
+    rem_ref = np.zeros(b, np.float32)
+    for i in range(b):
+        win = ref[i, int(t0[i]):int(t0[i]) + tmax]
+        nw = np.maximum(win - float(g[i]) * np.asarray(w)[i], 0.0)
+        rem_ref[i] = float((win ** 2).sum() - (nw ** 2).sum())
+        ref[i, int(t0[i]):int(t0[i]) + tmax] = nw
+    np.testing.assert_allclose(np.asarray(new), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(removed), rem_ref,
+                               rtol=1e-4, atol=1e-2)
+    # masked lane (g=0) untouched
+    np.testing.assert_array_equal(np.asarray(new)[1], np.asarray(res)[1])
+
+
+def test_use_pallas_pipeline_end_to_end(tiny_config):
+    cfg = tiny_config.override(**{"run.use_pallas": True})
+    wave, ref = make_clip(cfg, kind="isol", seconds=4.0, n_notes=3, seed=0)
+    tr = Transcriber(cfg)
+    pred = tr.transcribe(wave)
+    assert note_f1(pred, ref).f1 == 1.0, pred.to_arrays()
+
+
+def test_use_pallas_matches_jnp_path_decisions(tiny_config, tiny_transcriber):
+    cfg = tiny_config.override(**{"run.use_pallas": True})
+    wave, _ = make_clip(cfg, kind="mus", seconds=4.0, n_voices=2, seed=3)
+    pred_pallas = Transcriber(cfg).transcribe(wave)
+    pred_jnp = tiny_transcriber.transcribe(wave)
+    # Decision quantization absorbs the kernels' fp differences on clean
+    # fixtures: identical note events.
+    assert pred_pallas.sorted().notes == pred_jnp.sorted().notes
