@@ -112,27 +112,38 @@ def cmd_transcribe_corpus(args) -> int:
     if not todo:
         return 0
 
+    from .runtime.feeder import prefetch_to_device, with_oom_retry
+
     tr = _make_transcriber(cfg)
     bs = cfg.run.batch_size
     metrics = MetricsWriter()
     # Length-bucket into one static shape (max length) per batch to avoid
     # recompiles; clips are padded with silence.
-    waves = []
+    max_len = 0
     for p in todo:
         w, _ = load_wav(p, cfg.dsp.sample_rate)
-        waves.append(w)
-    max_len = max(len(w) for w in waves)
-    with maybe_profile(args.profile):
+        max_len = max(max_len, len(w))
+
+    def gen_batches():
         for i in range(0, len(todo), bs):
-            batch_paths = todo[i:i + bs]
+            chunk = todo[i:i + bs]
             batch = np.stack([
-                pad_to_length(w, max_len) for w in waves[i:i + bs]])
+                pad_to_length(load_wav(p, cfg.dsp.sample_rate)[0], max_len)
+                for p in chunk])
             if len(batch) < bs:
                 batch = np.concatenate([
                     batch,
                     np.zeros((bs - len(batch), max_len), np.float32)])
+            yield batch
+
+    with maybe_profile(args.profile):
+        # The feeder overlaps host WAV decoding + device_put with device
+        # compute (SURVEY.md §2.4); OOM falls back to halved batches.
+        for i, dev_batch in zip(range(0, len(todo), bs),
+                                prefetch_to_device(gen_batches())):
+            batch_paths = todo[i:i + bs]
             t0 = time.time()
-            seqs = tr.transcribe_batch(batch)[:len(batch_paths)]
+            seqs = with_oom_retry(tr.transcribe_batch, dev_batch)
             wall = time.time() - t0
             for p, seq in zip(batch_paths, seqs):
                 out = os.path.join(
@@ -143,7 +154,7 @@ def cmd_transcribe_corpus(args) -> int:
             metrics.write({
                 "event": "corpus_batch", "clips": len(batch_paths),
                 "audio_sec_per_sec":
-                    len(batch) * max_len / cfg.dsp.sample_rate / wall,
+                    len(dev_batch) * max_len / cfg.dsp.sample_rate / wall,
             })
     return 0
 
@@ -199,6 +210,41 @@ def cmd_fixtures(args) -> int:
     log.info("wrote %d %s fixture pairs to %s", args.clips, args.kind,
              args.output_dir)
     return 0
+
+
+def cmd_selftest(args) -> int:
+    """Golden-oracle parity + accuracy self-check on synthetic fixtures.
+
+    Verifies on THIS machine's device that the jitted pipeline emits
+    byte-identical MIDI to the golden CPU oracle and recovers clean
+    fixtures at F1=1.0 (the BASELINE.json parity contract).
+    """
+    cfg = load_config(args)
+    from .core.midi import notes_to_midi_bytes
+    from .evaluation.f1 import note_f1
+    from .golden.pipeline import transcribe_golden
+    from .runtime.fixtures import make_clip
+
+    tr = _make_transcriber(cfg)
+    cases = [("isol", dict(n_notes=4)), ("mus", dict(n_voices=2)),
+             ("mus", dict(n_voices=4))]
+    failures = 0
+    results = []
+    for i, (kind, kw) in enumerate(cases):
+        wave, ref = make_clip(cfg, kind=kind, seconds=args.seconds,
+                              seed=args.seed + i, **kw)
+        pred = tr.transcribe(wave)
+        gold = transcribe_golden(wave, cfg).sequence
+        parity = notes_to_midi_bytes(pred) == notes_to_midi_bytes(gold)
+        f1 = note_f1(pred, ref).f1
+        ok = parity and (f1 == 1.0 if kind == "isol" else f1 >= 0.7)
+        failures += not ok
+        results.append({"case": f"{kind}#{i}", "notes": len(pred),
+                        "f1": round(f1, 4), "midi_parity": parity,
+                        "ok": ok})
+    print(json.dumps({"selftest": "pass" if failures == 0 else "FAIL",
+                      "cases": results}))
+    return 1 if failures else 0
 
 
 def cmd_bench(args) -> int:
@@ -270,6 +316,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     _add_common(p)
     p.set_defaults(fn=cmd_fixtures)
+
+    p = sub.add_parser("selftest",
+                       help="golden-parity + accuracy self-check on this "
+                            "machine's device")
+    p.add_argument("--seconds", type=float, default=4.0)
+    p.add_argument("--seed", type=int, default=0)
+    _add_common(p)
+    p.set_defaults(fn=cmd_selftest)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.add_argument("rest", nargs=argparse.REMAINDER)

@@ -201,7 +201,8 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
         e_q > quantize_decisions(loop.silence_rel * carry.e0))
 
     # (1) coarse scores -> up to n_extract time-disjoint peaks per lane.
-    coarse = score_fn(res, tmpl, n_frames)                    # [B, T, Q]
+    with jax.named_scope("saga_classify"):
+        coarse = score_fn(res, tmpl, n_frames)                # [B, T, Q]
     b = coarse.shape[0]
     n_k = max(1, loop.n_extract)
     radius = tmax + 1  # peaks >= radius+1 apart => windows stay disjoint
@@ -246,7 +247,8 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     bank_mat = tmpl.bank.reshape(n_q * n_d, -1)               # [QD, M]
     nrm_flat = jnp.maximum(tmpl.norms.reshape(n_q * n_d), 1e-12)
     win_mat = windows.reshape(b, n_k * n_o, -1)               # [B, KO, M]
-    dots = jnp.einsum("bom,cm->boc", win_mat, bank_mat, precision=hi)
+    with jax.named_scope("saga_candidate_scoring"):
+        dots = jnp.einsum("bom,cm->boc", win_mat, bank_mat, precision=hi)
     g_all = jnp.maximum(dots / nrm_flat[None, None, :], 0.0)  # [B, KO, QD]
     s_all = 2.0 * g_all * dots - jnp.square(g_all) * nrm_flat[None, None, :]
     # -> [B, K, Q*D*O] in golden's C-order (q, d, o)
@@ -305,8 +307,9 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
         )
         return res_i, notes_i, any_acc | acc
 
-    res_new, notes_new, any_acc = jax.lax.fori_loop(
-        0, n_k, extract_i, (res, notes, jnp.zeros((b,), bool)))
+    with jax.named_scope("saga_subtract_append"):
+        res_new, notes_new, any_acc = jax.lax.fori_loop(
+            0, n_k, extract_i, (res, notes, jnp.zeros((b,), bool)))
     notes_new = notes_new._replace(
         residual_energy=jnp.sum(jnp.square(res_new), axis=(1, 2)))
     return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,

@@ -41,13 +41,16 @@ def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
     return np.stack(waves)
 
 
-def bench_tpu(batch: int, seconds: float, repeats: int) -> dict:
+def bench_tpu(batch: int, seconds: float, repeats: int,
+              use_pallas: bool = True) -> dict:
     import jax
 
     from amt_saga_tpu import default_config
     from amt_saga_tpu.saga.loop import Transcriber
 
-    cfg = default_config()
+    # The fused Pallas kernels (K1 spectrogram, K2 subtract) are the
+    # fastest correct mode (bit-exact vs the golden oracle on fixtures).
+    cfg = default_config().override(**{"run.use_pallas": use_pallas})
     waves = _make_waves(cfg, batch, seconds)
     tr = Transcriber(cfg)
     dev_waves = jax.device_put(waves)
@@ -116,12 +119,16 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--no-pallas", action="store_true",
+                   help="use the plain-XLA (rfft) pipeline instead of the "
+                        "fused Pallas kernels")
     args = p.parse_args()
 
     if args.golden:
         rec = bench_golden(args.seconds, max(2, args.batch // 8))
     else:
-        rec = bench_tpu(args.batch, args.seconds, args.repeats)
+        rec = bench_tpu(args.batch, args.seconds, args.repeats,
+                        use_pallas=not args.no_pallas)
 
     detail = rec.pop("detail", None)
     if detail:

@@ -90,3 +90,8 @@ def test_manifest_roundtrip(tmp_path):
     m.mark_done("a.wav", notes=3)
     m2 = Manifest(p)
     assert m2.is_done("a.wav") and m2.n_done == 1
+
+
+def test_selftest(tiny_cfg_file):
+    assert main(["selftest", "--seconds", "3.0"]
+                + _tiny_args(tiny_cfg_file)) == 0

@@ -1,0 +1,81 @@
+"""Feeder / OOM-retry / checkify-style runtime tests (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from amt_saga_tpu.runtime.feeder import prefetch_to_device, with_oom_retry
+
+
+def test_prefetch_preserves_order_and_values():
+    batches = [np.full((2, 4), i, np.float32) for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b), batches[i])
+
+
+def test_prefetch_propagates_loader_errors():
+    def gen():
+        yield np.zeros((1,), np.float32)
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(gen())
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_oom_retry_splits_batch():
+    import jax
+
+    calls = []
+
+    def fn(batch):
+        calls.append(len(batch))
+        if len(batch) > 2:
+            raise jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory")
+        return [x.sum() for x in batch]
+
+    batch = np.ones((8, 3), np.float32)
+    out = with_oom_retry(fn, batch)
+    assert len(out) == 8
+    assert calls[0] == 8 and max(calls[1:]) <= 4
+
+
+def test_oom_retry_reraises_other_errors():
+    import jax
+
+    def fn(batch):
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: nope")
+
+    with pytest.raises(jax.errors.JaxRuntimeError, match="INVALID"):
+        with_oom_retry(fn, np.ones((4, 2), np.float32))
+
+
+def test_nan_guard_on_loop():
+    # SURVEY.md §5 sanitizers: the jitted loop stays NaN-free under
+    # jax_debug_nans on a real fixture.
+    import jax
+
+    from amt_saga_tpu.runtime.fixtures import make_clip
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    jax.config.update("jax_debug_nans", True)
+    try:
+        from amt_saga_tpu.config import (
+            Config, DSPConfig, LoopConfig, SynthConfig)
+        cfg = Config(
+            dsp=DSPConfig(sample_rate=8000, n_fft=512, hop=256, fmin=55.0,
+                          bins_per_octave=12, n_bins=72, pad_frames_to=8),
+            synth=SynthConfig(pitch_min=36, pitch_max=84, n_harmonics=4,
+                              template_frames=40,
+                              duration_grid=(0.25, 0.5)),
+            loop=LoopConfig(max_notes=8),
+        )
+        wave, _ = make_clip(cfg, kind="isol", seconds=2.0, n_notes=2,
+                            seed=0)
+        seq = Transcriber(cfg).transcribe(wave)
+        assert len(seq) >= 1
+    finally:
+        jax.config.update("jax_debug_nans", False)
