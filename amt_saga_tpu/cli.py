@@ -53,6 +53,10 @@ def load_config(args) -> Config:
 def _make_transcriber(cfg: Config):
     from .saga.loop import Transcriber
 
+    if cfg.run.classifier not in ("heuristic", "cnn"):
+        raise SystemExit(
+            f"unknown run.classifier {cfg.run.classifier!r} "
+            "(expected 'heuristic' or 'cnn')")
     score_fn = None
     if cfg.run.classifier == "cnn":
         ckpt = os.environ.get("AMT_CHECKPOINT") or os.path.join(

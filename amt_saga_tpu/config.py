@@ -84,6 +84,12 @@ class LoopConfig:
     min_gain: float = 0.04
     # Minimum score (energy reduction) relative to current residual energy.
     min_score_rel: float = 1e-4
+    # Shadow suppression: reject a candidate whose (instrument, pitch)
+    # matches an already-extracted note within one template extent when its
+    # gain is below this fraction of that note's gain — such candidates are
+    # leftovers of imperfect polyphonic subtraction, not new notes.
+    # 0 disables.
+    shadow_gain_frac: float = 0.25
     # Notes extracted per loop iteration: up to n_extract time-DISJOINT
     # coarse-score peaks (masked argmax, radius template_frames+1) are
     # evaluated and subtracted together.  Because their subtraction windows

@@ -9,27 +9,38 @@ Algorithm spec (pinned here; :mod:`amt_saga_tpu.saga.loop` mirrors it
 op-for-op):
 
 1. ``spec`` = linear-magnitude log-frequency spectrogram [T, F]
-   (:mod:`.dsp_np`), right-padded with ``template_frames`` zero frames.
+   (:mod:`.dsp_np`), front-padded by the template lead, back-padded by the
+   template extent (+8 rows of K2 DMA slack; all zeros, value-neutral).
 2. Repeat up to ``max_notes`` times, while residual energy
-   ``E > silence_rel * E0``:
-   a. Matched filter: ``A[t, f] = sum_tau env[tau] * R[t+tau, f]`` with the
-      unit-L2 temporal envelope; coarse score ``C[t, q] = A[t] . prof[q]``
-      over flattened (instrument, pitch) q.  (Associativity pinned as
-      ``(R . prof) then env``, matching the TPU band-matmul formulation.)
-   b. ``t*`` = first-max of the flattened [T, Q] coarse map.
-   c. Candidates = ALL (q, d, o) triples over flattened instrument*pitch,
-      the duration grid, and onset offsets {-1, 0, +1} (C-order
-      flattening).  For each: least-squares gain
+   ``E > silence_rel * E0`` (quantized comparison):
+   a. Matched filter: ``C[t, q] = sum_tau env[tau] * (R[t+tau] . prof[q])``
+      over flattened (instrument, pitch) q — associativity pinned as
+      ``(R . prof) then env``, matching the TPU band-matmul formulation.
+   b. Peak picking: up to ``n_extract`` frames that are LOCAL MAXIMA of
+      the (quantized) per-frame max coarse score, selected by repeated
+      first-max argmax with a +-(template_frames+1) mask radius — so
+      the subtraction windows of distinct peaks are disjoint and one
+      multi-peak iteration equals that many single-note greedy steps.
+   c. Per peak: candidates = ALL (q, d, o) triples over flattened
+      instrument*pitch, the duration grid, and onset offsets {-1, 0, +1}
+      (C-order flattening).  For each: least-squares gain
       ``g = max(<window, W> / ||W||^2, 0)`` and the closed-form score
       ``2*g*<window, W> - g^2*||W||^2`` — which equals the exact clamped
       energy reduction minus the over-subtraction energy (disjoint
-      supports; see LoopConfig).
-   d. Accept the first-max candidate iff ``g >= min_gain`` and
-      ``score >= min_score_rel * E``; else terminate.
+      supports; see LoopConfig).  Scores are quantized before argmax.
+   d. Accept the first-max candidate iff ``g >= min_gain``,
+      ``score >= min_score_rel * E``, and it is not a SHADOW — same
+      (instrument, pitch) as a note from a previous iteration within one
+      template extent with gain below ``shadow_gain_frac`` of it.
    e. Subtract ``max(window - g*W, 0)`` in place; record
       (onset_frame, dur_frames[d], pitch_idx, g, instrument).
+   f. Terminate when an iteration accepts no candidate.
 3. Convert note arrays to a NoteSequence on the host (shared float64
    tick/velocity quantization in :mod:`amt_saga_tpu.core.notes`).
+
+All comparison operands are mantissa-truncated (``DECISION_DROP_BITS``)
+identically in both paths so backend float differences cannot flip any
+decision — the basis of the bit-for-bit MIDI parity contract.
 """
 
 from __future__ import annotations
@@ -165,6 +176,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
         bank_mat = bank.reshape(n_q * n_d, -1)                   # [QD, M]
         nrm_flat = np.maximum(norms.reshape(n_q * n_d), 1e-12)   # [QD]
         any_acc = False
+        count0 = count  # shadow check is against PREVIOUS iterations only
         for t_star, valid in peaks:
             if not valid or count >= cap:
                 continue
@@ -195,6 +207,20 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
 
             qi, qp = q // n_p, q % n_p
             t_best = int(t_cands[oi])
+
+            # Shadow suppression (mirror of saga/loop.py).
+            if loop.shadow_gain_frac > 0:
+                shadow = False
+                for j in range(count0):
+                    q_j = programs[j] * n_p + pitch_i[j]
+                    if (q_j == q
+                            and abs(t_best - int(onset_f[j])) <= tmax
+                            and g_q < _q_scalar(
+                                loop.shadow_gain_frac * gains[j])):
+                        shadow = True
+                        break
+                if shadow:
+                    continue
             w = bank[qi, qp, di]
             res[t_best:t_best + tmax] = np.maximum(
                 res[t_best:t_best + tmax] - g_best * w, 0.0)

@@ -87,11 +87,20 @@ def make_cnn_score_fn(cfg: Config, params: Any):
     """
     model = build_classifier(cfg)
 
+    from ..synth.templates import template_lead
+
+    lead = template_lead(cfg.dsp)
+
     def score_fn(res: jnp.ndarray, tmpl, n_frames: int) -> jnp.ndarray:
-        # The Pallas path may carry 128-aligned padded bins; the model was
-        # built for n_bins inputs.
-        out = model.apply({"params": params},
-                          res[:, :n_frames, :cfg.dsp.n_bins])
+        # Contract (saga/loop.py): coarse[t] scores "a note whose TRUE
+        # onset is frame t".  The residual is front-padded by the template
+        # lead, so spec frame t lives at res row t + lead — slice the lead
+        # off so the model (trained on unpadded spectrograms) sees frame t
+        # at row t.  Feeding the padded rows directly shifts every
+        # predicted onset by +lead frames (off by 96 ms at the default
+        # config).  Also drop the Pallas path's 128-aligned bin padding.
+        x = jax.lax.dynamic_slice_in_dim(res, lead, n_frames, axis=1)
+        out = model.apply({"params": params}, x[:, :, :cfg.dsp.n_bins])
         gate = jax.nn.log_sigmoid(out["presence"])[..., None]
         return out["onset_pitch"] + gate
 

@@ -91,19 +91,33 @@ def train_step(state: TrainState, batch: dict[str, jnp.ndarray],
 
 
 def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
-                   seed: int = 0) -> Iterator[dict[str, jnp.ndarray]]:
-    i = seed
-    while True:
-        eb: ExampleBatch = make_example_batch(
-            cfg, batch_size=cfg.train.batch_size, seconds=seconds,
-            seed=i, kind=kind)
-        yield {
-            "spec": jnp.asarray(eb.spec),
-            "onset_pitch": jnp.asarray(eb.onset_pitch),
-            "duration": jnp.asarray(eb.duration),
-            "presence": jnp.asarray(eb.presence),
-        }
-        i += 1
+                   seed: int = 0, noise: float = 0.0, prefetch: int = 0
+                   ) -> Iterator[dict[str, jnp.ndarray]]:
+    """Training batches; with ``prefetch`` > 0, host-side generation
+    overlaps device compute via a background thread (the host has one
+    core here, so generation is the training bottleneck otherwise)."""
+
+    def gen():
+        i = seed
+        while True:
+            eb: ExampleBatch = make_example_batch(
+                cfg, batch_size=cfg.train.batch_size, seconds=seconds,
+                seed=i, kind=kind, noise=noise)
+            yield {
+                "spec": eb.spec,
+                "onset_pitch": eb.onset_pitch,
+                "duration": eb.duration,
+                "presence": eb.presence,
+            }
+            i += 1
+
+    if prefetch > 0:
+        from ..runtime.feeder import prefetch_to_device
+
+        yield from prefetch_to_device(gen(), depth=prefetch)
+    else:
+        for b in gen():
+            yield jax.tree.map(jnp.asarray, b)
 
 
 def save_checkpoint(cfg: Config, state: TrainState, path: str | None = None
@@ -141,7 +155,8 @@ def load_checkpoint(cfg: Config, path: str) -> Any:
 
 
 def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
-          kind: str = "mus", metrics: MetricsWriter | None = None,
+          kind: str = "mus", noise: float = 0.0,
+          metrics: MetricsWriter | None = None,
           checkpoint: bool = True) -> TrainState:
     """Run the training loop; returns final state."""
     steps = steps if steps is not None else cfg.train.steps
@@ -149,7 +164,7 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
     state, tx = create_state(cfg, rng)
     model = build_classifier(cfg)
     it = batch_iterator(cfg, seconds=seconds, kind=kind,
-                        seed=cfg.train.seed)
+                        seed=cfg.train.seed, noise=noise, prefetch=2)
     mw = metrics or MetricsWriter()
     for i in range(steps):
         batch = next(it)

@@ -93,13 +93,15 @@ def make_example_batch(
     seed: int = 0,
     kind: str = "mus",
     residual_p: float = 0.5,
+    noise: float = 0.0,
     programs: tuple[int, ...] = (0,),
 ) -> ExampleBatch:
     rng = np.random.default_rng(seed)
     specs, ops, durs, pres = [], [], [], []
     for b in range(batch_size):
         wave, seq = make_clip(cfg, kind=kind, seconds=seconds,
-                              seed=seed * 1000 + b, programs=programs)
+                              seed=seed * 1000 + b, noise=noise,
+                              programs=programs)
         spec = spectrogram_np(wave, cfg.dsp)
         notes = list(seq)
         if notes and rng.random() < residual_p:

@@ -272,6 +272,23 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
               & (s_best >= quantize_decisions(
                   loop.min_score_rel * e_cur)[:, None]))      # [B, K]
 
+    if loop.shadow_gain_frac > 0:
+        # Shadow suppression (see LoopConfig): compare each candidate with
+        # every note extracted in PREVIOUS iterations (same-iteration
+        # peaks are time-disjoint beyond the radius by construction).
+        cap_sz = notes.onset.shape[1]
+        slot = jnp.arange(cap_sz)[None, None, :]              # [1, 1, C]
+        prev = slot < notes.count[:, None, None]              # [B, 1, C]
+        q_j = notes.program * cfg.synth.n_pitches + notes.pitch
+        same_q = q_best[:, :, None] == q_j[:, None, :]        # [B, K, C]
+        near = jnp.abs(t_best[:, :, None]
+                       - notes.onset[:, None, :]) <= tmax
+        weak = (quantize_decisions(g_best)[:, :, None]
+                < quantize_decisions(
+                    loop.shadow_gain_frac * notes.gain)[:, None, :])
+        shadow = jnp.any(prev & same_q & near & weak, axis=2)
+        accept = accept & ~shadow
+
     # (3) masked subtract + masked append, sequentially over the K peaks
     # (their windows are disjoint, so order does not change the result;
     # order only defines the append positions).

@@ -97,3 +97,42 @@ def test_cnn_score_fn_plugs_into_loop(tiny_config, tiny_transcriber):
     wave, _ = make_clip(cfg, kind="isol", seconds=3.0, n_notes=2, seed=0)
     seq = tr.transcribe(wave)
     assert len(seq) <= cfg.loop.max_notes
+
+
+def test_score_fn_contract_spec_space_alignment(tiny_config):
+    """score_fn contract: coarse[t] scores a TRUE onset at frame t.
+
+    Regression for an off-by-`lead` bug: the residual is front-padded by
+    the template lead, and an adapter that feeds padded rows to a
+    spec-space model shifts every onset by +lead frames.  Uses a config
+    with lead=3 (hop=n_fft/4) and an oracle classifier that marks the
+    ground-truth onsets in SPEC space — exact recovery proves the loop
+    maps score indices to true frames correctly.
+    """
+    import jax.numpy as jnp
+
+    from amt_saga_tpu.evaluation.f1 import note_f1
+    from amt_saga_tpu.runtime.fixtures import make_clip
+    from amt_saga_tpu.saga.loop import Transcriber
+    from amt_saga_tpu.synth.templates import template_lead
+
+    cfg = tiny_config.override(**{"dsp.hop": 128, "dsp.pad_frames_to": 8})
+    assert template_lead(cfg.dsp) == 3
+    wave, ref = make_clip(cfg, kind="isol", seconds=3.0, n_notes=3, seed=0)
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    onsets = {(round(n.onset / spf), n.pitch - cfg.synth.pitch_min)
+              for n in ref}
+
+    def oracle_score_fn(res, tmpl, n_frames):
+        n_q = tmpl.norms.shape[0]
+        scores = jnp.full((res.shape[0], n_frames, n_q), -1e6)
+        for t, q in onsets:
+            scores = scores.at[:, t, q].set(1.0)
+        return scores
+
+    tr = Transcriber(cfg, score_fn=oracle_score_fn)
+    pred = tr.transcribe(wave)
+    r = note_f1(pred, ref)
+    assert r.f1 == 1.0, (r, pred.to_arrays(), ref.to_arrays())
+    for p, g in zip(pred.sorted().notes, ref.sorted().notes):
+        assert abs(p.onset - g.onset) < 1e-6
