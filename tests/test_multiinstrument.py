@@ -84,3 +84,27 @@ def test_classifier_q_axis_covers_instruments(multi_config):
     out = model.apply({"params": params}, spec)
     n_q = 3 * multi_config.synth.n_pitches
     assert out["onset_pitch"].shape[-1] == n_q
+
+
+def test_multi_instrument_cli_end_to_end(multi_config, tmp_path):
+    """fixtures --kind multi -> transcribe-corpus -> evaluate --instrument."""
+    import json
+    import os
+
+    from amt_saga_tpu.cli import main
+
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(multi_config.to_json())
+    args = ["--config", str(cfg_file)]
+    fx = str(tmp_path / "fx")
+    out = str(tmp_path / "out")
+    assert main(["fixtures", fx, "--kind", "multi", "--clips", "2",
+                 "--seconds", "4.0"] + args) == 0
+    assert main(["transcribe-corpus", fx, out,
+                 "--set", "run.batch_size=2"] + args) == 0
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["evaluate", out, fx, "--instrument"] + args) == 0
+    rec = json.loads(buf.getvalue())
+    assert rec["f1"] >= 0.6, rec

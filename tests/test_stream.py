@@ -94,3 +94,13 @@ def test_transcribe_long_matches_direct_on_polyphonic(stream_config,
     pred = transcribe_long(wave, tiny_transcriber, cfg)
     r = note_f1(pred, ref)
     assert r.f1 >= 0.8, r
+
+
+def test_transcribe_long_with_pallas(stream_config):
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    cfg = stream_config.override(**{"run.use_pallas": True})
+    wave, ref = make_clip(cfg, kind="isol", seconds=14.0, n_notes=8,
+                          seed=9)
+    pred = transcribe_long(wave, Transcriber(cfg), cfg)
+    assert note_f1(pred, ref).f1 == 1.0
