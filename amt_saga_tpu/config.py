@@ -53,7 +53,6 @@ class SynthConfig:
     pitch_min: int = 21   # A0
     pitch_max: int = 108  # C8 (inclusive)
     n_harmonics: int = 8
-    harmonic_rolloff: float = 1.0   # amplitude of h-th harmonic ~ h**-rolloff
     decay_seconds: float = 0.7      # exp decay time constant of a held note
     release_seconds: float = 0.05   # release after note-off
     # Template extent must cover the longest grid duration + release tail +
@@ -90,14 +89,20 @@ class LoopConfig:
     # leftovers of imperfect polyphonic subtraction, not new notes.
     # 0 disables.
     shadow_gain_frac: float = 0.25
-    # Notes extracted per loop iteration: up to n_extract time-DISJOINT
-    # coarse-score peaks (masked argmax, radius template_frames+1) are
-    # evaluated and subtracted together.  Because their subtraction windows
-    # cannot overlap, this is exactly equal to n_extract steps of the
-    # one-note greedy loop on time-separated content, but costs one
-    # iteration of the while_loop — the dominant cost on TPU is iteration
-    # count, not per-iteration FLOPs.  n_extract=1 is the classic loop.
+    # Notes extracted per loop iteration: up to n_extract coarse-score
+    # peaks (local maxima, masked argmax) are extracted SEQUENTIALLY
+    # within the iteration, each re-fit and re-scored against the LIVE
+    # residual — i.e. exact greedy extraction; only the peak *selection*
+    # uses the iteration-start coarse map.  Iteration count, not
+    # per-iteration FLOPs, dominates TPU wall time, and one coarse map
+    # (two full-residual matmuls) is shared by n_extract extractions.
+    # n_extract=1 is the classic one-note-per-iteration loop.
     n_extract: int = 4
+    # Mask radius (frames) around each selected peak, preventing the same
+    # stale peak from being picked twice in one iteration.  Small on
+    # purpose: live re-fitting makes overlapping subtraction windows
+    # exact, so nearby notes may extract in the same iteration.
+    peak_mask_radius: int = 4
     # Candidate scoring uses the closed form
     #   score = 2*g*<window, W> - g^2*||W||^2
     # which equals (energy reduction) - 1.0*(over-subtraction energy):

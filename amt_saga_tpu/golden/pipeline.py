@@ -18,12 +18,13 @@ op-for-op):
       ``(R . prof) then env``, matching the TPU band-matmul formulation.
    b. Peak picking: up to ``n_extract`` frames that are LOCAL MAXIMA of
       the (quantized) per-frame max coarse score, selected by repeated
-      first-max argmax with a +-(template_frames+1) mask radius — so
-      the subtraction windows of distinct peaks are disjoint and one
-      multi-peak iteration equals that many single-note greedy steps.
-   c. Per peak: candidates = ALL (q, d, o) triples over flattened
-      instrument*pitch, the duration grid, and onset offsets {-1, 0, +1}
-      (C-order flattening).  For each: least-squares gain
+      first-max argmax with a +-peak_mask_radius mask — the mask only
+      prevents re-picking the same stale peak; selection is the ONLY
+      stale quantity in an iteration.
+   c. Per peak, SEQUENTIALLY against the LIVE residual (exact greedy
+      matching pursuit): candidates = ALL (q, d, o) triples over
+      flattened instrument*pitch, the duration grid, and onset offsets
+      {-1, 0, +1} (C-order flattening).  For each: least-squares gain
       ``g = max(<window, W> / ||W||^2, 0)`` and the closed-form score
       ``2*g*<window, W> - g^2*||W||^2`` — which equals the exact clamped
       energy reduction minus the over-subtraction energy (disjoint
@@ -151,7 +152,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
         # iteration equals sequential greedy extraction).
         coarse = _coarse_scores(res, env, prof_flat, n_frames)   # [T, Q]
         n_k = max(1, loop.n_extract)
-        radius = tmax + 1
+        radius = max(1, loop.peak_mask_radius)
         m_raw = quantize_decisions_np(np.max(coarse, axis=1))    # [T]
         # Only local maxima are eligible (see saga/loop.py: shoulders of
         # masked stronger peaks must not become separate onsets).
@@ -176,7 +177,6 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
         bank_mat = bank.reshape(n_q * n_d, -1)                   # [QD, M]
         nrm_flat = np.maximum(norms.reshape(n_q * n_d), 1e-12)   # [QD]
         any_acc = False
-        count0 = count  # shadow check is against PREVIOUS iterations only
         for t_star, valid in peaks:
             if not valid or count >= cap:
                 continue
@@ -208,10 +208,11 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
             qi, qp = q // n_p, q % n_p
             t_best = int(t_cands[oi])
 
-            # Shadow suppression (mirror of saga/loop.py).
+            # Shadow suppression (mirror of saga/loop.py; against ALL
+            # notes so far, including earlier peaks this iteration).
             if loop.shadow_gain_frac > 0:
                 shadow = False
-                for j in range(count0):
+                for j in range(count):
                     q_j = programs[j] * n_p + pitch_i[j]
                     if (q_j == q
                             and abs(t_best - int(onset_f[j])) <= tmax

@@ -20,18 +20,19 @@ Structure of one loop iteration (all lanes in lockstep, done lanes no-op):
    (temporal-envelope conv + spectral-profile matmul — two MXU ops); a
    trained CNN classifier plugs in through the same signature
    (``RunConfig.classifier``).
-2. Peak picking: up to ``n_extract`` time-disjoint coarse-score peaks per
-   lane (masked argmax, radius template_frames+1).  Disjoint subtraction
-   windows make one multi-peak iteration exactly equal to that many
-   single-note greedy iterations — and iteration count, not per-iteration
-   FLOPs, dominates TPU wall time.
-3. Batched candidate evaluation (BASELINE: "batched candidate-pitch
-   evaluation"): ALL (instrument*pitch, duration, onset-offset) candidates
-   are scored at once with ONE matmul of the onset windows against the
-   flattened template bank, using the closed form
-   ``score = 2*g*<w,W> - g^2*||W||^2`` (== clamped energy reduction minus
-   over-subtraction energy; see LoopConfig); flat argmax picks the winner.
-4. Masked subtract (clamped at 0) + masked note append.
+2. Peak picking: up to ``n_extract`` coarse-score local maxima per lane
+   (masked argmax, small radius).  One coarse map — the two expensive
+   full-residual matmuls — is shared by all of them; iteration count,
+   not per-iteration FLOPs, dominates TPU wall time.
+3. Sequential exact extraction per peak against the LIVE residual
+   (greedy matching pursuit; only peak selection is stale): ALL
+   (instrument*pitch, duration, onset-offset) candidates are scored with
+   ONE matmul of the live windows against the flattened template bank,
+   using the closed form ``score = 2*g*<w,W> - g^2*||W||^2`` (== clamped
+   energy reduction minus over-subtraction energy; see LoopConfig); flat
+   argmax picks the winner; gates: min_gain, min_score_rel, shadow
+   suppression.
+4. Masked subtract (clamped at 0, K2 Pallas kernel) + masked note append.
 """
 
 from __future__ import annotations
@@ -200,12 +201,12 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     active = (~carry.done) & (carry.e0 > 0.0) & (
         e_q > quantize_decisions(loop.silence_rel * carry.e0))
 
-    # (1) coarse scores -> up to n_extract time-disjoint peaks per lane.
+    # (1) coarse scores -> up to n_extract peak frames per lane.
     with jax.named_scope("saga_classify"):
         coarse = score_fn(res, tmpl, n_frames)                # [B, T, Q]
     b = coarse.shape[0]
     n_k = max(1, loop.n_extract)
-    radius = tmax + 1  # peaks >= radius+1 apart => windows stay disjoint
+    radius = max(1, loop.peak_mask_radius)
     m_raw = quantize_decisions(jnp.max(coarse, axis=2))       # [B, T]
     # Only LOCAL MAXIMA are eligible peaks: the shoulder of a stronger
     # (masked) peak must not be picked as a separate onset — a masked true
@@ -228,72 +229,20 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     t_sel = jnp.transpose(t_sel)                              # [B, K]
     valid = jnp.transpose(jnp.isfinite(peaks))                # [B, K]
 
-    # Candidate onset frames (clamped like golden) and their windows —
-    # all gathered from the PRE-subtraction residual; windows of distinct
-    # peaks are disjoint, so parallel extraction == sequential greedy.
-    t_cand = jnp.clip(t_sel[:, :, None] + offsets[None, None, :], 0,
-                      n_frames - 1)                           # [B, K, O]
+    # (2) sequential exact extraction per peak: each peak's candidates are
+    # re-fit and re-scored against the LIVE residual (so overlapping
+    # subtraction windows are handled exactly — this IS greedy matching
+    # pursuit; only peak selection uses the stale iteration-start map).
+    n_p = cfg.synth.n_pitches
+    cap = notes.onset.shape[1]
+    bank_mat = tmpl.bank.reshape(n_q * n_d, -1)               # [QD, M]
+    nrm_flat = jnp.maximum(tmpl.norms.reshape(n_q * n_d), 1e-12)
+    thr = quantize_decisions(loop.min_score_rel * e_cur)      # [B]
 
     def lane_windows(res_b, t_b):
         return jax.vmap(
             lambda t: jax.lax.dynamic_slice_in_dim(res_b, t, tmax, axis=0)
         )(t_b)
-
-    windows = jax.vmap(lane_windows)(
-        res, t_cand.reshape(b, -1))                    # [B, K*O, Tmax, F]
-
-    # (2) ALL (q, d, o) candidates per peak, closed-form scores (golden
-    # step c): one batched matmul against the flattened template bank.
-    bank_mat = tmpl.bank.reshape(n_q * n_d, -1)               # [QD, M]
-    nrm_flat = jnp.maximum(tmpl.norms.reshape(n_q * n_d), 1e-12)
-    win_mat = windows.reshape(b, n_k * n_o, -1)               # [B, KO, M]
-    with jax.named_scope("saga_candidate_scoring"):
-        dots = jnp.einsum("bom,cm->boc", win_mat, bank_mat, precision=hi)
-    g_all = jnp.maximum(dots / nrm_flat[None, None, :], 0.0)  # [B, KO, QD]
-    s_all = 2.0 * g_all * dots - jnp.square(g_all) * nrm_flat[None, None, :]
-    # -> [B, K, Q*D*O] in golden's C-order (q, d, o)
-    g_kqdo = jnp.transpose(
-        g_all.reshape(b, n_k, n_o, n_q, n_d), (0, 1, 3, 4, 2))
-    s_kqdo = jnp.transpose(
-        s_all.reshape(b, n_k, n_o, n_q, n_d), (0, 1, 3, 4, 2))
-    g_flat = g_kqdo.reshape(b, n_k, -1)
-    s_flat = quantize_decisions(s_kqdo).reshape(b, n_k, -1)
-
-    best = jnp.argmax(s_flat, axis=2)                         # [B, K]
-    g_best = jnp.take_along_axis(g_flat, best[..., None], 2)[..., 0]
-    s_best = jnp.take_along_axis(s_flat, best[..., None], 2)[..., 0]
-    q_best = best // (n_d * n_o)
-    d_best = (best // n_o) % n_d
-    o_best = best % n_o
-    t_best = jnp.take_along_axis(t_cand, o_best[..., None], 2)[..., 0]
-
-    accept = (active[:, None] & valid
-              & (quantize_decisions(g_best) >= loop.min_gain)
-              & (s_best >= quantize_decisions(
-                  loop.min_score_rel * e_cur)[:, None]))      # [B, K]
-
-    if loop.shadow_gain_frac > 0:
-        # Shadow suppression (see LoopConfig): compare each candidate with
-        # every note extracted in PREVIOUS iterations (same-iteration
-        # peaks are time-disjoint beyond the radius by construction).
-        cap_sz = notes.onset.shape[1]
-        slot = jnp.arange(cap_sz)[None, None, :]              # [1, 1, C]
-        prev = slot < notes.count[:, None, None]              # [B, 1, C]
-        q_j = notes.program * cfg.synth.n_pitches + notes.pitch
-        same_q = q_best[:, :, None] == q_j[:, None, :]        # [B, K, C]
-        near = jnp.abs(t_best[:, :, None]
-                       - notes.onset[:, None, :]) <= tmax
-        weak = (quantize_decisions(g_best)[:, :, None]
-                < quantize_decisions(
-                    loop.shadow_gain_frac * notes.gain)[:, None, :])
-        shadow = jnp.any(prev & same_q & near & weak, axis=2)
-        accept = accept & ~shadow
-
-    # (3) masked subtract + masked append, sequentially over the K peaks
-    # (their windows are disjoint, so order does not change the result;
-    # order only defines the append positions).
-    n_p = cfg.synth.n_pitches
-    cap = notes.onset.shape[1]
 
     def lane_subtract(res_b, w_b, g_b, t_b):
         window = jax.lax.dynamic_slice_in_dim(res_b, t_b, tmax, axis=0)
@@ -302,24 +251,64 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
 
     def extract_i(i, state):
         res_i, notes_i, any_acc = state
-        acc = accept[:, i] & (notes_i.count < cap)
-        w = tmpl.bank[q_best[:, i], d_best[:, i]]             # [B, Tmax, F]
-        gain_eff = jnp.where(acc, g_best[:, i], 0.0)
+        t_i = t_sel[:, i]                                     # [B]
+        t_cand = jnp.clip(t_i[:, None] + offsets[None, :], 0,
+                          n_frames - 1)                       # [B, O]
+        windows = jax.vmap(lane_windows)(res_i, t_cand)  # [B, O, Tmax, F]
+        win_mat = windows.reshape(b, n_o, -1)                 # [B, O, M]
+        with jax.named_scope("saga_candidate_scoring"):
+            dots = jnp.einsum("bom,cm->boc", win_mat, bank_mat,
+                              precision=hi)                   # [B, O, QD]
+        g_all = jnp.maximum(dots / nrm_flat[None, None, :], 0.0)
+        s_all = (2.0 * g_all * dots
+                 - jnp.square(g_all) * nrm_flat[None, None, :])
+        # -> [B, Q*D*O] in golden's C-order (q, d, o)
+        g_flat = jnp.transpose(
+            g_all.reshape(b, n_o, n_q, n_d), (0, 2, 3, 1)).reshape(b, -1)
+        s_flat = quantize_decisions(jnp.transpose(
+            s_all.reshape(b, n_o, n_q, n_d), (0, 2, 3, 1))).reshape(b, -1)
+
+        best = jnp.argmax(s_flat, axis=1)                     # [B]
+        g_best = jnp.take_along_axis(g_flat, best[:, None], 1)[:, 0]
+        s_best = jnp.take_along_axis(s_flat, best[:, None], 1)[:, 0]
+        q_best = best // (n_d * n_o)
+        d_best = (best // n_o) % n_d
+        o_best = best % n_o
+        t_best = jnp.take_along_axis(t_cand, o_best[:, None], 1)[:, 0]
+
+        acc = (active & valid[:, i] & (notes_i.count < cap)
+               & (quantize_decisions(g_best) >= loop.min_gain)
+               & (s_best >= thr))
+
+        if loop.shadow_gain_frac > 0:
+            # Shadow suppression (see LoopConfig) against ALL notes
+            # extracted so far, including earlier peaks this iteration.
+            slot = jnp.arange(cap)[None, :]
+            prev = slot < notes_i.count[:, None]              # [B, C]
+            q_j = (notes_i.program * n_p + notes_i.pitch)
+            same_q = q_best[:, None] == q_j                   # [B, C]
+            near = jnp.abs(t_best[:, None] - notes_i.onset) <= tmax
+            weak = (quantize_decisions(g_best)[:, None]
+                    < quantize_decisions(
+                        loop.shadow_gain_frac * notes_i.gain))
+            acc = acc & ~jnp.any(prev & same_q & near & weak, axis=1)
+
+        w = tmpl.bank[q_best, d_best]                         # [B, Tmax, F]
+        gain_eff = jnp.where(acc, g_best, 0.0)
         if cfg.run.use_pallas:
             from ..ops.subtract_pallas import subtract_pallas
 
-            res_i, _ = subtract_pallas(res_i, w, gain_eff, t_best[:, i])
+            res_i, _ = subtract_pallas(res_i, w, gain_eff, t_best)
         else:
-            res_i = jax.vmap(lane_subtract)(res_i, w, gain_eff,
-                                            t_best[:, i])
+            res_i = jax.vmap(lane_subtract)(res_i, w, gain_eff, t_best)
         idx = notes_i.count
         app = jax.vmap(_append_row)
         notes_i = notes_i._replace(
-            onset=app(notes_i.onset, idx, t_best[:, i], acc),
-            dur=app(notes_i.dur, idx, tmpl.durs[d_best[:, i]], acc),
-            pitch=app(notes_i.pitch, idx, q_best[:, i] % n_p, acc),
-            gain=app(notes_i.gain, idx, g_best[:, i], acc),
-            program=app(notes_i.program, idx, q_best[:, i] // n_p, acc),
+            onset=app(notes_i.onset, idx, t_best, acc),
+            dur=app(notes_i.dur, idx, tmpl.durs[d_best], acc),
+            pitch=app(notes_i.pitch, idx, q_best % n_p, acc),
+            gain=app(notes_i.gain, idx, g_best, acc),
+            program=app(notes_i.program, idx, q_best // n_p, acc),
             count=notes_i.count + acc.astype(jnp.int32),
         )
         return res_i, notes_i, any_acc | acc
