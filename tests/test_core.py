@@ -90,3 +90,21 @@ def test_note_arrays_to_sequence():
     s = seq.sorted().notes
     assert s[0].pitch == 69 and s[1].pitch == 60
     assert abs(s[1].onset - 4 * 256 / 8000) < 1e-9
+
+
+def test_midi_bytes_match_frozen_golden_file():
+    """SURVEY.md §4.2: byte-golden MIDI test — any change to the SMF
+    encoding (tick math, ordering, running status, channel mapping) is a
+    parity-surface change and must be deliberate (regenerate the fixture
+    and update golden/TPU paths together)."""
+    import os
+
+    seq = NoteSequence()
+    seq.add(0.0, 0.5, 60, 96, 0)
+    seq.add(0.5, 0.25, 64, 80, 0)
+    seq.add(0.5, 1.0, 55, 70, 3)
+    seq.add(1.25, 0.125, 72, 127, 0)
+    golden = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "golden_demo.mid")
+    with open(golden, "rb") as f:
+        assert notes_to_midi_bytes(seq) == f.read()
