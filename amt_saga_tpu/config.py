@@ -74,7 +74,7 @@ class SynthConfig:
 class LoopConfig:
     """SAGA generative-subtractive loop (SURVEY.md C9)."""
 
-    max_notes: int = 64
+    max_notes: int = 160  # per-clip/chunk capacity (MAESTRO-like density: ~8 notes/s x 20 s chunks)
     # Terminate when residual energy falls below this fraction of initial.
     silence_rel: float = 1e-3
     # Minimum least-squares gain for a note to be accepted (gains below

@@ -366,9 +366,12 @@ class Transcriber:
     tick/velocity quantization — shared with the golden path).
     """
 
-    def __init__(self, cfg: Config, score_fn: ScoreFn = heuristic_scores):
+    def __init__(self, cfg: Config, score_fn: ScoreFn = heuristic_scores,
+                 tmpl: TemplateArrays | None = None):
         self.cfg = cfg
-        self.tmpl = load_template_arrays(cfg)
+        # tmpl override: e.g. a bank generated by the SING-style neural
+        # synthesizer (models/synth_decoder.py) instead of the analytic one.
+        self.tmpl = tmpl if tmpl is not None else load_template_arrays(cfg)
         self._score_fn = score_fn
         self._fn = jax.jit(
             lambda waves: transcribe_waves(waves, cfg, self.tmpl,

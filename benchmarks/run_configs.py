@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Run the five pinned BASELINE.json workloads end-to-end and report.
+
+    python benchmarks/run_configs.py
+
+1. Single 10s monophonic WAV (MAPS-ISOL-like) -> MIDI, STFT front-end,
+   one-note-per-iteration loop (n_extract=1) — the classic slice.
+2. Polyphonic 2-4 voice clips (MAPS-MUS-like): log-frequency/CQT
+   features, batched candidate-pitch subtractive loop.
+3. Full test split, batch=32, jitted classifier + while_loop on the chip.
+4. Long recordings (MAESTRO-like): chunked streaming transcription with
+   overlap-stitched note events.
+5. Multi-instrument (MusicNet-like): joint instrument+pitch attribution,
+   per-instrument spectral templates; scored with the instrument
+   criterion.
+
+Emits one JSON line per config with F1 (+ throughput for config 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amt_saga_tpu import default_config
+    from amt_saga_tpu.evaluation.f1 import corpus_f1, note_f1
+    from amt_saga_tpu.runtime.fixtures import make_clip, make_corpus
+    from amt_saga_tpu.saga.loop import Transcriber, notes_batch_to_sequences
+    from amt_saga_tpu.stream.chunk import transcribe_long
+
+    results = []
+
+    # Config 1: single mono clip, classic one-note-per-iteration loop.
+    cfg1 = default_config().override(**{"loop.n_extract": 1})
+    tr1 = Transcriber(cfg1)
+    wave, ref = make_clip(cfg1, kind="isol", seconds=10.0, n_notes=8,
+                          seed=1)
+    r = note_f1(tr1.transcribe(wave), ref)
+    results.append({"config": 1, "desc": "single 10s mono WAV -> MIDI",
+                    "f1": round(r.f1, 4), "notes": r.n_pred})
+
+    # Config 2: polyphonic 2-4 voice clips, batched candidate evaluation.
+    cfg = default_config().override(**{"run.use_pallas": True})
+    tr = Transcriber(cfg)
+    pairs = []
+    for v in (2, 3, 4):
+        for w, ref in make_corpus(cfg, kind="mus", n_clips=3,
+                                  seconds=10.0, n_voices=v, seed=20 + v):
+            pairs.append((tr.transcribe(w), ref))
+    r = corpus_f1(pairs)
+    results.append({"config": 2, "desc": "MAPS-MUS-like 2-4 voices",
+                    "f1": round(r.f1, 4)})
+
+    # Config 3: batch=32 jitted while_loop transcription + throughput.
+    waves = np.stack([
+        make_clip(cfg, kind="isol" if i % 2 == 0 else "mus", seconds=10.0,
+                  n_notes=8, n_voices=3, seed=i)[0] for i in range(32)])
+    refs = [make_clip(cfg, kind="isol" if i % 2 == 0 else "mus",
+                      seconds=10.0, n_notes=8, n_voices=3, seed=i)[1]
+            for i in range(32)]
+    dev = jax.device_put(jnp.asarray(waves))
+    jax.block_until_ready(tr._fn(dev))
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        notes = tr._fn(dev)
+        jax.block_until_ready(notes)
+        times.append(time.time() - t0)
+    preds = notes_batch_to_sequences(jax.device_get(notes), cfg)
+    r = corpus_f1(list(zip(preds, refs)))
+    results.append({
+        "config": 3, "desc": "batch=32 corpus on chip",
+        "f1": round(r.f1, 4),
+        "audio_sec_per_sec": round(320 / statistics.median(times), 1),
+    })
+
+    # Config 4: long recording, chunked streaming + stitching.
+    wave, ref = make_clip(cfg, kind="long", seconds=60.0, n_voices=3,
+                          seed=4)
+    pred = transcribe_long(wave, tr, cfg)
+    r = note_f1(pred, ref)
+    results.append({"config": 4, "desc": "60s MAESTRO-like chunked stream",
+                    "f1": round(r.f1, 4), "notes": r.n_pred,
+                    "ref_notes": r.n_ref})
+
+    # Config 5: multi-instrument with per-instrument templates.
+    cfg5 = default_config().override(**{
+        "synth.n_instruments": 3,
+        "synth.instrument_rolloffs": [0.5, 1.25, 2.5],
+    })
+    tr5 = Transcriber(cfg5)
+    pairs5 = []
+    for w, ref in make_corpus(cfg5, kind="multi", n_clips=3, seconds=10.0,
+                              n_voices=3, seed=50, programs=(0, 1, 2)):
+        pairs5.append((tr5.transcribe(w), ref))
+    r = corpus_f1(pairs5, with_instrument=True)
+    results.append({"config": 5,
+                    "desc": "MusicNet-like multi-instrument "
+                            "(instrument-criterion F1)",
+                    "f1": round(r.f1, 4)})
+
+    for rec in results:
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
