@@ -26,7 +26,6 @@ from .notes import (
     TICKS_PER_BEAT,
     NoteSequence,
     seconds_to_ticks,
-    ticks_to_seconds,
 )
 
 

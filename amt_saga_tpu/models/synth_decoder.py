@@ -21,8 +21,7 @@ data the same decoder trains against measured note spectrograms.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, NamedTuple
+from typing import Any
 
 import flax.linen as nn
 import jax
