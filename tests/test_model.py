@@ -136,3 +136,18 @@ def test_score_fn_contract_spec_space_alignment(tiny_config):
     assert r.f1 == 1.0, (r, pred.to_arrays(), ref.to_arrays())
     for p, g in zip(pred.sorted().notes, ref.sorted().notes):
         assert abs(p.onset - g.onset) < 1e-6
+
+
+def test_bfloat16_conv_tower(tiny_config):
+    """ModelConfig.dtype='bfloat16': conv tower computes in bf16 (MXU
+    native) while heads stay float32."""
+    import jax.numpy as jnp
+
+    cfg = tiny_config.override(**{"model.dtype": "bfloat16"})
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    model = build_classifier(cfg)
+    spec = np.random.default_rng(0).random((2, 32, cfg.dsp.n_bins),
+                                           dtype=np.float32)
+    out = model.apply({"params": params}, spec)
+    assert out["onset_pitch"].dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out["onset_pitch"])))
