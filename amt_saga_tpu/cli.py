@@ -167,8 +167,8 @@ def cmd_train(args) -> int:
     cfg = load_config(args)
     from .models.train import train
 
-    train(cfg, steps=args.steps, kind=args.kind,
-          metrics=MetricsWriter(args.metrics))
+    train(cfg, steps=args.steps, kind=args.kind, corpus_dir=args.corpus,
+          noise=args.noise, metrics=MetricsWriter(args.metrics))
     return 0
 
 
@@ -295,7 +295,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("train", help="train the CNN classifier")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--kind", default="mus",
-                   choices=["isol", "mus", "long", "multi"])
+                   choices=["isol", "mus", "long", "multi"],
+                   help="synthetic fixture kind (ignored with --corpus)")
+    p.add_argument("--corpus",
+                   help="train on a directory of paired WAV+MIDI files "
+                        "instead of synthetic fixtures")
+    p.add_argument("--noise", type=float, default=0.0,
+                   help="additive noise augmentation (synthetic data)")
     p.add_argument("--metrics", help="metrics JSONL path (default stderr)")
     _add_common(p)
     p.set_defaults(fn=cmd_train)

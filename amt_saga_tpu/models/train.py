@@ -154,17 +154,55 @@ def load_checkpoint(cfg: Config, path: str) -> Any:
     return restored
 
 
+def corpus_batch_iterator(cfg: Config, corpus_dir: str, *,
+                          seconds: float = 4.0, seed: int = 0,
+                          prefetch: int = 2
+                          ) -> Iterator[dict[str, jnp.ndarray]]:
+    """Training batches from an on-disk paired WAV+MIDI corpus (C10-C12):
+    labels come from the user's MIDI files, not the synthesizer."""
+    from ..runtime.corpus import PairedCorpus
+    from ..runtime.feeder import prefetch_to_device
+
+    corpus = PairedCorpus(corpus_dir)
+
+    def gen():
+        for eb in corpus.example_batches(
+                cfg, batch_size=cfg.train.batch_size, seconds=seconds,
+                seed=seed):
+            yield {
+                "spec": eb.spec,
+                "onset_pitch": eb.onset_pitch,
+                "duration": eb.duration,
+                "presence": eb.presence,
+            }
+
+    if prefetch > 0:
+        yield from prefetch_to_device(gen(), depth=prefetch)
+    else:
+        for b in gen():
+            yield jax.tree.map(jnp.asarray, b)
+
+
 def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
           kind: str = "mus", noise: float = 0.0,
+          corpus_dir: str | None = None,
           metrics: MetricsWriter | None = None,
           checkpoint: bool = True) -> TrainState:
-    """Run the training loop; returns final state."""
+    """Run the training loop; returns final state.
+
+    With ``corpus_dir``, batches come from the user's paired WAV+MIDI
+    corpus; otherwise from the synthetic fixture generator (``kind``).
+    """
     steps = steps if steps is not None else cfg.train.steps
     rng = jax.random.PRNGKey(cfg.train.seed)
     state, tx = create_state(cfg, rng)
     model = build_classifier(cfg)
-    it = batch_iterator(cfg, seconds=seconds, kind=kind,
-                        seed=cfg.train.seed, noise=noise, prefetch=2)
+    if corpus_dir is not None:
+        it = corpus_batch_iterator(cfg, corpus_dir, seconds=seconds,
+                                   seed=cfg.train.seed)
+    else:
+        it = batch_iterator(cfg, seconds=seconds, kind=kind,
+                            seed=cfg.train.seed, noise=noise, prefetch=2)
     mw = metrics or MetricsWriter()
     for i in range(steps):
         batch = next(it)

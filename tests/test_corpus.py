@@ -82,3 +82,15 @@ def test_training_on_real_corpus_batches(corpus_dir, tiny_config):
              "presence": jnp.asarray(eb.presence)}
     state2, m = train_step(state, batch, cfg, model, tx)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_cli_train_on_corpus(corpus_dir, tiny_config, tmp_path):
+    cfg_file = tmp_path / "cfg.json"
+    cfg = tiny_config.override(**{"train.batch_size": 2, "train.steps": 3,
+                                  "train.checkpoint_dir":
+                                      str(tmp_path / "ck")})
+    cfg_file.write_text(cfg.to_json())
+    assert main(["train", "--corpus", corpus_dir, "--steps", "3",
+                 "--config", str(cfg_file)]) == 0
+    import glob
+    assert glob.glob(str(tmp_path / "ck" / "step_*"))
