@@ -41,8 +41,13 @@ class TrainState(NamedTuple):
 
 def create_state(cfg: Config, rng: jax.Array) -> tuple[TrainState, Any]:
     params = init_params(cfg, rng)
-    tx = optax.adamw(cfg.train.learning_rate,
-                     weight_decay=cfg.train.weight_decay)
+    # Cosine decay with linear warmup over the configured step budget.
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=cfg.train.learning_rate,
+        warmup_steps=max(1, cfg.train.steps // 20),
+        decay_steps=max(2, cfg.train.steps),
+        end_value=cfg.train.learning_rate * 0.05)
+    tx = optax.adamw(schedule, weight_decay=cfg.train.weight_decay)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 

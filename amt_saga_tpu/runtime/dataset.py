@@ -57,6 +57,12 @@ def _labels_for(seq: NoteSequence, cfg: Config, n_frames: int
             continue
         q = n.program * cfg.synth.n_pitches + pi
         onset_pitch[t, q] = 1.0
+        # Soft neighbors: a 1-frame onset ambiguity is within the 50 ms
+        # eval tolerance; hard single-frame targets make the model
+        # over-penalize near-misses and under-commit.
+        for dt in (-1, 1):
+            if 0 <= t + dt < n_frames:
+                onset_pitch[t + dt, q] = max(onset_pitch[t + dt, q], 0.4)
         duration[t] = int(np.argmin(np.abs(grid - n.duration))) % n_d
         presence[t] = 1.0
     return onset_pitch, duration, presence

@@ -57,7 +57,7 @@ def test_example_batches_from_midi_labels(corpus_dir, tiny_config):
     eb = next(c.example_batches(tiny_config, batch_size=2, seconds=2.0,
                                 seed=0))
     assert eb.spec.shape[0] == 2
-    t, q = np.nonzero(eb.onset_pitch[0])
+    t, q = np.nonzero(eb.onset_pitch[0] == 1.0)
     # crops of a polyphonic clip contain onsets; labels land on frames
     assert eb.onset_pitch.sum() > 0
     assert np.all(eb.presence[0][t] == 1.0)

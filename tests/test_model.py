@@ -39,8 +39,9 @@ def test_example_batch_labels(tiny_config):
                             kind="isol", residual_p=0.0)
     assert eb.spec.shape[0] == 2
     assert eb.onset_pitch.shape[:2] == eb.spec.shape[:2]
-    # every labeled onset has presence and a duration class
-    t, q = np.nonzero(eb.onset_pitch[0])
+    # every full-strength onset label has presence and a duration class
+    # (soft +-1-frame neighbor labels carry 0.4 and no duration)
+    t, q = np.nonzero(eb.onset_pitch[0] == 1.0)
     assert len(t) > 0
     assert np.all(eb.presence[0][t] == 1.0)
     assert np.all(eb.duration[0][t] >= 0)
