@@ -47,6 +47,9 @@ import numpy as np
 from ..config import Config
 from ..core.notes import NoteSequence, note_arrays_to_sequence
 from ..dsp.cqt import logf_spectrogram
+from ..dsp.residual import energy as residual_energy
+from ..dsp.residual import section as residual_section
+from ..dsp.residual import subtract as residual_subtract
 from ..dsp.stft import stft_magnitude
 from ..synth.templates import (
     duration_grid_frames,
@@ -196,7 +199,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     hi = jax.lax.Precision.HIGHEST
 
     res, notes = carry.res, carry.notes
-    e_cur = jnp.sum(jnp.square(res), axis=(1, 2))
+    e_cur = residual_energy(res)
     e_q = quantize_decisions(e_cur)
     active = (~carry.done) & (carry.e0 > 0.0) & (
         e_q > quantize_decisions(loop.silence_rel * carry.e0))
@@ -240,14 +243,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     thr = quantize_decisions(loop.min_score_rel * e_cur)      # [B]
 
     def lane_windows(res_b, t_b):
-        return jax.vmap(
-            lambda t: jax.lax.dynamic_slice_in_dim(res_b, t, tmax, axis=0)
-        )(t_b)
-
-    def lane_subtract(res_b, w_b, g_b, t_b):
-        window = jax.lax.dynamic_slice_in_dim(res_b, t_b, tmax, axis=0)
-        new = jnp.maximum(window - g_b * w_b, 0.0)
-        return jax.lax.dynamic_update_slice_in_dim(res_b, new, t_b, axis=0)
+        return jax.vmap(lambda t: residual_section(res_b, t, tmax))(t_b)
 
     def extract_i(i, state):
         res_i, notes_i, any_acc = state
@@ -300,7 +296,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
 
             res_i, _ = subtract_pallas(res_i, w, gain_eff, t_best)
         else:
-            res_i = jax.vmap(lane_subtract)(res_i, w, gain_eff, t_best)
+            res_i = jax.vmap(residual_subtract)(res_i, w, gain_eff, t_best)
         idx = notes_i.count
         app = jax.vmap(_append_row)
         notes_i = notes_i._replace(
@@ -317,7 +313,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
         res_new, notes_new, any_acc = jax.lax.fori_loop(
             0, n_k, extract_i, (res, notes, jnp.zeros((b,), bool)))
     notes_new = notes_new._replace(
-        residual_energy=jnp.sum(jnp.square(res_new), axis=(1, 2)))
+        residual_energy=residual_energy(res_new))
     return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,
                   carry.it + 1)
 

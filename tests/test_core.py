@@ -108,3 +108,22 @@ def test_midi_bytes_match_frozen_golden_file():
                           "golden_demo.mid")
     with open(golden, "rb") as f:
         assert notes_to_midi_bytes(seq) == f.read()
+
+
+def test_midi_fuzz_roundtrip():
+    """Randomized NoteSequences survive write->parse with events intact."""
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        seq = NoteSequence()
+        for _ in range(int(rng.integers(1, 30))):
+            seq.add(float(rng.uniform(0, 30)), float(rng.uniform(0.05, 3)),
+                    int(rng.integers(0, 128)), int(rng.integers(1, 128)),
+                    int(rng.integers(0, 8)))
+        data = notes_to_midi_bytes(seq)
+        back = midi_bytes_to_notes(data)
+        orig = seq.sorted().notes
+        assert len(back) == len(orig), trial
+        for a, b in zip(back.notes, orig):
+            assert (a.pitch, a.velocity, a.program) == (
+                b.pitch, b.velocity, b.program)
+            assert abs(a.onset - b.onset) < 1.5e-3

@@ -83,3 +83,33 @@ def test_resample(tmp_path, tiny_config):
     back, sr2 = load_wav(path, 8000)
     assert sr2 == 8000
     assert abs(len(back) - 8000) <= 1
+
+
+def test_residual_ops(tiny_config):
+    """dsp.residual is the L0 public API the loop composes (C4)."""
+    import jax.numpy as jnp
+
+    from amt_saga_tpu.dsp.residual import (
+        energy,
+        is_silent,
+        section,
+        subtract,
+    )
+
+    rng = np.random.default_rng(0)
+    res = jnp.asarray(np.abs(rng.standard_normal((20, 8))).astype(
+        np.float32))
+    patch = jnp.asarray(np.abs(rng.standard_normal((5, 8))).astype(
+        np.float32))
+    e0 = energy(res)
+    assert float(e0) > 0
+    win = section(res, jnp.int32(3), 5)
+    assert win.shape == (5, 8)
+    new = subtract(res, patch, jnp.float32(10.0), jnp.int32(3))
+    assert float(energy(new)) < float(e0)
+    assert np.all(np.asarray(new) >= 0)  # clamped
+    # gain 0 is a no-op (done-lane masking relies on it)
+    same = subtract(res, patch, jnp.float32(0.0), jnp.int32(3))
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(res))
+    assert bool(is_silent(jnp.zeros((4, 4)), jnp.float32(1.0), 1e-3))
+    assert not bool(is_silent(res, e0, 1e-3))
