@@ -158,25 +158,45 @@ def pad_residual(spec: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     return jnp.pad(spec, ((0, 0), (lead, tmax + 8), (0, 0)))
 
 
+def band_matrix(env: jnp.ndarray, n_frames: int, tp: int) -> jnp.ndarray:
+    """[T, Tp] banded envelope matrix: band[t, t+tau] = env[tau].
+
+    Built ONCE outside the while_loop: constructed inside the loop body,
+    XLA fused the iota/where/gather construction into the score fusion
+    and rebuilt it every iteration off the MXU (~1 ms/iteration, the
+    single largest item in the round-1 profile).
+    """
+    tmax = env.shape[0]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (n_frames, tp), 0)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (n_frames, tp), 1)
+    d = s_idx - t_idx
+    return jnp.where((d >= 0) & (d < tmax),
+                     env[jnp.clip(d, 0, tmax - 1)], 0.0)
+
+
 def heuristic_scores(res: jnp.ndarray, tmpl: TemplateArrays,
-                     n_frames: int) -> jnp.ndarray:
+                     n_frames: int,
+                     band: jnp.ndarray | None = None) -> jnp.ndarray:
     """Matched-filter coarse scores [B, T, Q] (golden step a).
 
     Two MXU matmuls instead of a temporal conv (an 80-tap conv over
     [B, Tp, F] compiled ~30x slower than this): project onto spectral
     profiles first, then apply the temporal envelope as a banded [T, Tp]
-    matrix — associativity pinned to match the golden path.
+    matrix — associativity pinned to match the golden path.  Explicit 2D
+    dots (reshape/transpose) rather than einsum: the einsum form lowered
+    off the MXU inside the loop.
     """
     hi = jax.lax.Precision.HIGHEST
-    cp = jnp.einsum("bsf,qf->bsq", res, tmpl.prof, precision=hi)
-    tmax = tmpl.env.shape[0]
-    tp = res.shape[1]
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (n_frames, tp), 0)
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (n_frames, tp), 1)
-    d = s_idx - t_idx
-    band = jnp.where((d >= 0) & (d < tmax),
-                     tmpl.env[jnp.clip(d, 0, tmax - 1)], 0.0)
-    return jnp.einsum("ts,bsq->btq", band, cp, precision=hi)
+    b, tp, f = res.shape
+    if band is None:
+        band = band_matrix(tmpl.env, n_frames, tp)
+    n_q = tmpl.prof.shape[0]
+    cp = jnp.dot(res.reshape(b * tp, f), tmpl.prof.T, precision=hi,
+                 preferred_element_type=jnp.float32).reshape(b, tp, n_q)
+    cpt = jnp.transpose(cp, (1, 0, 2)).reshape(tp, b * n_q)
+    out = jnp.dot(band, cpt, precision=hi,
+                  preferred_element_type=jnp.float32)
+    return out.reshape(n_frames, b, n_q).transpose(1, 0, 2)
 
 
 ScoreFn = Callable[[jnp.ndarray, TemplateArrays, int], jnp.ndarray]
@@ -339,6 +359,12 @@ def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
     )
     carry0 = _Carry(res, notes0, jnp.zeros((b,), bool), e0,
                     jnp.zeros((), jnp.int32))
+
+    if score_fn is heuristic_scores:
+        # Precompute the loop-invariant band matrix OUTSIDE the while_loop
+        # (see band_matrix); it enters the loop as a carried constant.
+        band = band_matrix(tmpl.env, n_frames, res.shape[1])
+        score_fn = partial(heuristic_scores, band=band)
 
     body = partial(_loop_body, cfg=cfg, tmpl=tmpl, n_frames=n_frames,
                    score_fn=score_fn)
