@@ -95,3 +95,33 @@ def test_manifest_roundtrip(tmp_path):
 def test_selftest(tiny_cfg_file):
     assert main(["selftest", "--seconds", "3.0"]
                 + _tiny_args(tiny_cfg_file)) == 0
+
+
+def test_config_json_roundtrip(tiny_config):
+    from amt_saga_tpu.config import Config
+
+    s = tiny_config.to_json()
+    back = Config.from_json(s)
+    assert back == tiny_config
+    assert back.to_json() == s  # canonical serialization
+
+
+def test_evaluate_empty_dir_fails_cleanly(tmp_path, tiny_cfg_file):
+    import pytest
+
+    with pytest.raises(SystemExit, match="no .pred, ref. MIDI pairs"):
+        main(["evaluate", str(tmp_path), str(tmp_path)]
+             + _tiny_args(tiny_cfg_file))
+
+
+def test_set_without_equals_fails_cleanly(tiny_cfg_file):
+    import pytest
+
+    from amt_saga_tpu.cli import load_config
+
+    class A:
+        config = tiny_cfg_file
+        set = ["loop.max_notes"]
+
+    with pytest.raises(SystemExit, match="key=value"):
+        load_config(A())
