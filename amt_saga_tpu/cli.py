@@ -140,26 +140,49 @@ def cmd_transcribe_corpus(args) -> int:
                     np.zeros((bs - len(batch), max_len), np.float32)])
             yield batch
 
+    import jax
+
+    from .saga.loop import notes_batch_to_sequences
+
+    def postprocess(batch_paths, seqs):
+        for p, seq in zip(batch_paths, seqs):
+            out = os.path.join(
+                args.output_dir,
+                os.path.splitext(os.path.basename(p))[0] + ".mid")
+            write_midi(out, seq)
+            manifest.mark_done(p, notes=len(seq), output=out)
+
     with maybe_profile(args.profile):
-        # The feeder overlaps host WAV decoding + device_put with device
-        # compute (SURVEY.md §2.4); OOM falls back to halved batches.
+        # Two overlaps (SURVEY.md §2.4): the feeder loads batch i+1 while
+        # the device runs batch i, and JAX's async dispatch lets batch
+        # i+1's device work start while the host converts/writes batch
+        # i's MIDI (one-deep pipeline of un-fetched device results).
+        def finish(paths, notes, dev, t0):
+            # Device OOM surfaces when the result is fetched; fall back to
+            # the blocking halved-batch path for just that batch.
+            try:
+                host_notes = jax.device_get(notes)
+                seqs = notes_batch_to_sequences(host_notes, cfg)
+            except jax.errors.JaxRuntimeError:
+                seqs = with_oom_retry(tr.transcribe_batch, dev)
+            postprocess(paths, seqs[:len(paths)])
+            metrics.write({
+                "event": "corpus_batch", "clips": len(paths),
+                "audio_sec_per_sec": bs * max_len / cfg.dsp.sample_rate
+                / max(time.time() - t0, 1e-9),
+            })
+
+        pending = None  # (paths, device NotesBatch, device batch, t0)
         for i, dev_batch in zip(range(0, len(todo), bs),
                                 prefetch_to_device(gen_batches())):
             batch_paths = todo[i:i + bs]
             t0 = time.time()
-            seqs = with_oom_retry(tr.transcribe_batch, dev_batch)
-            wall = time.time() - t0
-            for p, seq in zip(batch_paths, seqs):
-                out = os.path.join(
-                    args.output_dir,
-                    os.path.splitext(os.path.basename(p))[0] + ".mid")
-                write_midi(out, seq)
-                manifest.mark_done(p, notes=len(seq), output=out)
-            metrics.write({
-                "event": "corpus_batch", "clips": len(batch_paths),
-                "audio_sec_per_sec":
-                    len(dev_batch) * max_len / cfg.dsp.sample_rate / wall,
-            })
+            notes = tr._fn(dev_batch)  # async dispatch, no block
+            if pending is not None:
+                finish(*pending)
+            pending = (batch_paths, notes, dev_batch, t0)
+        if pending is not None:
+            finish(*pending)
     return 0
 
 
