@@ -73,3 +73,29 @@ def test_heterogeneous_lane_lengths_terminate_independently(tiny_config, tiny_tr
     assert len(preds[1]) == len(ref_sparse)
     gold_busy = transcribe_golden(busy, tiny_config).sequence
     _assert_sequences_identical(preds[0], gold_busy)
+
+
+def test_decision_quantizers_bit_identical():
+    """The golden (NumPy) and loop (JAX) decision quantizers must agree
+    bit-for-bit on every float class — they are the parity foundation."""
+    import jax.numpy as jnp
+
+    from amt_saga_tpu.golden.pipeline import quantize_decisions_np
+    from amt_saga_tpu.saga.loop import quantize_decisions
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.standard_normal(1000).astype(np.float32) * 10 ** rng.integers(
+            -6, 6, 1000),
+        np.array([0.0, -0.0, 1.0, -1.0, np.inf, -np.inf,
+                  np.finfo(np.float32).tiny, np.finfo(np.float32).max],
+                 np.float32),
+    ])
+    a = quantize_decisions_np(vals)
+    b = np.asarray(quantize_decisions(jnp.asarray(vals)))
+    np.testing.assert_array_equal(a.view(np.int32), b.view(np.int32))
+    # quantization is idempotent and monotone
+    np.testing.assert_array_equal(quantize_decisions_np(a), a)
+    x = np.sort(rng.standard_normal(500).astype(np.float32))
+    q = quantize_decisions_np(x)
+    assert np.all(np.diff(q) >= 0)
