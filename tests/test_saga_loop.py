@@ -85,8 +85,8 @@ def test_decision_quantizers_bit_identical():
 
     rng = np.random.default_rng(0)
     vals = np.concatenate([
-        rng.standard_normal(1000).astype(np.float32) * 10 ** rng.integers(
-            -6, 6, 1000),
+        (rng.standard_normal(1000)
+         * 10.0 ** rng.integers(-6, 6, 1000)).astype(np.float32),
         np.array([0.0, -0.0, 1.0, -1.0, np.inf, -np.inf,
                   np.finfo(np.float32).tiny, np.finfo(np.float32).max],
                  np.float32),
