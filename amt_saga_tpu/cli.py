@@ -64,7 +64,10 @@ def _make_transcriber(cfg: Config):
         from .models.classifier import make_cnn_score_fn
         from .models.train import load_checkpoint
 
-        steps = sorted(glob.glob(os.path.join(ckpt, "step_*")))
+        # Numeric sort: lexicographic would rank step_999 above step_3000.
+        steps = sorted(
+            glob.glob(os.path.join(ckpt, "step_*")),
+            key=lambda p: int(os.path.basename(p).rsplit("_", 1)[1]))
         if not steps:
             raise SystemExit(
                 f"run.classifier=cnn but no checkpoint under {ckpt!r} "
@@ -103,7 +106,7 @@ def cmd_transcribe(args) -> int:
 def cmd_transcribe_corpus(args) -> int:
     cfg = load_config(args)
     from .core.midi import write_midi
-    from .dsp.audio import load_wav, pad_to_length
+    from .dsp.audio import load_wav, pad_to_length, wav_length
     from .runtime.manifest import Manifest
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -122,11 +125,9 @@ def cmd_transcribe_corpus(args) -> int:
     bs = cfg.run.batch_size
     metrics = MetricsWriter()
     # Length-bucket into one static shape (max length) per batch to avoid
-    # recompiles; clips are padded with silence.
-    max_len = 0
-    for p in todo:
-        w, _ = load_wav(p, cfg.dsp.sample_rate)
-        max_len = max(max_len, len(w))
+    # recompiles; clips are padded with silence.  Header-only length scan —
+    # the full decode happens once, inside the prefetching feeder.
+    max_len = max(wav_length(p, cfg.dsp.sample_rate) for p in todo)
 
     def gen_batches():
         for i in range(0, len(todo), bs):

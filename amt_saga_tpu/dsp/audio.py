@@ -32,6 +32,21 @@ def load_wav(path: str, sample_rate: int | None = None) -> tuple[np.ndarray, int
     return np.ascontiguousarray(wave, dtype=np.float32), sr
 
 
+def wav_length(path: str, sample_rate: int | None = None) -> int:
+    """Samples ``load_wav(path, sample_rate)`` would return, header-only.
+
+    Reads the WAV via mmap (no data decode/copy) and mirrors
+    ``resample_poly``'s output-length rule (ceil(n*up/down)), so corpus
+    runners can size padding buckets without decoding every file twice.
+    """
+    sr, data = wavfile.read(path, mmap=True)
+    n = int(data.shape[0])
+    if sample_rate is not None and sr != sample_rate:
+        frac = Fraction(sample_rate, sr).limit_denominator(1 << 16)
+        n = -(-n * frac.numerator // frac.denominator)
+    return n
+
+
 def save_wav(path: str, wave: np.ndarray, sample_rate: int) -> None:
     wave = np.asarray(wave, dtype=np.float32)
     peak = np.max(np.abs(wave)) if wave.size else 0.0

@@ -111,21 +111,27 @@ def stitch(
     # pitch/program, onset within tolerance) is always among the most
     # recently kept notes — a short reverse scan suffices.  Exact-onset
     # duplicates sort larger-margin-first, so the kept copy is the one
-    # farther from its chunk boundary.
-    out = NoteSequence()
+    # farther from its chunk boundary.  Only a CROSS-chunk pair is a
+    # stitching duplicate: two genuine fast repeats of the same pitch
+    # emitted by one chunk must both survive (they were already vetted by
+    # the loop's own shadow suppression).
+    kept: list[Note] = []
+    kept_ci: list[int] = []
     for note, margin, ci in cands:
         dup = False
-        for prev in reversed(out.notes):
+        for j in range(len(kept) - 1, -1, -1):
+            prev = kept[j]
             if prev.pitch != note.pitch or prev.program != note.program:
-                break
-            if abs(prev.onset - note.onset) <= onset_tol:
-                dup = True
                 break
             if note.onset - prev.onset > onset_tol:
                 break
+            if abs(prev.onset - note.onset) <= onset_tol and kept_ci[j] != ci:
+                dup = True
+                break
         if not dup:
-            out.notes.append(note)
-    return out.sorted()
+            kept.append(note)
+            kept_ci.append(ci)
+    return NoteSequence(kept).sorted()
 
 
 def transcribe_long(wave: np.ndarray, transcriber, cfg: Config,

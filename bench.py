@@ -49,7 +49,9 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
     from amt_saga_tpu.saga.loop import Transcriber
 
     # The fused Pallas kernels (K1 spectrogram, K2 subtract) are the
-    # fastest correct mode (bit-exact vs the golden oracle on fixtures).
+    # fastest mode; decision-identical MIDI vs the golden oracle on clean
+    # fixtures (K1 deviates ~1e-4 relative from rfft — the exact-parity
+    # contract holds for the rfft path; see ops/spectrogram_pallas.py).
     cfg = default_config().override(**{"run.use_pallas": use_pallas})
     waves = _make_waves(cfg, batch, seconds)
     tr = Transcriber(cfg)

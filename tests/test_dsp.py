@@ -85,6 +85,22 @@ def test_resample(tmp_path, tiny_config):
     assert abs(len(back) - 8000) <= 1
 
 
+def test_wav_length_matches_load(tmp_path, tiny_config):
+    """Header-only wav_length must equal len(load_wav(...)) incl. resample."""
+    from amt_saga_tpu.dsp.audio import wav_length
+
+    for sr_file, sr_target, n in [(16000, 16000, 12345),
+                                  (16000, 8000, 12345),
+                                  (22050, 16000, 9999),
+                                  (8000, 16000, 4001)]:
+        rng = np.random.default_rng(n)
+        wave = rng.standard_normal(n).astype(np.float32) * 0.1
+        path = str(tmp_path / f"t_{sr_file}_{sr_target}_{n}.wav")
+        save_wav(path, wave, sr_file)
+        decoded, _ = load_wav(path, sr_target)
+        assert wav_length(path, sr_target) == len(decoded)
+
+
 def test_residual_ops(tiny_config):
     """dsp.residual is the L0 public API the loop composes (C4)."""
     import jax.numpy as jnp

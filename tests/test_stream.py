@@ -75,6 +75,20 @@ def test_stitch_keeps_distinct_notes(stream_config):
     assert len(merged) == 3
 
 
+def test_stitch_keeps_same_chunk_fast_repeats(stream_config):
+    # Two genuine fast repeats of the same pitch WITHIN one chunk sit
+    # inside onset_tol of each other; only cross-chunk pairs are stitching
+    # duplicates, so both must survive.
+    cfg = stream_config
+    sr = cfg.dsp.sample_rate
+    tol = 2.5 * cfg.dsp.hop / sr
+    seq0 = NoteSequence()
+    seq0.add(1.0, 0.3, 60, 90, 0)
+    seq0.add(1.0 + 0.5 * tol, 0.3, 60, 90, 0)  # same chunk, within tol
+    merged = stitch([seq0], [0], cfg)
+    assert len(merged) == 2
+
+
 def test_transcribe_long_end_to_end(stream_config, tiny_transcriber):
     cfg = stream_config
     # NB: tiny_transcriber was built with tiny_config; stream fields do not
