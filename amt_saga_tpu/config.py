@@ -95,8 +95,12 @@ class LoopConfig:
     shadow_gain_frac: float = 0.25
     # Notes extracted per loop iteration: up to n_extract coarse-score
     # peaks (local maxima, masked argmax) are extracted SEQUENTIALLY
-    # within the iteration, each re-fit and re-scored against the LIVE
-    # residual — i.e. exact greedy extraction; only the peak *selection*
+    # within the iteration — greedy matching pursuit against the
+    # UNCLAMPED virtual residual (iteration-start residual minus the g*W
+    # of earlier same-iteration notes; clamping applies between
+    # iterations).  On TPU all peaks' candidate dots come from ONE matmul
+    # plus per-peak Gram updates, so the template bank streams from HBM
+    # once per iteration, not once per peak.  Only the peak *selection*
     # uses the iteration-start coarse map.  Iteration count, not
     # per-iteration FLOPs, dominates TPU wall time, and one coarse map
     # (two full-residual matmuls) is shared by n_extract extractions.

@@ -21,10 +21,16 @@ op-for-op):
       first-max argmax with a +-peak_mask_radius mask — the mask only
       prevents re-picking the same stale peak; selection is the ONLY
       stale quantity in an iteration.
-   c. Per peak, SEQUENTIALLY against the LIVE residual (exact greedy
+   c. Per peak, SEQUENTIALLY against the VIRTUAL residual (greedy
       matching pursuit): candidates = ALL (q, d, o) triples over
       flattened instrument*pitch, the duration grid, and onset offsets
-      {-1, 0, +1} (C-order flattening).  For each: least-squares gain
+      {-1, 0, +1} (C-order flattening).  The virtual residual is the
+      iteration-start residual minus the UNCLAMPED ``g*W`` of every note
+      accepted earlier in the SAME iteration (clamping applies to the
+      real residual between iterations); this is what the TPU path
+      computes algebraically via precomputed template-overlap Gram
+      updates, with the bank streamed once per iteration instead of once
+      per peak.  For each candidate: least-squares gain
       ``g = max(<window, W> / ||W||^2, 0)`` and the closed-form score
       ``2*g*<window, W> - g^2*||W||^2`` — which equals the exact clamped
       energy reduction minus the over-subtraction energy (disjoint
@@ -169,14 +175,17 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
                               -np.inf, m_work)
 
         # (c) per peak: ALL (q, d, o) candidates, closed-form scores
-        # (C-order).  Windows of distinct peaks are disjoint, so scoring
-        # against the live residual equals scoring against the
-        # pre-iteration residual.
+        # (C-order), windowed from the VIRTUAL residual — iteration-start
+        # residual minus the unclamped g*W of earlier same-iteration
+        # acceptances (the TPU path computes the same quantity as
+        # dots0 - sum g*gram via precomputed template overlaps; equal up
+        # to float rounding, absorbed by decision quantization).
         n_o = len(ONSET_OFFSETS)
         n_q = n_i * n_p
         bank_mat = bank.reshape(n_q * n_d, -1)                   # [QD, M]
         nrm_flat = np.maximum(norms.reshape(n_q * n_d), 1e-12)   # [QD]
         any_acc = False
+        vres = res.copy()  # virtual residual: unclamped within-iteration
         for t_star, valid in peaks:
             if not valid or count >= cap:
                 continue
@@ -185,7 +194,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
             for oi, off in enumerate(ONSET_OFFSETS):
                 t_c = min(max(t_star + off, 0), n_frames - 1)
                 t_cands[oi] = t_c
-                window = res[t_c:t_c + tmax].reshape(-1)         # [M]
+                window = vres[t_c:t_c + tmax].reshape(-1)        # [M]
                 dots[oi] = bank_mat @ window
             g_all = np.maximum(dots / nrm_flat[None, :], 0.0)    # [O, QD]
             s_all = (2.0 * g_all * dots
@@ -225,6 +234,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
             w = bank[qi, qp, di]
             res[t_best:t_best + tmax] = np.maximum(
                 res[t_best:t_best + tmax] - g_best * w, 0.0)
+            vres[t_best:t_best + tmax] -= g_best * w  # unclamped
 
             onset_f[count] = t_best
             dur_f[count] = durs[di]

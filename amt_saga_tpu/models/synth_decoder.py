@@ -156,11 +156,13 @@ def neural_template_arrays(cfg: Config, trained: dict):
                              1e-12)
     env = flat[:, -1].sum(axis=(0, 2))
     env = env / max(np.linalg.norm(env), 1e-12)
+    from ..synth.templates import duration_grid_frames, gram_from_bank
+
+    gram = gram_from_bank(flat.reshape(n_i * n_p * n_d, tmax, f))
     if cfg.run.use_pallas and f % 128:
         pad = 128 - f % 128
         flat = np.pad(flat, ((0, 0), (0, 0), (0, 0), (0, pad)))
         prof = np.pad(prof, ((0, 0), (0, pad)))
-    from ..synth.templates import duration_grid_frames
 
     return TemplateArrays(
         bank=jnp.asarray(flat),
@@ -168,4 +170,5 @@ def neural_template_arrays(cfg: Config, trained: dict):
         prof=jnp.asarray(prof.astype(np.float32)),
         env=jnp.asarray(env.astype(np.float32)),
         durs=jnp.asarray(duration_grid_frames(cfg.synth, cfg.dsp)),
+        gram=jnp.asarray(gram),
     )

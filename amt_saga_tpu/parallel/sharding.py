@@ -33,17 +33,25 @@ def make_sharded_transcriber(cfg: Config, mesh: Mesh,
                              tmpl: TemplateArrays,
                              score_fn: ScoreFn = heuristic_scores):
     """Returns a jitted fn: waves [B, N] (B % data-axis == 0) -> NotesBatch,
-    batch sharded over the 'data' axis, note arrays sharded the same way."""
+    batch sharded over the 'data' axis, note arrays sharded the same way.
+
+    Templates are a replicated jit ARGUMENT (uploaded once here), not a
+    closure constant — the Gram tensor is hundreds of MB at default config
+    and would blow the axon remote-compile request limit if baked into the
+    program (see saga.loop.Transcriber).
+    """
     in_s = data_sharding(mesh, 2)
+    repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), tmpl)
     out_s = jax.tree.map(lambda _: NamedSharding(mesh, P(DATA_AXIS)),
                          _notes_batch_structure())
 
     fn = jax.jit(
-        lambda waves: transcribe_waves(waves, cfg, tmpl, score_fn),
-        in_shardings=in_s,
+        lambda waves, t: transcribe_waves(waves, cfg, t, score_fn),
+        in_shardings=(in_s, repl),
         out_shardings=out_s,
     )
-    return fn
+    tmpl_dev = jax.device_put(tmpl, repl)
+    return lambda waves: fn(waves, tmpl_dev)
 
 
 def _notes_batch_structure():

@@ -24,15 +24,19 @@ Structure of one loop iteration (all lanes in lockstep, done lanes no-op):
    (masked argmax, small radius).  One coarse map — the two expensive
    full-residual matmuls — is shared by all of them; iteration count,
    not per-iteration FLOPs, dominates TPU wall time.
-3. Sequential exact extraction per peak against the LIVE residual
-   (greedy matching pursuit; only peak selection is stale): ALL
-   (instrument*pitch, duration, onset-offset) candidates are scored with
-   ONE matmul of the live windows against the flattened template bank,
-   using the closed form ``score = 2*g*<w,W> - g^2*||W||^2`` (== clamped
-   energy reduction minus over-subtraction energy; see LoopConfig); flat
-   argmax picks the winner; gates: min_gain, min_score_rel, shadow
-   suppression.
-4. Masked subtract (clamped at 0, K2 Pallas kernel) + masked note append.
+3. Batched exact refit (v5): ALL (instrument*pitch, duration,
+   onset-offset) candidate dot products for ALL n_extract peaks come from
+   ONE matmul against the iteration-start residual (the template bank
+   streams from HBM once per iteration), then the peaks extract
+   SEQUENTIALLY — greedy matching pursuit — with the dots kept exact by
+   Gram updates (``tmpl.gram`` precomputed template overlaps): each peak
+   is scored against the UNCLAMPED virtual residual
+   ``res - sum_i g_i*W_i``.  Scores use the closed form
+   ``score = 2*g*<w,W> - g^2*||W||^2`` (== clamped energy reduction minus
+   over-subtraction energy; see LoopConfig); flat argmax picks the
+   winner; gates: min_gain, min_score_rel, shadow suppression.
+4. Masked subtract (clamped at 0, K2 Pallas kernel) + masked note append;
+   clamping re-enters through the fresh windows of the NEXT iteration.
 """
 
 from __future__ import annotations
@@ -53,6 +57,7 @@ from ..dsp.residual import subtract as residual_subtract
 from ..dsp.stft import stft_magnitude
 from ..synth.templates import (
     duration_grid_frames,
+    gram_from_bank,
     onset_envelope,
     spectral_profiles,
     template_bank,
@@ -85,6 +90,7 @@ class TemplateArrays(NamedTuple):
     prof: jnp.ndarray    # [Q, F]
     env: jnp.ndarray     # [Tmax]
     durs: jnp.ndarray    # [D] int32
+    gram: jnp.ndarray    # [2*Tmax-1, QD, QD] template-overlap Gram
 
 
 def load_template_arrays(cfg: Config) -> TemplateArrays:
@@ -92,6 +98,9 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
     n_i, n_p, n_d, tmax, f = bank.shape
     bank = bank.reshape(n_i * n_p, n_d, tmax, f)
     prof = spectral_profiles(cfg.synth, cfg.dsp).reshape(n_i * n_p, f)
+    # Gram from the UNPADDED bank: zero F-padding columns contribute zero
+    # to every overlap, so padded/unpadded banks share one cache entry.
+    gram = gram_from_bank(bank.reshape(n_i * n_p * n_d, tmax, f))
     if cfg.run.use_pallas and f % 128:
         # The Pallas path carries F padded to the 128-lane tiling (sliced
         # DMA alignment).  Zero columns contribute zero to every dot
@@ -106,6 +115,7 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
         prof=jnp.asarray(prof),
         env=jnp.asarray(onset_envelope(cfg.synth, cfg.dsp)),
         durs=jnp.asarray(duration_grid_frames(cfg.synth, cfg.dsp)),
+        gram=jnp.asarray(gram),
     )
 
 
@@ -252,29 +262,39 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     t_sel = jnp.transpose(t_sel)                              # [B, K]
     valid = jnp.transpose(jnp.isfinite(peaks))                # [B, K]
 
-    # (2) sequential exact extraction per peak: each peak's candidates are
-    # re-fit and re-scored against the LIVE residual (so overlapping
-    # subtraction windows are handled exactly — this IS greedy matching
-    # pursuit; only peak selection uses the stale iteration-start map).
+    # (2) batched exact refit (v5): candidate dot products for ALL
+    # n_extract peaks are computed in ONE matmul against the
+    # iteration-start residual — the template bank streams from HBM once
+    # per ITERATION, not once per peak (the round-1 ~0.21 ms/peak floor).
+    # The sequential extractions stay exact greedy via Gram updates:
+    # subtracting g*W_a at frame t* shifts every candidate dot <w(t), W_b>
+    # by -g*gram[t-t*, a, b] (precomputed template overlaps), i.e. each
+    # peak is scored against the UNCLAMPED virtual residual
+    # res - sum_i g_i*W_i; the real residual is clamped at 0 between
+    # iterations as before.  Mirrored op-for-op in golden.pipeline via an
+    # explicit virtual residual.
     n_p = cfg.synth.n_pitches
     cap = notes.onset.shape[1]
     bank_mat = tmpl.bank.reshape(n_q * n_d, -1)               # [QD, M]
     nrm_flat = jnp.maximum(tmpl.norms.reshape(n_q * n_d), 1e-12)
     thr = quantize_decisions(loop.min_score_rel * e_cur)      # [B]
 
+    t_cand = jnp.clip(t_sel[:, :, None] + offsets[None, None, :], 0,
+                      n_frames - 1)                           # [B, K, O]
+
     def lane_windows(res_b, t_b):
         return jax.vmap(lambda t: residual_section(res_b, t, tmax))(t_b)
 
+    windows = jax.vmap(lane_windows)(
+        res, t_cand.reshape(b, n_k * n_o))       # [B, K*O, Tmax, F]
+    with jax.named_scope("saga_candidate_scoring"):
+        dots0 = jnp.dot(windows.reshape(b * n_k * n_o, -1), bank_mat.T,
+                        precision=hi, preferred_element_type=jnp.float32)
+    dots0 = dots0.reshape(b, n_k, n_o, n_q * n_d)             # [B,K,O,QD]
+
     def extract_i(i, state):
-        res_i, notes_i, any_acc = state
-        t_i = t_sel[:, i]                                     # [B]
-        t_cand = jnp.clip(t_i[:, None] + offsets[None, :], 0,
-                          n_frames - 1)                       # [B, O]
-        windows = jax.vmap(lane_windows)(res_i, t_cand)  # [B, O, Tmax, F]
-        win_mat = windows.reshape(b, n_o, -1)                 # [B, O, M]
-        with jax.named_scope("saga_candidate_scoring"):
-            dots = jnp.einsum("bom,cm->boc", win_mat, bank_mat,
-                              precision=hi)                   # [B, O, QD]
+        res_i, notes_i, dots_i, any_acc = state
+        dots = dots_i[:, i]                                   # [B, O, QD]
         g_all = jnp.maximum(dots / nrm_flat[None, None, :], 0.0)
         s_all = (2.0 * g_all * dots
                  - jnp.square(g_all) * nrm_flat[None, None, :])
@@ -290,7 +310,8 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
         q_best = best // (n_d * n_o)
         d_best = (best // n_o) % n_d
         o_best = best % n_o
-        t_best = jnp.take_along_axis(t_cand, o_best[:, None], 1)[:, 0]
+        t_best = jnp.take_along_axis(t_cand[:, i], o_best[:, None],
+                                     1)[:, 0]
 
         acc = (active & valid[:, i] & (notes_i.count < cap)
                & (quantize_decisions(g_best) >= loop.min_gain)
@@ -327,11 +348,23 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
             program=app(notes_i.program, idx, q_best // n_p, acc),
             count=notes_i.count + acc.astype(jnp.int32),
         )
-        return res_i, notes_i, any_acc | acc
+        if n_k > 1:
+            # Gram update: keep every candidate dot exact w.r.t. the
+            # virtual residual after subtracting gain_eff * W_[q,d]_best
+            # at t_best.  Rows for processed peaks are updated too (they
+            # are never re-read) — no masking needed.
+            qd_best = q_best * n_d + d_best                   # [B]
+            dt = t_cand - t_best[:, None, None]               # [B, K, O]
+            k_idx = jnp.clip(dt + (tmax - 1), 0, 2 * tmax - 2)
+            gv = tmpl.gram[k_idx, qd_best[:, None, None], :]  # [B,K,O,QD]
+            upd = jnp.where((jnp.abs(dt) < tmax)[..., None], gv, 0.0)
+            dots_i = dots_i - gain_eff[:, None, None, None] * upd
+        return res_i, notes_i, dots_i, any_acc | acc
 
     with jax.named_scope("saga_subtract_append"):
-        res_new, notes_new, any_acc = jax.lax.fori_loop(
-            0, n_k, extract_i, (res, notes, jnp.zeros((b,), bool)))
+        res_new, notes_new, _, any_acc = jax.lax.fori_loop(
+            0, n_k, extract_i,
+            (res, notes, dots0, jnp.zeros((b,), bool)))
     notes_new = notes_new._replace(
         residual_energy=residual_energy(res_new))
     return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,
@@ -395,9 +428,19 @@ class Transcriber:
         # synthesizer (models/synth_decoder.py) instead of the analytic one.
         self.tmpl = tmpl if tmpl is not None else load_template_arrays(cfg)
         self._score_fn = score_fn
-        self._fn = jax.jit(
-            lambda waves: transcribe_waves(waves, cfg, self.tmpl,
-                                           self._score_fn))
+        # Templates enter as a jit ARGUMENT, not a closure constant: the
+        # Gram tensor is hundreds of MB at default config, and baking it
+        # into the program blows the axon remote-compile request limit
+        # (HTTP 413); as an argument only its SHAPE is compiled and the
+        # data uploads once via device_put.
+        self._tmpl_dev = jax.device_put(self.tmpl)
+        self._jit = jax.jit(
+            lambda waves, tmpl: transcribe_waves(waves, cfg, tmpl,
+                                                 self._score_fn))
+
+    def _fn(self, waves):
+        """Async-dispatch the jitted program on a device waveform batch."""
+        return self._jit(waves, self._tmpl_dev)
 
     def transcribe_batch(self, waves: np.ndarray) -> list[NoteSequence]:
         notes = jax.device_get(self._fn(jnp.asarray(waves)))

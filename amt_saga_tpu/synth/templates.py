@@ -21,6 +21,9 @@ is what lets the SAGA loop compile into a single ``lax.while_loop``.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from functools import lru_cache
 
 import numpy as np
@@ -144,6 +147,54 @@ def onset_envelope(synth: SynthConfig, dsp: DSPConfig) -> np.ndarray:
     bank = template_bank(synth, dsp)
     env = bank[:, :, -1].sum(axis=(0, 1, 3))  # collapse instr/pitch/freq
     return (env / max(np.linalg.norm(env), 1e-12)).astype(np.float32)
+
+
+def gram_from_bank(bank_flat: np.ndarray) -> np.ndarray:
+    """[QD, Tmax, F] flat bank -> [Ndt, QD, QD] template-overlap Gram.
+
+    ``gram[k, a, b] = sum_{tau, f} W_a[tau + dt, f] * W_b[tau, f]`` with
+    ``dt = k - (Tmax - 1)`` and templates zero outside ``[0, Tmax)``, so
+    ``Ndt = 2*Tmax - 1`` covers every nonzero overlap.  This is what lets
+    the SAGA loop keep all candidate dot products exact across the
+    sequential within-iteration extractions WITHOUT re-streaming the
+    template bank per peak: subtracting ``g * W_a`` at frame ``t*`` shifts
+    every candidate dot ``<w(t), W_b>`` by ``-g * gram[t - t*, a, b]``.
+
+    Computed on the host in float32 sgemm using the dt<->-dt transpose
+    symmetry (halves the work; the default 88-pitch bank takes a few
+    seconds), and content-address cached on disk (``AMT_GRAM_CACHE`` or
+    ``~/.cache/amt_saga_tpu``) because it is a pure function of the bank.
+    """
+    qd, tmax, _f = bank_flat.shape
+    digest = hashlib.sha1(b"gram-v1" + bank_flat.tobytes()).hexdigest()[:20]
+    cache_dir = os.environ.get(
+        "AMT_GRAM_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "amt_saga_tpu"))
+    path = os.path.join(cache_dir, f"gram_{digest}.npy")
+    if os.path.exists(path):
+        try:
+            gram = np.load(path)
+            if gram.shape == (2 * tmax - 1, qd, qd):
+                return gram
+        except Exception:
+            pass  # unreadable/corrupt cache entry: recompute below
+    gram = np.empty((2 * tmax - 1, qd, qd), dtype=np.float32)
+    flat = np.ascontiguousarray(bank_flat, dtype=np.float32)
+    for dt in range(tmax):
+        a = flat[:, dt:].reshape(qd, -1)
+        b = flat[:, :tmax - dt].reshape(qd, -1)
+        g = a @ b.T
+        gram[tmax - 1 + dt] = g
+        gram[tmax - 1 - dt] = g.T
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npy")
+        with os.fdopen(fd, "wb") as f:
+            np.save(f, gram)
+        os.replace(tmp, path)  # atomic: concurrent writers race safely
+    except OSError:
+        pass  # cache is best-effort
+    return gram
 
 
 def duration_grid_frames(synth: SynthConfig, dsp: DSPConfig) -> np.ndarray:
