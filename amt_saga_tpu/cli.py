@@ -112,7 +112,17 @@ def cmd_transcribe_corpus(args) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
     manifest = Manifest(args.manifest or
                         os.path.join(args.output_dir, "manifest.jsonl"))
-    paths = sorted(glob.glob(os.path.join(args.input_dir, "*.wav")))
+    fmt = getattr(args, "format", "paired") or "paired"
+    if fmt == "paired":
+        paths = sorted(glob.glob(os.path.join(args.input_dir, "*.wav")))
+    else:
+        # Real-corpus tree (runtime/datasets.py): walk the corpus's own
+        # layout/metadata instead of a flat *.wav glob.
+        from .runtime.datasets import open_corpus
+
+        corpus = open_corpus(args.input_dir, fmt,
+                             split=getattr(args, "split", None))
+        paths = [it.wav_path for it in corpus.items]
     todo = [p for p in paths if not manifest.is_done(p)]
     log.info("%d clips, %d already done, %d to go",
              len(paths), manifest.n_done, len(todo))
@@ -192,6 +202,7 @@ def cmd_train(args) -> int:
     from .models.train import train
 
     train(cfg, steps=args.steps, kind=args.kind, corpus_dir=args.corpus,
+          corpus_format=args.corpus_format, corpus_split=args.split,
           noise=args.noise, metrics=MetricsWriter(args.metrics))
     return 0
 
@@ -313,6 +324,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--manifest", help="manifest path (default: in out dir)")
     p.add_argument("--resume", action="store_true",
                    help="(default behavior; flag kept for clarity)")
+    p.add_argument("--format", default="paired",
+                   choices=["paired", "musicnet", "maestro", "maps"],
+                   help="on-disk corpus convention (runtime/datasets.py)")
+    p.add_argument("--split", default=None,
+                   help="official corpus split (e.g. train/validation/test)")
     _add_common(p)
     p.set_defaults(fn=cmd_transcribe_corpus)
 
@@ -322,8 +338,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["isol", "mus", "long", "multi"],
                    help="synthetic fixture kind (ignored with --corpus)")
     p.add_argument("--corpus",
-                   help="train on a directory of paired WAV+MIDI files "
+                   help="train on an on-disk corpus tree "
                         "instead of synthetic fixtures")
+    p.add_argument("--corpus-format", default="paired",
+                   choices=["paired", "musicnet", "maestro", "maps"],
+                   help="on-disk corpus convention (runtime/datasets.py)")
+    p.add_argument("--split", default=None,
+                   help="official corpus split to train on")
     p.add_argument("--noise", type=float, default=0.0,
                    help="additive noise augmentation (synthetic data)")
     p.add_argument("--metrics", help="metrics JSONL path (default stderr)")

@@ -167,6 +167,13 @@ class RunConfig:
     use_pallas: bool = False  # swap Pallas kernels in for the jnp paths
     classifier: str = "heuristic"  # "heuristic" | "cnn"
     profile: bool = False
+    # MXU precision for the two hot matmuls (coarse matched filter and
+    # candidate dots): "high" = bf16_3x passes (~2x faster on TPU),
+    # "highest" = full f32.  Decision quantization (DECISION_DROP_BITS=13,
+    # ~2^-10 relative buckets) absorbs bf16_3x's ~2^-14 error, so MIDI
+    # parity with the f32 golden oracle holds on the fixture suite; flip
+    # to "highest" if a future workload shows bucket-boundary flips.
+    matmul_precision: str = "high"  # "high" | "highest"
 
 
 @dataclass(frozen=True)

@@ -161,14 +161,17 @@ def load_checkpoint(cfg: Config, path: str) -> Any:
 
 def corpus_batch_iterator(cfg: Config, corpus_dir: str, *,
                           seconds: float = 4.0, seed: int = 0,
-                          prefetch: int = 2
+                          prefetch: int = 2, corpus_format: str = "paired",
+                          split: str | None = None
                           ) -> Iterator[dict[str, jnp.ndarray]]:
-    """Training batches from an on-disk paired WAV+MIDI corpus (C10-C12):
-    labels come from the user's MIDI files, not the synthesizer."""
-    from ..runtime.corpus import PairedCorpus
+    """Training batches from an on-disk corpus (C10-C12): labels come from
+    the user's MIDI/CSV files, not the synthesizer.  ``corpus_format``
+    selects the on-disk convention (paired|musicnet|maestro|maps, see
+    runtime/datasets.py)."""
+    from ..runtime.datasets import open_corpus
     from ..runtime.feeder import prefetch_to_device
 
-    corpus = PairedCorpus(corpus_dir)
+    corpus = open_corpus(corpus_dir, corpus_format, split=split)
 
     def gen():
         for eb in corpus.example_batches(
@@ -190,13 +193,15 @@ def corpus_batch_iterator(cfg: Config, corpus_dir: str, *,
 
 def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
           kind: str = "mus", noise: float = 0.0,
-          corpus_dir: str | None = None,
+          corpus_dir: str | None = None, corpus_format: str = "paired",
+          corpus_split: str | None = None,
           metrics: MetricsWriter | None = None,
           checkpoint: bool = True) -> TrainState:
     """Run the training loop; returns final state.
 
-    With ``corpus_dir``, batches come from the user's paired WAV+MIDI
-    corpus; otherwise from the synthetic fixture generator (``kind``).
+    With ``corpus_dir``, batches come from the user's on-disk corpus
+    (``corpus_format``: paired|musicnet|maestro|maps); otherwise from the
+    synthetic fixture generator (``kind``).
     """
     steps = steps if steps is not None else cfg.train.steps
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -204,7 +209,9 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
     model = build_classifier(cfg)
     if corpus_dir is not None:
         it = corpus_batch_iterator(cfg, corpus_dir, seconds=seconds,
-                                   seed=cfg.train.seed)
+                                   seed=cfg.train.seed,
+                                   corpus_format=corpus_format,
+                                   split=corpus_split)
     else:
         it = batch_iterator(cfg, seconds=seconds, kind=kind,
                             seed=cfg.train.seed, noise=noise, prefetch=2)

@@ -38,6 +38,11 @@ class CorpusItem:
     name: str
     wav_path: str
     midi_path: str | None
+    # Real-corpus extensions (runtime/datasets.py): MusicNet labels come
+    # as CSV, MAPS/MAESTRO define official splits.
+    label_path: str | None = None      # defaults to midi_path
+    label_format: str = "midi"         # "midi" | "musicnet_csv"
+    split: str | None = None           # official split tag, if any
 
 
 class PairedCorpus:
@@ -78,8 +83,7 @@ class PairedCorpus:
     def load(self, item: CorpusItem, cfg: Config
              ) -> tuple[np.ndarray, NoteSequence | None]:
         wave, _ = load_wav(item.wav_path, cfg.dsp.sample_rate)
-        ref = read_midi(item.midi_path) if item.midi_path else None
-        return wave, ref
+        return wave, load_labels(item)
 
     def iter_waves(self, cfg: Config, *, batch_size: int,
                    n_samples: int | None = None
@@ -141,8 +145,27 @@ class PairedCorpus:
                 duration=np.stack(durs), presence=np.stack(pres))
 
 
-def _from_items(root: str, items: list[CorpusItem]) -> PairedCorpus:
+def load_labels(item: CorpusItem) -> NoteSequence | None:
+    """Ground-truth NoteSequence for an item, whatever its label format."""
+    if item.label_format == "musicnet_csv":
+        from .datasets import read_musicnet_csv
+
+        if item.label_path is None:
+            raise ValueError(f"{item.name}: musicnet_csv needs label_path")
+        return read_musicnet_csv(item.label_path)
+    path = item.label_path or item.midi_path
+    return read_midi(path) if path else None
+
+
+def corpus_from_items(root: str, items: list[CorpusItem]) -> PairedCorpus:
+    """Build a PairedCorpus from an explicit item list (format loaders in
+    runtime/datasets.py construct their corpora through this)."""
+    if not items:
+        raise FileNotFoundError(f"no corpus items under {root!r}")
     c = PairedCorpus.__new__(PairedCorpus)
     c.root = root
     c.items = items
     return c
+
+
+_from_items = corpus_from_items  # back-compat alias (split() uses it)

@@ -55,6 +55,10 @@ def _labels_for(seq: NoteSequence, cfg: Config, n_frames: int
         pi = n.pitch - cfg.synth.pitch_min
         if not (0 <= pi < cfg.synth.n_pitches):
             continue
+        if not (0 <= n.program < cfg.synth.n_instruments):
+            # Out-of-vocabulary instrument (e.g. MusicNet strings with a
+            # piano-only config): no label target for it.
+            continue
         q = n.program * cfg.synth.n_pitches + pi
         onset_pitch[t, q] = 1.0
         # Soft neighbors: a 1-frame onset ambiguity is within the 50 ms

@@ -184,9 +184,18 @@ def band_matrix(env: jnp.ndarray, n_frames: int, tp: int) -> jnp.ndarray:
                      env[jnp.clip(d, 0, tmax - 1)], 0.0)
 
 
+def matmul_precision(cfg: Config) -> jax.lax.Precision:
+    """MXU precision for the hot matmuls (see RunConfig.matmul_precision)."""
+    if cfg.run.matmul_precision == "high":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
+
+
 def heuristic_scores(res: jnp.ndarray, tmpl: TemplateArrays,
                      n_frames: int,
-                     band: jnp.ndarray | None = None) -> jnp.ndarray:
+                     band: jnp.ndarray | None = None,
+                     precision: jax.lax.Precision =
+                     jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Matched-filter coarse scores [B, T, Q] (golden step a).
 
     Two MXU matmuls instead of a temporal conv (an 80-tap conv over
@@ -196,7 +205,7 @@ def heuristic_scores(res: jnp.ndarray, tmpl: TemplateArrays,
     dots (reshape/transpose) rather than einsum: the einsum form lowered
     off the MXU inside the loop.
     """
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
     b, tp, f = res.shape
     if band is None:
         band = band_matrix(tmpl.env, n_frames, tp)
@@ -226,7 +235,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     n_q, n_d = tmpl.norms.shape
     n_o = len(ONSET_OFFSETS)
     offsets = jnp.asarray(ONSET_OFFSETS, dtype=jnp.int32)
-    hi = jax.lax.Precision.HIGHEST
+    hi = matmul_precision(cfg)
 
     res, notes = carry.res, carry.notes
     e_cur = residual_energy(res)
@@ -397,7 +406,8 @@ def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
         # Precompute the loop-invariant band matrix OUTSIDE the while_loop
         # (see band_matrix); it enters the loop as a carried constant.
         band = band_matrix(tmpl.env, n_frames, res.shape[1])
-        score_fn = partial(heuristic_scores, band=band)
+        score_fn = partial(heuristic_scores, band=band,
+                           precision=matmul_precision(cfg))
 
     body = partial(_loop_body, cfg=cfg, tmpl=tmpl, n_frames=n_frames,
                    score_fn=score_fn)
