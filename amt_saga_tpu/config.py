@@ -111,6 +111,14 @@ class LoopConfig:
     # purpose: live re-fitting makes overlapping subtraction windows
     # exact, so nearby notes may extract in the same iteration.
     peak_mask_radius: int = 4
+    # Continuous duration refinement: the emitted duration is refined
+    # past the grid by a parabolic fit of the winner's (quantized) scores
+    # at grid neighbors (d-1, d, d+1) in log-duration space — computed on
+    # the HOST in float64 from values recorded on device, identically for
+    # the TPU and golden paths, so MIDI parity is preserved.  Subtraction
+    # still uses the grid template (only grid atoms exist); this affects
+    # emission only.
+    refine_duration: bool = True
     # Candidate scoring uses the closed form
     #   score = 2*g*<window, W> - g^2*||W||^2
     # which equals (energy reduction) - 1.0*(over-subtraction energy):
@@ -168,12 +176,16 @@ class RunConfig:
     classifier: str = "heuristic"  # "heuristic" | "cnn"
     profile: bool = False
     # MXU precision for the two hot matmuls (coarse matched filter and
-    # candidate dots): "high" = bf16_3x passes (~2x faster on TPU),
-    # "highest" = full f32.  Decision quantization (DECISION_DROP_BITS=13,
-    # ~2^-10 relative buckets) absorbs bf16_3x's ~2^-14 error, so MIDI
-    # parity with the f32 golden oracle holds on the fixture suite; flip
-    # to "highest" if a future workload shows bucket-boundary flips.
-    matmul_precision: str = "high"  # "high" | "highest"
+    # candidate dots).  "highest" (full f32) keeps TPU-vs-golden score
+    # differences at ulp level, which the DECISION_DROP_BITS buckets
+    # absorb — the bit-parity contract.  "high" (bf16_3x passes) is
+    # ~10-15% faster end-to-end but its ~2^-14 relative error straddles
+    # the 2^-10 decision buckets a few percent of the time; discrete
+    # decisions mostly survive (ties are rare) but the CONTINUOUS
+    # duration-refinement inputs (NotesBatch.sd3) then differ from golden
+    # often enough to break MIDI bit-parity — use it only where raw
+    # throughput beats the parity guarantee.
+    matmul_precision: str = "highest"  # "highest" | "high"
 
 
 @dataclass(frozen=True)

@@ -110,12 +110,20 @@ def write_midi(path: str, seq: NoteSequence) -> None:
         f.write(notes_to_midi_bytes(seq))
 
 
-def midi_bytes_to_notes(data: bytes) -> NoteSequence:
+def midi_bytes_to_notes(data: bytes, *, sustain: bool = True
+                        ) -> NoteSequence:
     """Decode an SMF (type 0 or 1) byte string into a NoteSequence.
 
     Handles running status, tempo changes (uses the last tempo seen before
     an event for tick->sec conversion via a tempo map), and both
     note-off encodings (0x80, or 0x90 with velocity 0).
+
+    ``sustain`` applies CC64 sustain-pedal semantics (the MAESTRO
+    ground-truth convention): a note released while the pedal is down on
+    its channel keeps sounding until the pedal comes up — or until the
+    same pitch is re-struck, whichever is first.  MIDIs without CC64
+    events (e.g. this package's own writer output) decode identically
+    either way.
     """
     if data[:4] != b"MThd":
         raise ValueError("not a MIDI file")
@@ -128,6 +136,7 @@ def midi_bytes_to_notes(data: bytes) -> NoteSequence:
     tempo_map: List[Tuple[int, int]] = [(0, TEMPO_US_PER_BEAT)]
     raw: List[Tuple[int, int, int, int, int]] = []  # tick, on, ch, pitch, vel
     prog_events: List[Tuple[int, int, int]] = []  # tick, ch, program
+    cc64_events: List[Tuple[int, int, int]] = []  # tick, ch, value
 
     for _ in range(ntrks):
         if data[pos:pos + 4] != b"MTrk":
@@ -167,6 +176,8 @@ def midi_bytes_to_notes(data: bytes) -> NoteSequence:
                         raw.append((tick, 1 if d2 > 0 else 0, ch, d1, d2))
                     elif hi == 0x80:
                         raw.append((tick, 0, ch, d1, d2))
+                    elif hi == 0xB0 and d1 == 64:
+                        cc64_events.append((tick, ch, d2))
                 elif hi in (0xC0, 0xD0):
                     d1 = data[p]
                     p += 1
@@ -192,6 +203,9 @@ def midi_bytes_to_notes(data: bytes) -> NoteSequence:
     for _, ch, prog in sorted(prog_events):
         chan_prog[ch] = prog
 
+    if sustain and cc64_events:
+        raw = _apply_sustain(raw, cc64_events)
+
     seq = NoteSequence()
     active: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
     raw.sort(key=lambda e: (e[0], e[1], e[3], e[2]))
@@ -213,6 +227,53 @@ def midi_bytes_to_notes(data: bytes) -> NoteSequence:
     return seq.sorted()
 
 
-def read_midi(path: str) -> NoteSequence:
+def _apply_sustain(
+    raw: List[Tuple[int, int, int, int, int]],
+    cc64_events: List[Tuple[int, int, int]],
+) -> List[Tuple[int, int, int, int, int]]:
+    """Extend note-offs through CC64 pedal-down intervals.
+
+    A note-off at tick t while the pedal is down on its channel moves to
+    the pedal-up tick, truncated at the next same-(channel, pitch)
+    note-on if that comes first (the pretty_midi/MAESTRO convention).
+    """
+    # Per-channel pedal-down intervals [down, up); a pedal still down at
+    # end-of-track holds forever.
+    intervals: Dict[int, List[Tuple[int, float]]] = {}
+    down_at: Dict[int, int] = {}
+    for tick, ch, val in sorted(cc64_events):
+        if val >= 64:
+            down_at.setdefault(ch, tick)
+        elif ch in down_at:
+            intervals.setdefault(ch, []).append((down_at.pop(ch), tick))
+    for ch, t0 in down_at.items():
+        intervals.setdefault(ch, []).append((t0, float("inf")))
+
+    ons: Dict[Tuple[int, int], List[int]] = {}
+    for tick, on, ch, pitch, _vel in raw:
+        if on:
+            ons.setdefault((ch, pitch), []).append(tick)
+    for ticks in ons.values():
+        ticks.sort()
+
+    import bisect
+
+    out: List[Tuple[int, int, int, int, int]] = []
+    for tick, on, ch, pitch, vel in raw:
+        if not on:
+            for d, u in intervals.get(ch, ()):
+                if d <= tick < u:
+                    ext = u
+                    key_ons = ons.get((ch, pitch), ())
+                    i = bisect.bisect_right(key_ons, tick)
+                    if i < len(key_ons) and key_ons[i] < ext:
+                        ext = key_ons[i]
+                    tick = int(ext) if ext != float("inf") else tick
+                    break
+        out.append((tick, on, ch, pitch, vel))
+    return out
+
+
+def read_midi(path: str, *, sustain: bool = True) -> NoteSequence:
     with open(path, "rb") as f:
-        return midi_bytes_to_notes(f.read())
+        return midi_bytes_to_notes(f.read(), sustain=sustain)

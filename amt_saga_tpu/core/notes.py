@@ -104,6 +104,48 @@ class NoteSequence:
         return cls(list(notes))
 
 
+def refined_duration_seconds(d_idx: int, s_lo: float, s_mid: float,
+                             s_hi: float,
+                             duration_grid: Sequence[float]) -> float | None:
+    """Continuous duration from the winner's scores at grid neighbors.
+
+    The loop records the winner's (quantized) scores at three CONSECUTIVE
+    grid indices ``m-1, m, m+1`` with ``m = clip(d, 1, D-2)`` — centered
+    on the winning duration ``d`` in the interior, shifted one step
+    inward when ``d`` is a grid boundary (the common real-world case: an
+    off-grid duration just below the longest grid entry).  The parabola
+    vertex through those samples, in grid-index space, is clamped to
+    ``[d-0.5, d+0.5]`` (never overriding the argmax by more than half a
+    step) and mapped through log-duration interpolation.
+
+    Pure float64 host arithmetic on decision-quantized inputs — the TPU
+    and golden paths record bit-identical inputs, so the refined tick is
+    bit-identical too (SURVEY.md §7 "hard parts": round on host at
+    emission).  Returns None (caller keeps the grid duration) when the
+    grid has <3 entries or the samples are not strictly concave.
+    """
+    n_d = len(duration_grid)
+    if n_d < 3:
+        return None
+    d = int(d_idx)
+    m = min(max(d, 1), n_d - 2)
+    a, b, c = float(s_lo), float(s_mid), float(s_hi)
+    denom = a - 2.0 * b + c
+    if not denom < 0.0:  # not a concave maximum (incl. NaN)
+        return None
+    p = m + 0.5 * (a - c) / denom  # vertex in grid-index space
+    p = max(d - 0.5, min(d + 0.5, p))
+    p = max(0.0, min(float(n_d - 1), p))
+    import math
+
+    lo = int(math.floor(p))
+    hi = min(lo + 1, n_d - 1)
+    w = p - lo
+    ln_lo = math.log(float(duration_grid[lo]))
+    ln_hi = math.log(float(duration_grid[hi]))
+    return math.exp((1.0 - w) * ln_lo + w * ln_hi)
+
+
 def note_arrays_to_sequence(
     onset_frames: Sequence[int],
     dur_frames: Sequence[int],
@@ -115,6 +157,9 @@ def note_arrays_to_sequence(
     hop: int,
     sample_rate: int,
     pitch_min: int = 21,
+    d_idx: Sequence[int] | None = None,
+    sd3: Sequence[Sequence[float]] | None = None,
+    duration_grid: Sequence[float] | None = None,
 ) -> NoteSequence:
     """Convert device-side note arrays to a host NoteSequence.
 
@@ -122,13 +167,29 @@ def note_arrays_to_sequence(
     on host at emission so TPU/CPU float-order differences cannot leak into
     onset ticks).  ``gains`` are least-squares template gains; velocity maps
     through a quantized log-ish curve that is robust to tiny float noise.
+
+    With ``d_idx``/``sd3``/``duration_grid`` (LoopConfig.refine_duration),
+    emitted durations are refined past the grid by
+    :func:`refined_duration_seconds`.
     """
     seq = NoteSequence()
     spf = hop / float(sample_rate)  # seconds per frame
     n = int(count)
+    refine = (d_idx is not None and sd3 is not None
+              and duration_grid is not None)
     for i in range(n):
         onset = float(int(onset_frames[i])) * spf
         dur = float(max(1, int(dur_frames[i]))) * spf
+        if refine:
+            r = refined_duration_seconds(
+                d_idx[i], sd3[i][0], sd3[i][1], sd3[i][2], duration_grid)
+            if r is not None:
+                # Snap to the frame lattice: durations stay frame-
+                # quantized like the grid path (a frame is ~32 ms, far
+                # inside the 50 ms offset tolerance), and rare one-bucket
+                # differences in sd3 between backends must also cross a
+                # frame boundary before they can move the emitted tick.
+                dur = float(max(1, round(r / spf))) * spf
         vel = gain_to_velocity(float(gains[i]))
         seq.add(onset, dur, int(pitches[i]) + pitch_min, vel,
                 int(programs[i]))

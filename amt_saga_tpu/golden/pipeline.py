@@ -142,6 +142,8 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
     pitch_i = np.zeros(cap, dtype=np.int32)
     gains = np.zeros(cap, dtype=np.float32)
     programs = np.zeros(cap, dtype=np.int32)
+    d_idx = np.zeros(cap, dtype=np.int32)
+    sd3 = np.zeros((cap, 3), dtype=np.float32)
 
     e0 = float(np.sum(np.square(res), dtype=np.float32))
     count = 0
@@ -241,15 +243,27 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
             pitch_i[count] = qp
             gains[count] = g_best
             programs[count] = qi
+            d_idx[count] = di
+            # Quantized scores at three consecutive grid indices (window
+            # shifted inward at boundaries) for host-side continuous
+            # duration refinement (mirror of saga/loop.py sd3; the shared
+            # f64 parabola in core.notes keeps MIDI parity).
+            if n_d >= 3:
+                m = min(max(di, 1), n_d - 2)
+                sd3[count] = (s_qdo[q, m - 1, oi], s_qdo[q, m, oi],
+                              s_qdo[q, m + 1, oi])
             count += 1
             any_acc = True
 
         if not any_acc:
             break
 
+    refine = loop.refine_duration
     seq = note_arrays_to_sequence(
         onset_f, dur_f, pitch_i, gains, programs, count,
-        hop=dsp.hop, sample_rate=dsp.sample_rate, pitch_min=synth.pitch_min)
+        hop=dsp.hop, sample_rate=dsp.sample_rate, pitch_min=synth.pitch_min,
+        d_idx=d_idx if refine else None, sd3=sd3 if refine else None,
+        duration_grid=synth.duration_grid if refine else None)
     e_final = float(np.sum(np.square(res), dtype=np.float32))
     return GoldenResult(seq, onset_f[:count], dur_f[:count], pitch_i[:count],
                         gains[:count], programs[:count], count, e_final)

@@ -57,8 +57,8 @@ def make_sharded_transcriber(cfg: Config, mesh: Mesh,
 def _notes_batch_structure():
     from ..saga.loop import NotesBatch
 
-    return NotesBatch(onset=0, dur=0, pitch=0, gain=0, program=0, count=0,
-                      residual_energy=0)
+    return NotesBatch(onset=0, dur=0, pitch=0, gain=0, program=0, d_idx=0,
+                      sd3=0, count=0, residual_energy=0)
 
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:

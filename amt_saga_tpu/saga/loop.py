@@ -127,6 +127,8 @@ class NotesBatch(NamedTuple):
     pitch: jnp.ndarray    # [B, cap] int32 pitch index (0-based)
     gain: jnp.ndarray     # [B, cap] float32
     program: jnp.ndarray  # [B, cap] int32 instrument index
+    d_idx: jnp.ndarray    # [B, cap] int32 duration-grid index
+    sd3: jnp.ndarray      # [B, cap, 3] float32 quantized scores at d-1,d,d+1
     count: jnp.ndarray    # [B] int32
     residual_energy: jnp.ndarray  # [B] float32
 
@@ -226,6 +228,13 @@ def _append_row(row: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray,
     """Masked append at position idx of a [cap] row."""
     cur = row[idx]
     return row.at[idx].set(jnp.where(acc, val.astype(row.dtype), cur))
+
+
+def _append_vec(rows: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray,
+                acc: jnp.ndarray) -> jnp.ndarray:
+    """Masked append of a [k] vector at position idx of [cap, k] rows."""
+    cur = rows[idx]
+    return rows.at[idx].set(jnp.where(acc, val.astype(rows.dtype), cur))
 
 
 def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
@@ -347,6 +356,21 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
             res_i, _ = subtract_pallas(res_i, w, gain_eff, t_best)
         else:
             res_i = jax.vmap(residual_subtract)(res_i, w, gain_eff, t_best)
+        # Winner's quantized scores at three consecutive duration-grid
+        # indices (window shifted inward at grid boundaries), recorded
+        # for the HOST-side continuous duration refinement (f64 parabola,
+        # shared with the golden path; see refined_duration_seconds).
+        def s_at(dd):
+            j = q_best * (n_d * n_o) + dd * n_o + o_best
+            return jnp.take_along_axis(s_flat, j[:, None], 1)[:, 0]
+
+        if n_d >= 3:
+            m = jnp.clip(d_best, 1, n_d - 2)
+            sd3_val = jnp.stack(
+                [s_at(m - 1), s_at(m), s_at(m + 1)], axis=1)  # [B, 3]
+        else:
+            sd3_val = jnp.zeros((b, 3), jnp.float32)
+
         idx = notes_i.count
         app = jax.vmap(_append_row)
         notes_i = notes_i._replace(
@@ -355,6 +379,8 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
             pitch=app(notes_i.pitch, idx, q_best % n_p, acc),
             gain=app(notes_i.gain, idx, g_best, acc),
             program=app(notes_i.program, idx, q_best // n_p, acc),
+            d_idx=app(notes_i.d_idx, idx, d_best, acc),
+            sd3=jax.vmap(_append_vec)(notes_i.sd3, idx, sd3_val, acc),
             count=notes_i.count + acc.astype(jnp.int32),
         )
         if n_k > 1:
@@ -396,6 +422,8 @@ def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
         pitch=jnp.zeros((b, cap), jnp.int32),
         gain=jnp.zeros((b, cap), jnp.float32),
         program=jnp.zeros((b, cap), jnp.int32),
+        d_idx=jnp.zeros((b, cap), jnp.int32),
+        sd3=jnp.zeros((b, cap, 3), jnp.float32),
         count=jnp.zeros((b,), jnp.int32),
         residual_energy=e0,
     )
@@ -462,6 +490,7 @@ class Transcriber:
 
 def notes_batch_to_sequences(notes: NotesBatch,
                              cfg: Config) -> list[NoteSequence]:
+    refine = cfg.loop.refine_duration
     out = []
     for b in range(notes.onset.shape[0]):
         out.append(note_arrays_to_sequence(
@@ -469,5 +498,8 @@ def notes_batch_to_sequences(notes: NotesBatch,
             np.asarray(notes.pitch[b]), np.asarray(notes.gain[b]),
             np.asarray(notes.program[b]), int(notes.count[b]),
             hop=cfg.dsp.hop, sample_rate=cfg.dsp.sample_rate,
-            pitch_min=cfg.synth.pitch_min))
+            pitch_min=cfg.synth.pitch_min,
+            d_idx=np.asarray(notes.d_idx[b]) if refine else None,
+            sd3=np.asarray(notes.sd3[b]) if refine else None,
+            duration_grid=cfg.synth.duration_grid if refine else None))
     return out

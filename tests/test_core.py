@@ -127,3 +127,81 @@ def test_midi_fuzz_roundtrip():
             assert (a.pitch, a.velocity, a.program) == (
                 b.pitch, b.velocity, b.program)
             assert abs(a.onset - b.onset) < 1.5e-3
+
+
+def _smf(events):
+    """Minimal type-0 SMF from [(tick, bytes), ...] events (no running
+    status), for exercising parser features our writer never emits."""
+    import struct
+
+    track = bytearray()
+    last = 0
+    for tick, ev in sorted(events, key=lambda e: e[0]):
+        delta = tick - last
+        out = [delta & 0x7F]
+        d = delta >> 7
+        while d:
+            out.append(0x80 | (d & 0x7F))
+            d >>= 7
+        track += bytes(reversed(out)) + ev
+        last = tick
+    track += b"\x00\xff\x2f\x00"
+    return (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480)
+            + b"MTrk" + struct.pack(">I", len(track)) + bytes(track))
+
+
+def test_cc64_sustain_extends_offsets():
+    # Pedal down at 0; note released at 0.5s but pedal held; re-struck at
+    # 0.75s; released again at 1.0s; pedal up at 1.5s.  MAESTRO-convention
+    # ground truth: note1 sustains until the re-strike (0.75s), note2
+    # until the pedal-up (1.5s).
+    data = _smf([
+        (0, bytes([0xB0, 64, 127])),
+        (0, bytes([0x90, 60, 80])),
+        (480, bytes([0x80, 60, 64])),
+        (720, bytes([0x90, 60, 80])),
+        (960, bytes([0x80, 60, 64])),
+        (1440, bytes([0xB0, 64, 0])),
+    ])
+    seq = midi_bytes_to_notes(data)
+    assert len(seq) == 2
+    n1, n2 = seq.notes
+    assert abs(n1.onset - 0.0) < 1e-9 and abs(n1.duration - 0.75) < 1e-9
+    assert abs(n2.onset - 0.75) < 1e-9 and abs(n2.duration - 0.75) < 1e-9
+    # Opt-out recovers the raw note-off times.
+    raw = midi_bytes_to_notes(data, sustain=False)
+    assert abs(raw.notes[0].duration - 0.5) < 1e-9
+    assert abs(raw.notes[1].duration - 0.25) < 1e-9
+
+
+def test_cc64_pedal_never_released_is_safe():
+    data = _smf([
+        (0, bytes([0xB0, 64, 127])),
+        (0, bytes([0x90, 60, 80])),
+        (480, bytes([0x80, 60, 64])),
+    ])
+    seq = midi_bytes_to_notes(data)
+    assert len(seq) == 1
+    assert abs(seq.notes[0].duration - 0.5) < 1e-9  # kept, not dropped
+
+
+def test_refined_duration_seconds():
+    from amt_saga_tpu.core.notes import refined_duration_seconds
+
+    grid = (0.25, 0.5, 1.0)
+    # Fewer than 3 grid entries: no refinement possible.
+    assert refined_duration_seconds(1, 1.0, 2.0, 1.0, (0.25, 0.5)) is None
+    # Interior symmetric peak: vertex at the grid point.
+    assert abs(refined_duration_seconds(1, 1.0, 2.0, 1.0, grid) - 0.5) < 1e-12
+    # Skewed toward the longer neighbor: between 0.5 and 1.0.
+    r = refined_duration_seconds(1, 1.0, 2.0, 1.9, grid)
+    assert 0.5 < r < 1.0
+    # Top boundary (d = D-1, samples shifted inward to indices 0,1,2):
+    # a true duration just below the longest grid entry refines downward.
+    r = refined_duration_seconds(2, 0.5, 1.8, 2.0, grid)
+    assert 0.5 < r < 1.0
+    # Vertex far beyond the grid: clamped to the longest entry.
+    r = refined_duration_seconds(2, 0.1, 1.2, 2.0, grid)
+    assert abs(r - 1.0) < 1e-12
+    # Not concave: no refinement.
+    assert refined_duration_seconds(1, 2.0, 2.0, 2.0, grid) is None

@@ -51,3 +51,47 @@ def test_offgrid_onsets(tiny_config, tiny_transcriber):
                       ref.shifted(shift / tiny_config.dsp.sample_rate)))
     r = corpus_f1(pairs)
     assert r.f1 >= 0.85, r
+
+
+def test_offgrid_durations_refined(tiny_config, tiny_transcriber):
+    """Continuous duration refinement (LoopConfig.refine_duration) must
+    recover off-grid durations better than grid snapping under the
+    offset criterion (VERDICT r1 #5)."""
+    import numpy as np
+
+    from amt_saga_tpu.core.notes import NoteSequence
+    from amt_saga_tpu.runtime.fixtures import render_notes
+
+    cfg = tiny_config
+    sr = cfg.dsp.sample_rate
+    spf = cfg.dsp.hop / sr
+    # Durations strictly between grid points (grid: 0.25, 0.5, 1.0).
+    rng = np.random.default_rng(42)
+    pairs = []
+    for s in range(3):
+        ref = NoteSequence()
+        frame = 6
+        for _ in range(4):
+            dur = float(rng.uniform(0.3, 0.9))
+            pitch = int(rng.integers(cfg.synth.pitch_min + 12,
+                                     cfg.synth.pitch_max - 12))
+            ref.add(frame * spf, dur, pitch, 96, 0)
+            frame += int(rng.integers(45, 55))
+        wave = render_notes(ref.sorted(), cfg, int(6.0 * sr))
+        pairs.append((tiny_transcriber.transcribe(wave), ref.sorted()))
+
+    refined = corpus_f1(pairs, with_offset=True)
+    onset_only = corpus_f1(pairs)
+    assert onset_only.f1 >= 0.9, onset_only
+    assert refined.f1 >= 0.80, refined
+
+    # The refinement must beat plain grid snapping on the same audio.
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    snap_cfg = cfg.override(**{"loop.refine_duration": False})
+    tr_snap = Transcriber(snap_cfg)
+    snap_pairs = [(tr_snap.transcribe(
+        render_notes(ref, cfg, int(6.0 * sr))), ref)
+        for _, ref in pairs]
+    snapped = corpus_f1(snap_pairs, with_offset=True)
+    assert refined.f1 >= snapped.f1, (refined, snapped)
