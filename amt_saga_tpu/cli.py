@@ -138,6 +138,13 @@ def cmd_transcribe_corpus(args) -> int:
     # recompiles; clips are padded with silence.  Header-only length scan —
     # the full decode happens once, inside the prefetching feeder.
     max_len = max(wav_length(p, cfg.dsp.sample_rate) for p in todo)
+    # Density bucketing: the batched while_loop runs max-over-lanes
+    # iterations, so order clips by estimated note density — each batch
+    # then groups similar clips and sparse clips stop paying for dense
+    # ones.  The estimate is a strided mmap read (no decode).
+    from .dsp.audio import estimate_onset_density
+
+    todo = sorted(todo, key=lambda p: (estimate_onset_density(p), p))
 
     def gen_batches():
         for i in range(0, len(todo), bs):
@@ -251,12 +258,56 @@ def cmd_fixtures(args) -> int:
     return 0
 
 
+def _pallas_gate(cfg) -> dict:
+    """On-device Pallas kernel gate (SURVEY.md §4.2/§4.6): K1 vs the rfft
+    path within documented tolerance, K2 bit-exact vs the jnp subtract —
+    compiled through Mosaic on the REAL device (CI only runs the kernels
+    in interpreter mode on the CPU backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .dsp.cqt import logf_spectrogram
+    from .dsp.stft import stft_magnitude
+    from .ops.spectrogram_pallas import spectrogram_pallas
+    from .ops.subtract_pallas import subtract_pallas
+    from .runtime.fixtures import make_clip
+
+    wave, _ = make_clip(cfg, kind="mus", seconds=3.0, n_voices=2, seed=7)
+    w = jnp.asarray(np.stack([wave, wave * 0.3]))
+    ref = np.asarray(logf_spectrogram(
+        jax.vmap(lambda x: stft_magnitude(x, cfg.dsp))(w), cfg.dsp))
+    out = np.asarray(spectrogram_pallas(w, cfg.dsp))
+    k1_err = float(np.max(np.abs(out - ref)) / max(np.max(ref), 1e-9))
+    k1_ok = k1_err < 1e-3
+
+    rng = np.random.default_rng(7)
+    b, tp, f, tmax = 4, 64, 256, 16
+    res = jnp.asarray(np.abs(rng.standard_normal((b, tp, f))
+                             ).astype(np.float32))
+    tw = jnp.asarray(np.abs(rng.standard_normal((b, tmax, f))
+                            ).astype(np.float32))
+    g = jnp.asarray(np.array([0.7, 0.0, 2.0, 0.4], np.float32))
+    t0 = jnp.asarray(np.array([0, 5, 24, 40], np.int32))
+    new, _removed = subtract_pallas(res, tw, g, t0)
+    exp = np.asarray(res).copy()
+    for i in range(b):
+        win = exp[i, int(t0[i]):int(t0[i]) + tmax]
+        exp[i, int(t0[i]):int(t0[i]) + tmax] = np.maximum(
+            win - float(g[i]) * np.asarray(tw)[i], 0.0)
+    k2_ok = bool(np.array_equal(np.asarray(new), exp))
+    return {"case": "pallas_gate", "k1_rel_err": round(k1_err, 8),
+            "k1_ok": k1_ok, "k2_bit_exact": k2_ok,
+            "backend": jax.default_backend(), "ok": k1_ok and k2_ok}
+
+
 def cmd_selftest(args) -> int:
     """Golden-oracle parity + accuracy self-check on synthetic fixtures.
 
     Verifies on THIS machine's device that the jitted pipeline emits
     byte-identical MIDI to the golden CPU oracle and recovers clean
-    fixtures at F1=1.0 (the BASELINE.json parity contract).
+    fixtures at F1=1.0 (the BASELINE.json parity contract).  With
+    ``--on-chip``, also gates the Pallas kernels compiled through Mosaic
+    on the real device (K1 tolerance, K2 bit-exactness).
     """
     cfg = load_config(args)
     from .core.midi import notes_to_midi_bytes
@@ -281,6 +332,10 @@ def cmd_selftest(args) -> int:
         results.append({"case": f"{kind}#{i}", "notes": len(pred),
                         "f1": round(f1, 4), "midi_parity": parity,
                         "ok": ok})
+    if getattr(args, "on_chip", False):
+        gate = _pallas_gate(cfg)
+        failures += not gate["ok"]
+        results.append(gate)
     print(json.dumps({"selftest": "pass" if failures == 0 else "FAIL",
                       "cases": results}))
     return 1 if failures else 0
@@ -377,6 +432,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "machine's device")
     p.add_argument("--seconds", type=float, default=4.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--on-chip", action="store_true",
+                   help="also gate the Pallas kernels compiled through "
+                        "Mosaic on the real device (K1 tolerance, K2 "
+                        "bit-exactness)")
     _add_common(p)
     p.set_defaults(fn=cmd_selftest)
 

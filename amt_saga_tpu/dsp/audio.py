@@ -47,6 +47,39 @@ def wav_length(path: str, sample_rate: int | None = None) -> int:
     return n
 
 
+def estimate_onset_density(path: str, target_rate: int = 4000) -> float:
+    """Cheap onsets-per-second estimate straight off the WAV (mmap read,
+    strided — no resample, no full decode).
+
+    Rectified energy-flux peak count on ~32 ms windows.  Used by the
+    corpus runner to order clips so lockstep batches group clips of
+    similar note density — the batched while_loop runs max-over-lanes
+    iterations, so one dense clip in a sparse batch wastes the whole
+    batch's time (SURVEY.md §2.3 DP row).
+    """
+    sr, data = wavfile.read(path, mmap=True)
+    if data.ndim == 2:
+        data = data[:, 0]
+    stride = max(1, sr // target_rate)
+    x = np.asarray(data[::stride], dtype=np.float32)
+    eff_sr = sr / stride
+    win = max(1, int(eff_sr * 0.032))
+    n = len(x) // win
+    if n < 3:
+        return 0.0
+    e = np.square(x[:n * win].reshape(n, win)).mean(axis=1)
+    flux = np.maximum(np.diff(e), 0.0)
+    peak = float(flux.max())
+    if peak <= 0.0:
+        return 0.0
+    # Count flux peaks above a tenth of the clip max — robust to absolute
+    # level, biased high on noisy audio (harmless: ordering only).
+    onsets = int(np.sum((flux[1:-1] > 0.1 * peak)
+                        & (flux[1:-1] >= flux[:-2])
+                        & (flux[1:-1] >= flux[2:])))
+    return onsets / (n * win / eff_sr)
+
+
 def save_wav(path: str, wave: np.ndarray, sample_rate: int) -> None:
     wave = np.asarray(wave, dtype=np.float32)
     peak = np.max(np.abs(wave)) if wave.size else 0.0

@@ -216,6 +216,7 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
         it = batch_iterator(cfg, seconds=seconds, kind=kind,
                             seed=cfg.train.seed, noise=noise, prefetch=2)
     mw = metrics or MetricsWriter()
+    every = max(1, cfg.train.checkpoint_every)
     for i in range(steps):
         batch = next(it)
         state, m = train_step(state, batch, cfg, model, tx)
@@ -223,6 +224,13 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
             m = {k: float(v) for k, v in m.items()}
             mw.write({"event": "train_step", "step": i, **m})
             log.info("step %d loss %.4f", i, m["loss"])
+        if checkpoint and (i + 1) % every == 0 and i != steps - 1:
+            # Periodic mid-flight checkpoint (TrainConfig.checkpoint_every):
+            # a long run that dies resumes from the last one instead of
+            # losing everything.
+            path = save_checkpoint(cfg, state)
+            mw.write({"event": "checkpoint", "path": path,
+                      "step": int(state.step)})
     if checkpoint:
         path = save_checkpoint(cfg, state)
         mw.write({"event": "checkpoint", "path": path,

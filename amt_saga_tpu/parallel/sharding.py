@@ -42,8 +42,10 @@ def make_sharded_transcriber(cfg: Config, mesh: Mesh,
     """
     in_s = data_sharding(mesh, 2)
     repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), tmpl)
-    out_s = jax.tree.map(lambda _: NamedSharding(mesh, P(DATA_AXIS)),
-                         _notes_batch_structure())
+    batch_dim = NamedSharding(mesh, P(DATA_AXIS))
+    out_s = jax.tree.map(lambda _: batch_dim, _notes_batch_structure())
+    # `iterations` is a batch-independent scalar: replicated, not sharded.
+    out_s = out_s._replace(iterations=NamedSharding(mesh, P()))
 
     fn = jax.jit(
         lambda waves, t: transcribe_waves(waves, cfg, t, score_fn),
@@ -58,7 +60,8 @@ def _notes_batch_structure():
     from ..saga.loop import NotesBatch
 
     return NotesBatch(onset=0, dur=0, pitch=0, gain=0, program=0, d_idx=0,
-                      sd3=0, count=0, residual_energy=0)
+                      sd3=0, count=0, residual_energy=0, poison=0,
+                      iterations=0)
 
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:

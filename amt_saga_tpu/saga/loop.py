@@ -131,6 +131,12 @@ class NotesBatch(NamedTuple):
     sd3: jnp.ndarray      # [B, cap, 3] float32 quantized scores at d-1,d,d+1
     count: jnp.ndarray    # [B] int32
     residual_energy: jnp.ndarray  # [B] float32
+    # Sanitizer state (SURVEY.md §5): a lane whose residual energy or
+    # candidate dots go non-finite is POISONED — it stops extracting and
+    # the host emits an empty sequence + a logged event instead of silent
+    # garbage notes.
+    poison: jnp.ndarray   # [B] bool
+    iterations: jnp.ndarray  # [] int32 while_loop trip count (for MFU)
 
 
 class _Carry(NamedTuple):
@@ -310,6 +316,15 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
                         precision=hi, preferred_element_type=jnp.float32)
     dots0 = dots0.reshape(b, n_k, n_o, n_q * n_d)             # [B,K,O,QD]
 
+    # Sanitizer (SURVEY.md §5): a non-finite residual energy or candidate
+    # dot poisons the lane — it stops extracting (masked out of `active`)
+    # and is flagged for the host instead of feeding NaNs into the greedy
+    # argmax (whose NaN comparisons would silently mis-select).
+    lane_finite = jnp.isfinite(e_cur) & jnp.all(
+        jnp.isfinite(dots0), axis=(1, 2, 3))
+    poison = notes.poison | (~lane_finite & ~carry.done)
+    active = active & lane_finite
+
     def extract_i(i, state):
         res_i, notes_i, dots_i, any_acc = state
         dots = dots_i[:, i]                                   # [B, O, QD]
@@ -401,7 +416,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
             0, n_k, extract_i,
             (res, notes, dots0, jnp.zeros((b,), bool)))
     notes_new = notes_new._replace(
-        residual_energy=residual_energy(res_new))
+        residual_energy=residual_energy(res_new), poison=poison)
     return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,
                   carry.it + 1)
 
@@ -426,6 +441,8 @@ def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
         sd3=jnp.zeros((b, cap, 3), jnp.float32),
         count=jnp.zeros((b,), jnp.int32),
         residual_energy=e0,
+        poison=jnp.zeros((b,), bool),
+        iterations=jnp.zeros((), jnp.int32),
     )
     carry0 = _Carry(res, notes0, jnp.zeros((b,), bool), e0,
                     jnp.zeros((), jnp.int32))
@@ -441,7 +458,7 @@ def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
                    score_fn=score_fn)
     out = jax.lax.while_loop(
         lambda c: (c.it < cap) & jnp.any(~c.done), body, carry0)
-    return out.notes
+    return out.notes._replace(iterations=out.it)
 
 
 def transcribe_waves(waves: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
@@ -491,8 +508,20 @@ class Transcriber:
 def notes_batch_to_sequences(notes: NotesBatch,
                              cfg: Config) -> list[NoteSequence]:
     refine = cfg.loop.refine_duration
+    poison = np.asarray(notes.poison)
     out = []
     for b in range(notes.onset.shape[0]):
+        if poison[b]:
+            # Sanitizer: non-finite values were detected in this lane on
+            # device — emit an empty sequence + a logged event instead of
+            # whatever partial garbage preceded the NaN (SURVEY.md §5).
+            from ..utils.logging import get_logger
+
+            get_logger("amt_saga_tpu.saga").warning(
+                "lane %d poisoned (non-finite residual/scores); "
+                "emitting empty sequence", b)
+            out.append(NoteSequence())
+            continue
         out.append(note_arrays_to_sequence(
             np.asarray(notes.onset[b]), np.asarray(notes.dur[b]),
             np.asarray(notes.pitch[b]), np.asarray(notes.gain[b]),

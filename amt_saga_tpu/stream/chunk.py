@@ -136,17 +136,38 @@ def stitch(
 
 def transcribe_long(wave: np.ndarray, transcriber, cfg: Config,
                     batch_size: int | None = None) -> NoteSequence:
-    """Full chunked pipeline: chunk -> batched transcribe -> stitch."""
+    """Full chunked pipeline: chunk -> batched transcribe -> stitch.
+
+    Pipelined like the corpus runner (cli.py): batch i+1 is dispatched
+    BEFORE batch i's results are fetched, so JAX's async dispatch overlaps
+    device compute with the host-side note conversion — a long MAESTRO
+    recording streams at the chip's sustained (not sequential-latency)
+    throughput.
+    """
+    import jax
+
+    from ..saga.loop import notes_batch_to_sequences
+
     chunks, starts = make_chunks(np.asarray(wave, dtype=np.float32), cfg)
     bs = batch_size or cfg.run.batch_size
     seqs: list[NoteSequence] = []
+
+    def fetch(pending, n_keep):
+        host = jax.device_get(pending)
+        seqs.extend(notes_batch_to_sequences(host, cfg)[:n_keep])
+
+    pending = None  # (device NotesBatch, n_real_chunks_in_batch)
     for i in range(0, len(chunks), bs):
         batch = chunks[i:i + bs]
-        if len(batch) < bs and len(chunks) > bs:
+        n_real = len(batch)
+        if n_real < bs and len(chunks) > bs:
             # pad the tail batch so one compiled program serves all batches
-            pad = np.zeros((bs - len(batch), chunks.shape[1]), np.float32)
-            padded = np.concatenate([batch, pad])
-            seqs.extend(transcriber.transcribe_batch(padded)[:len(batch)])
-        else:
-            seqs.extend(transcriber.transcribe_batch(batch))
+            pad = np.zeros((bs - n_real, chunks.shape[1]), np.float32)
+            batch = np.concatenate([batch, pad])
+        notes = transcriber._fn(jax.numpy.asarray(batch))  # async dispatch
+        if pending is not None:
+            fetch(*pending)
+        pending = (notes, n_real)
+    if pending is not None:
+        fetch(*pending)
     return stitch(seqs, starts, cfg)

@@ -28,6 +28,39 @@ import numpy as np
 # golden path, default config, 4x10s clips (2 ISOL + 2 MUS), warm caches.
 GOLDEN_CPU_AUDIO_SEC_PER_SEC = 31.0
 
+# TPU v5e (v5 lite) peak: ~197 TFLOP/s bf16 on the MXU.  The pipeline's
+# hot matmuls run at Precision.HIGHEST (six bf16 passes per f32 product
+# for the parity contract), so the achievable f32 matmul rate is ~1/6 of
+# bf16 peak; MFU below is logical-f32-FLOPs / that f32 ceiling.
+PEAK_BF16_FLOPS = 197e12
+F32_PASSES = 6
+
+
+def _loop_flops(cfg, batch: int, n_samples: int, iterations: int) -> float:
+    """Logical f32 FLOPs of the transcription program (SURVEY.md §6).
+
+    Counts the MXU work analytically: the per-iteration coarse matched
+    filter (two full-residual matmuls) and the batched candidate-dots
+    matmul, times the measured while_loop trip count, plus the one-time
+    spectrogram front-end.  Gathers/elementwise are ignored (<5%).
+    """
+    from amt_saga_tpu.synth.templates import template_lead
+
+    dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
+    t = dsp.num_frames(n_samples)
+    tp = t + template_lead(dsp) + synth.template_frames + 8
+    f = dsp.n_bins + (-dsp.n_bins) % 128 if cfg.run.use_pallas else dsp.n_bins
+    q = synth.n_instruments * synth.n_pitches
+    n_d = len(synth.duration_grid)
+    qd = q * n_d
+    m = synth.template_frames * f
+    k, o = max(1, loop.n_extract), 3
+    coarse = 2.0 * batch * tp * f * q + 2.0 * t * tp * batch * q
+    dots = 2.0 * batch * k * o * m * qd
+    spec = 2.0 * batch * t * dsp.n_fft * (dsp.n_fft // 2 + 1) * 2 \
+        + 2.0 * batch * t * (dsp.n_fft // 2 + 1) * dsp.n_bins
+    return iterations * (coarse + dots) + spec
+
 
 def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
     from amt_saga_tpu.runtime.fixtures import make_clip
@@ -85,6 +118,10 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
     audio_sec = batch * seconds
     value = audio_sec / pipe_wall
     total_notes = int(np.sum(np.asarray(notes.count)))
+    iterations = int(np.asarray(notes.iterations))
+    flops = _loop_flops(cfg, batch, waves.shape[1], iterations)
+    tflops_s = flops / pipe_wall / 1e12
+    mfu = tflops_s * 1e12 / (PEAK_BF16_FLOPS / F32_PASSES)
     return {
         "metric": "transcription_throughput",
         "value": round(value, 2),
@@ -97,6 +134,10 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
             "sequential_wall_s": round(seq_wall, 4),
             "compile_s": round(compile_s, 1),
             "notes_emitted": total_notes,
+            "iterations": iterations,
+            "logical_gflops": round(flops / 1e9, 1),
+            "logical_tflops_per_s": round(tflops_s, 2),
+            "mfu": round(mfu, 4),
             "device": str(jax.devices()[0]),
             "baseline_cpu_audio_sec_per_sec": GOLDEN_CPU_AUDIO_SEC_PER_SEC,
         },

@@ -129,3 +129,20 @@ def test_residual_ops(tiny_config):
     np.testing.assert_array_equal(np.asarray(same), np.asarray(res))
     assert bool(is_silent(jnp.zeros((4, 4)), jnp.float32(1.0), 1e-3))
     assert not bool(is_silent(res, e0, 1e-3))
+
+
+def test_estimate_onset_density_orders_clips(tmp_path, tiny_config):
+    from amt_saga_tpu.dsp.audio import estimate_onset_density
+    from amt_saga_tpu.runtime.fixtures import make_clip
+
+    cfg = tiny_config
+    sparse, _ = make_clip(cfg, kind="isol", seconds=6.0, n_notes=3, seed=1)
+    dense, _ = make_clip(cfg, kind="mus", seconds=6.0, n_voices=4, seed=1)
+    sp = str(tmp_path / "sparse.wav")
+    dp = str(tmp_path / "dense.wav")
+    save_wav(sp, sparse, cfg.dsp.sample_rate)
+    save_wav(dp, dense, cfg.dsp.sample_rate)
+    assert estimate_onset_density(dp) > estimate_onset_density(sp)
+    silent = str(tmp_path / "silent.wav")
+    save_wav(silent, np.zeros(8000, np.float32), cfg.dsp.sample_rate)
+    assert estimate_onset_density(silent) == 0.0

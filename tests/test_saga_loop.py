@@ -99,3 +99,26 @@ def test_decision_quantizers_bit_identical():
     x = np.sort(rng.standard_normal(500).astype(np.float32))
     q = quantize_decisions_np(x)
     assert np.all(np.diff(q) >= 0)
+
+
+def test_nan_lane_poisoned_not_garbage(tiny_config, tiny_transcriber):
+    """Sanitizer (SURVEY.md §5): a NaN-injected lane degrades to an empty
+    sequence + poison flag; clean lanes in the same batch are unaffected."""
+    import jax
+    import numpy as np
+
+    from amt_saga_tpu.runtime.fixtures import make_clip
+    from amt_saga_tpu.saga.loop import notes_batch_to_sequences
+
+    cfg = tiny_config
+    clean, ref = make_clip(cfg, kind="isol", seconds=4.0, n_notes=3, seed=3)
+    bad = clean.copy()
+    bad[len(bad) // 2] = np.nan
+    notes = jax.device_get(tiny_transcriber._fn(
+        jax.numpy.asarray(np.stack([clean, bad]))))
+    assert not bool(notes.poison[0])
+    assert bool(notes.poison[1])
+    seqs = notes_batch_to_sequences(notes, cfg)
+    assert len(seqs[0]) > 0      # clean lane transcribed normally
+    assert len(seqs[1]) == 0     # poisoned lane emits empty, not garbage
+    assert int(notes.iterations) >= 1
