@@ -50,6 +50,24 @@ def load_config(args) -> Config:
     return cfg
 
 
+def _synth_checkpoint_path(cfg: Config) -> str:
+    return os.environ.get("AMT_SYNTH_CHECKPOINT") or os.path.join(
+        cfg.train.checkpoint_dir, "synth.msgpack")
+
+
+def _load_neural_tmpl(cfg: Config):
+    from .models.synth_decoder import load_synth, neural_template_arrays
+
+    path = _synth_checkpoint_path(cfg)
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"run.synth=neural but no decoder checkpoint at {path!r} "
+            "(run `train-synth` first, or set AMT_SYNTH_CHECKPOINT)")
+    trained = load_synth(cfg, path)
+    log.info("using neural synthesizer bank from %s", path)
+    return neural_template_arrays(cfg, trained)
+
+
 def _make_transcriber(cfg: Config):
     from .saga.loop import Transcriber
 
@@ -57,6 +75,11 @@ def _make_transcriber(cfg: Config):
         raise SystemExit(
             f"unknown run.classifier {cfg.run.classifier!r} "
             "(expected 'heuristic' or 'cnn')")
+    if cfg.run.synth not in ("analytic", "neural"):
+        raise SystemExit(
+            f"unknown run.synth {cfg.run.synth!r} "
+            "(expected 'analytic' or 'neural')")
+    tmpl = _load_neural_tmpl(cfg) if cfg.run.synth == "neural" else None
     score_fn = None
     if cfg.run.classifier == "cnn":
         ckpt = os.environ.get("AMT_CHECKPOINT") or os.path.join(
@@ -75,9 +98,12 @@ def _make_transcriber(cfg: Config):
         params = load_checkpoint(cfg, steps[-1])
         log.info("using CNN classifier from %s", steps[-1])
         score_fn = make_cnn_score_fn(cfg, params)
-    if score_fn is None:
-        return Transcriber(cfg)
-    return Transcriber(cfg, score_fn=score_fn)
+    kw = {}
+    if tmpl is not None:
+        kw["tmpl"] = tmpl
+    if score_fn is not None:
+        kw["score_fn"] = score_fn
+    return Transcriber(cfg, **kw)
 
 
 def cmd_transcribe(args) -> int:
@@ -214,6 +240,21 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_train_synth(args) -> int:
+    """Train the SING-style neural synthesizer on rendered-audio targets
+    (SURVEY.md Lsynth/C8) and save the decoder checkpoint."""
+    cfg = load_config(args)
+    from .models.synth_decoder import save_synth, train_on_audio
+
+    trained = train_on_audio(cfg, steps=args.steps, variants=args.variants,
+                             seed=args.seed)
+    out = args.out or _synth_checkpoint_path(cfg)
+    save_synth(trained, out)
+    print(json.dumps({"synth_checkpoint": out,
+                      "holdout_mse": round(trained["holdout_mse"], 6)}))
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     cfg = load_config(args)
     from .core.midi import read_midi
@@ -316,6 +357,14 @@ def cmd_selftest(args) -> int:
     from .runtime.fixtures import make_clip
 
     tr = _make_transcriber(cfg)
+    golden_atoms = None
+    if cfg.run.synth == "neural":
+        # Parity is bank-agnostic: run the golden oracle on the SAME
+        # neural bank the transcriber uses.
+        from .models.synth_decoder import load_synth, neural_atoms
+
+        golden_atoms = neural_atoms(
+            cfg, load_synth(cfg, _synth_checkpoint_path(cfg)))
     cases = [("isol", dict(n_notes=4)), ("mus", dict(n_voices=2)),
              ("mus", dict(n_voices=4))]
     failures = 0
@@ -324,10 +373,17 @@ def cmd_selftest(args) -> int:
         wave, ref = make_clip(cfg, kind=kind, seconds=args.seconds,
                               seed=args.seed + i, **kw)
         pred = tr.transcribe(wave)
-        gold = transcribe_golden(wave, cfg).sequence
+        gold = transcribe_golden(wave, cfg, atoms=golden_atoms).sequence
         parity = notes_to_midi_bytes(pred) == notes_to_midi_bytes(gold)
         f1 = note_f1(pred, ref).f1
-        ok = parity and (f1 == 1.0 if kind == "isol" else f1 >= 0.7)
+        # Clean isol fixtures are exactly representable only by the
+        # analytic bank (they are rendered from it); the neural bank is
+        # held to a high-but-inexact bar.  MIDI parity binds either way.
+        if kind == "isol":
+            f1_bar = 1.0 if cfg.run.synth == "analytic" else 0.9
+            ok = parity and f1 >= f1_bar
+        else:
+            ok = parity and f1 >= 0.7
         failures += not ok
         results.append({"case": f"{kind}#{i}", "notes": len(pred),
                         "f1": round(f1, 4), "midi_parity": parity,
@@ -405,6 +461,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics", help="metrics JSONL path (default stderr)")
     _add_common(p)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("train-synth",
+                       help="train the neural synthesizer decoder on "
+                            "rendered-audio targets")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--variants", type=int, default=3,
+                   help="perturbed renders per (instr, pitch, dur) symbol")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", help="checkpoint path (default: "
+                                 "<train.checkpoint_dir>/synth.msgpack)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_train_synth)
 
     p = sub.add_parser("evaluate",
                        help="note-event F1 of predicted vs reference MIDI")

@@ -174,6 +174,11 @@ class RunConfig:
     model_parallel: int = 1
     use_pallas: bool = False  # swap Pallas kernels in for the jnp paths
     classifier: str = "heuristic"  # "heuristic" | "cnn"
+    # Template bank source: "analytic" = damped-harmonic renders
+    # (synth/templates.py); "neural" = the SING-style decoder's generated
+    # bank (models/synth_decoder.py, trained with `train-synth`, loaded
+    # from AMT_SYNTH_CHECKPOINT or <train.checkpoint_dir>/synth.msgpack).
+    synth: str = "analytic"  # "analytic" | "neural"
     profile: bool = False
     # MXU precision for the two hot matmuls (coarse matched filter and
     # candidate dots).  "highest" (full f32) keeps TPU-vs-golden score
@@ -213,7 +218,10 @@ class Config:
             for f in dataclasses.fields(tp):
                 if f.name in sub:
                     v = sub[f.name]
-                    if dataclasses.is_dataclass(f.type) or f.name in _SUBCONFIGS:
+                    # Subconfig trees hang off the ROOT Config only; a
+                    # leaf field that happens to share a subconfig's name
+                    # (e.g. RunConfig.synth) must stay a plain value.
+                    if tp is cls and f.name in _SUBCONFIGS:
                         kwargs[f.name] = build(_SUBCONFIGS[f.name], v)
                     elif isinstance(v, list):
                         kwargs[f.name] = tuple(v)

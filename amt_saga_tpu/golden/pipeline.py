@@ -113,7 +113,12 @@ def _coarse_scores(res: np.ndarray, env: np.ndarray, prof_flat: np.ndarray,
     return out
 
 
-def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
+def transcribe_golden(wave: np.ndarray, cfg: Config,
+                      atoms: dict | None = None) -> GoldenResult:
+    """Golden-oracle transcription.  ``atoms`` optionally overrides the
+    template bank (keys bank/norms/prof/env in the analytic shapes, e.g.
+    models.synth_decoder.neural_atoms) — the parity contract is about
+    the ALGORITHM, not one particular bank."""
     dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
     spec = spectrogram_np(np.asarray(wave, dtype=np.float32), dsp)
     n_frames = spec.shape[0]
@@ -127,10 +132,14 @@ def transcribe_golden(wave: np.ndarray, cfg: Config) -> GoldenResult:
         np.zeros((tmax, spec.shape[1]), dtype=np.float32),
     ], axis=0)
 
-    bank = template_bank(synth, dsp)          # [I, P, D, Tmax, F]
-    norms = template_sq_norms(synth, dsp)     # [I, P, D]
-    prof = spectral_profiles(synth, dsp)      # [I, P, F]
-    env = onset_envelope(synth, dsp)          # [Tmax]
+    if atoms is None:
+        bank = template_bank(synth, dsp)          # [I, P, D, Tmax, F]
+        norms = template_sq_norms(synth, dsp)     # [I, P, D]
+        prof = spectral_profiles(synth, dsp)      # [I, P, F]
+        env = onset_envelope(synth, dsp)          # [Tmax]
+    else:
+        bank, norms = atoms["bank"], atoms["norms"]
+        prof, env = atoms["prof"], atoms["env"]
     durs = duration_grid_frames(synth, dsp)   # [D]
 
     n_i, n_p, n_d = bank.shape[:3]

@@ -14,9 +14,18 @@ correction, combined as ``profile x envelope + sum_r u_r x v_r``.  The
 factorization matches the physics (harmonic stack x decay) and keeps the
 parameter count small.
 
-Training: supervised distillation to the analytic template bank (the
-environment has no real instrument corpora — SURVEY.md §4.3); with real
-data the same decoder trains against measured note spectrograms.
+Training — two regimes:
+
+* :func:`train_on_audio` (the real path, VERDICT r1 #4): targets are
+  spectrograms of RENDERED AUDIO (``note_waveform`` through the same
+  STFT), with randomized velocity, additive noise, and timbre
+  perturbations (decay / rolloff / release jitter), and a held-out
+  (pitch, duration) combo set measuring generalization.  The decoder
+  learns an average-timbre atom that degrades less under template
+  mismatch than the exact analytic atom.  With real instrument corpora
+  the same loop trains against measured note spectrograms.
+* :func:`distill` (legacy/baseline): supervised distillation straight to
+  the analytic template bank.
 """
 
 from __future__ import annotations
@@ -34,8 +43,6 @@ from ..utils.logging import get_logger
 
 log = get_logger(__name__)
 
-LOW_RANK = 4
-
 
 class SynthDecoder(nn.Module):
     """(instrument, pitch, duration) -> linear-magnitude patch [Tmax, F]."""
@@ -45,7 +52,8 @@ class SynthDecoder(nn.Module):
     n_durations: int
     tmax: int
     n_bins: int
-    hidden: int = 128
+    hidden: int = 192
+    rank: int = 8
 
     @nn.compact
     def __call__(self, instrument: jnp.ndarray, pitch: jnp.ndarray,
@@ -58,7 +66,7 @@ class SynthDecoder(nn.Module):
         h = nn.relu(nn.Dense(self.hidden, name="fc1")(e))
         h = nn.relu(nn.Dense(self.hidden, name="fc2")(h))
 
-        r = LOW_RANK
+        r = self.rank
         profile = nn.softplus(nn.Dense(self.n_bins, name="profile")(h))
         envelope = nn.softplus(nn.Dense(self.tmax, name="envelope")(h))
         u = nn.Dense(self.tmax * r, name="u")(h).reshape(
@@ -129,6 +137,158 @@ def distill(cfg: Config, *, steps: int = 2000, learning_rate: float = 3e-3,
     return {"params": params, "scale": scale}
 
 
+def _render_perturbed_target(cfg: Config, rng: np.random.Generator,
+                             instrument: int, pitch_idx: int,
+                             dur_idx: int) -> np.ndarray:
+    """One randomized audio render -> amplitude-normalized patch [Tmax, F].
+
+    Perturbs the synthesis physics (decay, release, rolloff), velocity
+    (amplitude), and adds noise — so the target is what a REAL note of
+    that symbol might look like, not the bank atom itself.
+    """
+    import dataclasses
+
+    from ..golden.dsp_np import spectrogram_np
+    from ..synth.templates import (
+        note_waveform,
+        template_lead,
+        template_length_samples,
+    )
+
+    synth = cfg.synth
+    # Perturbation widths swept empirically (round 2): this "tight"
+    # setting (decay/release x0.8-1.25, rolloff +-0.2, noise <=1%)
+    # produced a bank that beats the analytic one on BOTH the clean and
+    # the template-mismatch robustness suites; wider ranges (x0.6-1.4)
+    # blurred the atoms enough to cost precision.
+    rolls = tuple(
+        max(0.3, r + float(rng.uniform(-0.2, 0.2)))
+        for r in synth.instrument_rolloffs)
+    pert = dataclasses.replace(
+        synth,
+        decay_seconds=synth.decay_seconds * float(rng.uniform(0.8, 1.25)),
+        release_seconds=synth.release_seconds * float(rng.uniform(0.8, 1.25)),
+        instrument_rolloffs=rolls,
+    )
+    amplitude = float(rng.uniform(0.25, 1.0))
+    n_samp = template_length_samples(synth, cfg.dsp)
+    lead_samp = template_lead(cfg.dsp) * cfg.dsp.hop
+    nw = note_waveform(synth.pitch_min + pitch_idx,
+                       float(synth.duration_grid[dur_idx]), pert, cfg.dsp,
+                       amplitude=amplitude, instrument=instrument)
+    buf = np.zeros(n_samp, dtype=np.float32)
+    m = min(len(nw), n_samp - lead_samp)
+    buf[lead_samp:lead_samp + m] = nw[:m]
+    noise = float(rng.uniform(0.0, 0.01)) * amplitude
+    if noise > 0:
+        buf = buf + noise * rng.standard_normal(n_samp).astype(np.float32)
+    return spectrogram_np(buf, cfg.dsp, pad=False) / amplitude
+
+
+def train_on_audio(cfg: Config, *, steps: int = 2000,
+                   variants: int = 3, batch_size: int = 128,
+                   learning_rate: float = 3e-3, seed: int = 0,
+                   holdout_every: int = 7, log_every: int = 200) -> Any:
+    """Train the decoder against rendered-audio spectrogram targets.
+
+    Builds a dataset of ``variants`` perturbed renders per (instrument,
+    pitch, duration) symbol, HOLDS OUT every ``holdout_every``-th
+    (pitch, duration) combo from training, and reports the held-out
+    reconstruction error — the decoder must generalize through its
+    embeddings, not memorize atoms.  Returns
+    {"params", "scale", "holdout_mse"}.
+    """
+    rng = np.random.default_rng(seed)
+    n_i = cfg.synth.n_instruments
+    n_p = cfg.synth.n_pitches
+    n_d = len(cfg.synth.duration_grid)
+
+    sym, pats = [], []
+    for i in range(n_i):
+        for p in range(n_p):
+            for d in range(n_d):
+                for _ in range(variants):
+                    sym.append((i, p, d))
+                    pats.append(_render_perturbed_target(cfg, rng, i, p, d))
+    sym = np.asarray(sym, dtype=np.int32)
+    pats = np.stack(pats)
+    scale = float(np.max(pats))
+    targets = np.sqrt(pats / scale)  # sqrt-magnitude space (see distill)
+
+    combo = sym[:, 1] * n_d + sym[:, 2]
+    held = (combo % holdout_every) == 0
+    tr_idx = np.nonzero(~held)[0]
+    ho_idx = np.nonzero(held)[0]
+
+    model = build_decoder(cfg)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+    tx = optax.adam(optax.cosine_decay_schedule(learning_rate, steps))
+    opt_state = tx.init(params)
+
+    dev_sym = jnp.asarray(sym)
+    dev_targets = jnp.asarray(targets)
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        def loss_fn(p):
+            s = dev_sym[idx]
+            pred = model.apply(p, s[:, 0], s[:, 1], s[:, 2])
+            return jnp.mean(jnp.square(pred - dev_targets[idx]))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        idx = jnp.asarray(rng.choice(tr_idx, size=batch_size))
+        params, opt_state, loss = step(params, opt_state, idx)
+        if i % log_every == 0 or i == steps - 1:
+            log.info("synth audio-train step %d loss %.6f", i, float(loss))
+
+    @jax.jit
+    def eval_mse(params, idx):
+        s = dev_sym[idx]
+        pred = model.apply(params, s[:, 0], s[:, 1], s[:, 2])
+        return jnp.mean(jnp.square(pred - dev_targets[idx]))
+
+    holdout_mse = (float(eval_mse(params, jnp.asarray(ho_idx)))
+                   if len(ho_idx) else float("nan"))
+    log.info("synth audio-train holdout mse %.6f (%d held-out examples)",
+             holdout_mse, len(ho_idx))
+    return {"params": params, "scale": scale, "holdout_mse": holdout_mse}
+
+
+def save_synth(trained: dict, path: str) -> None:
+    """Persist a trained decoder (msgpack via flax.serialization)."""
+    import os
+
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"params": trained["params"],
+               "scale": np.float32(trained["scale"])}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_synth(cfg: Config, path: str) -> dict:
+    from flax import serialization
+
+    model = build_decoder(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+    template = {"params": params, "scale": np.float32(0.0)}
+    with open(path, "rb") as f:
+        restored = serialization.from_bytes(template, f.read())
+    return {"params": restored["params"],
+            "scale": float(restored["scale"])}
+
+
 def generate_bank(cfg: Config, trained: dict) -> np.ndarray:
     """Decode ALL atoms -> [I, P, D, Tmax, F] bank (done once, host)."""
     model = build_decoder(cfg)
@@ -142,22 +302,38 @@ def generate_bank(cfg: Config, trained: dict) -> np.ndarray:
                            cfg.dsp.n_bins).astype(np.float32)
 
 
-def neural_template_arrays(cfg: Config, trained: dict):
-    """TemplateArrays backed by the neural synthesizer's generated bank."""
-    from ..saga.loop import TemplateArrays
-
+def neural_atoms(cfg: Config, trained: dict) -> dict:
+    """Host-side atom arrays from the decoder's generated bank, in the
+    analytic synthesizer's shapes: ``bank [I,P,D,Tmax,F]``,
+    ``norms [I,P,D]``, ``prof [I,P,F]``, ``env [Tmax]`` — consumable by
+    :func:`golden.pipeline.transcribe_golden` via ``atoms=`` so the
+    golden parity oracle runs on the SAME bank as the TPU path."""
     bank = generate_bank(cfg, trained)
     n_i, n_p, n_d, tmax, f = bank.shape
     flat = bank.reshape(n_i * n_p, n_d, tmax, f)
     norms = np.sum(np.square(flat, dtype=np.float64),
                    axis=(-2, -1)).astype(np.float32)
     prof = flat[:, -1].sum(axis=-2)
-    prof = prof / np.maximum(np.linalg.norm(prof, axis=-1, keepdims=True),
-                             1e-12)
+    prof = (prof / np.maximum(np.linalg.norm(prof, axis=-1, keepdims=True),
+                              1e-12)).astype(np.float32)
     env = flat[:, -1].sum(axis=(0, 2))
-    env = env / max(np.linalg.norm(env), 1e-12)
+    env = (env / max(np.linalg.norm(env), 1e-12)).astype(np.float32)
+    return {"bank": bank, "norms": norms.reshape(n_i, n_p, n_d),
+            "prof": prof.reshape(n_i, n_p, f), "env": env}
+
+
+def neural_template_arrays(cfg: Config, trained: dict,
+                           atoms: dict | None = None):
+    """TemplateArrays backed by the neural synthesizer's generated bank."""
+    from ..saga.loop import TemplateArrays
     from ..synth.templates import duration_grid_frames, gram_from_bank
 
+    if atoms is None:
+        atoms = neural_atoms(cfg, trained)
+    bank = atoms["bank"]
+    n_i, n_p, n_d, tmax, f = bank.shape
+    flat = bank.reshape(n_i * n_p, n_d, tmax, f)
+    prof = atoms["prof"].reshape(n_i * n_p, f)
     gram = gram_from_bank(flat.reshape(n_i * n_p * n_d, tmax, f))
     if cfg.run.use_pallas and f % 128:
         pad = 128 - f % 128
@@ -166,9 +342,9 @@ def neural_template_arrays(cfg: Config, trained: dict):
 
     return TemplateArrays(
         bank=jnp.asarray(flat),
-        norms=jnp.asarray(norms),
-        prof=jnp.asarray(prof.astype(np.float32)),
-        env=jnp.asarray(env.astype(np.float32)),
+        norms=jnp.asarray(atoms["norms"].reshape(n_i * n_p, n_d)),
+        prof=jnp.asarray(prof),
+        env=jnp.asarray(atoms["env"]),
         durs=jnp.asarray(duration_grid_frames(cfg.synth, cfg.dsp)),
         gram=jnp.asarray(gram),
     )

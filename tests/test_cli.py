@@ -125,3 +125,16 @@ def test_set_without_equals_fails_cleanly(tiny_cfg_file):
 
     with pytest.raises(SystemExit, match="key=value"):
         load_config(A())
+
+
+def test_config_leaf_field_sharing_subconfig_name(tiny_config):
+    """RunConfig.synth shares its name with the top-level synth subconfig;
+    from_dict/override must keep the leaf a plain string."""
+    cfg = tiny_config.override(**{"run.synth": "neural"})
+    assert cfg.run.synth == "neural"
+    assert cfg.synth.pitch_min == tiny_config.synth.pitch_min
+    from amt_saga_tpu.config import Config
+
+    back = Config.from_json(cfg.to_json())
+    assert back.run.synth == "neural"
+    assert back == cfg
