@@ -236,7 +236,8 @@ def cmd_train(args) -> int:
 
     train(cfg, steps=args.steps, kind=args.kind, corpus_dir=args.corpus,
           corpus_format=args.corpus_format, corpus_split=args.split,
-          noise=args.noise, metrics=MetricsWriter(args.metrics))
+          noise=args.noise, loop_state_p=args.loop_states,
+          metrics=MetricsWriter(args.metrics))
     return 0
 
 
@@ -458,6 +459,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="official corpus split to train on")
     p.add_argument("--noise", type=float, default=0.0,
                    help="additive noise augmentation (synthetic data)")
+    p.add_argument("--loop-states", type=float, default=0.0,
+                   dest="loop_states", metavar="P",
+                   help="fraction of batches drawn from the loop's own "
+                        "mid-transcription residual states")
     p.add_argument("--metrics", help="metrics JSONL path (default stderr)")
     _add_common(p)
     p.set_defaults(fn=cmd_train)

@@ -136,9 +136,18 @@ class ModelConfig:
     channels: Tuple[int, ...] = (16, 32, 64)
     kernel_size: Tuple[int, int] = (3, 3)
     hidden: int = 128
+    # Residual dilated temporal convs after the trunk (context for the
+    # onset gate; the matched filter integrates ~80 frames of envelope).
+    temporal_dilations: Tuple[int, ...] = (1, 2, 4)
     dropout: float = 0.0
-    # Heads: onset (per-frame logit), pitch (P-way), duration (D-way over
-    # the duration grid), instrument (I-way), velocity/gain (regression).
+    # Heads (models/classifier.py): onset_pitch [T, Q] logits, duration
+    # [T, D] logits, presence [T] logit, velocity [T, Q] regression.
+    # Score-head gate floor: coarse score = matched_filter * (floor +
+    # (1-floor)*sigmoid(onset+presence)).  floor=1 disables the learned
+    # gate (pure heuristic); floor=0 gives the net full veto power over
+    # matched-filter peaks (a CNN false negative can then hide a real
+    # onset, so keep a floor unless the training domain is trusted).
+    gate_floor: float = 0.25
     dtype: str = "float32"  # compute dtype for the conv tower
 
 

@@ -9,13 +9,31 @@ dense per-frame score map that drops directly into the SAGA loop's
 ``score_fn`` slot (:mod:`amt_saga_tpu.saga.loop`):
 
 * ``onset_pitch``: [B, T, Q] logits — "a note of (instrument*pitch) q
-  starts at frame t".  This is the coarse score map the loop argmaxes;
-  candidate rescoring-by-subtraction stays exactly the same, so the
-  trained classifier and the matched-filter heuristic are drop-in
-  interchangeable (golden parity is defined against the heuristic).
+  starts at frame t".
 * ``duration``: [B, T, D] logits over the duration grid (supervision +
   standalone dense prediction).
 * ``presence``: [B, T] logit — "any onset at frame t" (confidence gate).
+* ``velocity``: [B, T, Q] regression in [0, 1] — MIDI velocity / 127 of
+  the note starting at (t, q); supervised at onset cells only (SURVEY.md
+  C7 "velocity/gain (regression)" head).
+
+Score head (v2, "CNN-first" classifier): the loop's coarse score map is
+
+    score[t, q] = matched_filter(residual)[t, q] * gate[t, q]
+    gate = floor + (1 - floor) * sigmoid(onset_logits + presence_logit)
+
+i.e. the matched filter — itself a 2-matmul linear network with the
+template bank as weights — is COMPOSED into the model, and the conv tower
+learns the nonlinear gating on top.  Round 1 trained the tower to replace
+the matched filter and lost 10 F1 points on clean data to approximation
+error; composing the teacher instead of distilling it makes the clean
+floor structural: the ``onset_pitch``/``presence`` head kernels are
+ZERO-INITIALIZED, so an untrained model has gate == (floor + 1)/2
+everywhere — a uniform positive scale of the heuristic map, which leaves
+every argmax / local-max / tie-bucket decision of the loop bit-identical
+to the heuristic classifier (tested).  Training then only bends the map
+away from that baseline where the data says so (noise suppression,
+mid-loop residual artifacts).
 
 Input is ``log1p(residual)`` — the residual itself stays linear for
 subtraction.
@@ -33,7 +51,7 @@ from ..config import Config, ModelConfig
 
 
 class NoteClassifier(nn.Module):
-    """Fully-convolutional onset/pitch/duration/instrument classifier."""
+    """Fully-convolutional onset/pitch/duration/velocity classifier."""
 
     cfg: ModelConfig
     n_q: int  # instruments * pitches
@@ -53,15 +71,30 @@ class NoteClassifier(nn.Module):
         b, t = x.shape[0], x.shape[1]
         x = x.reshape(b, t, -1)                        # [B, T, F'*C]
         x = nn.relu(nn.Dense(self.cfg.hidden, dtype=dtype, name="trunk")(x))
+        # Temporal context: residual dilated 1-D convs over T.  The
+        # matched filter integrates ~80 frames of envelope; the gate
+        # needs comparable context to judge whether a peak is a real
+        # onset or noise/bleed from a neighbour.
+        for j, dil in enumerate(self.cfg.temporal_dilations):
+            y = nn.Conv(self.cfg.hidden, (3,), kernel_dilation=(dil,),
+                        dtype=dtype, name=f"tconv{j}")(x)
+            x = nn.relu(x + y)
         if self.cfg.dropout > 0:
             x = nn.Dropout(self.cfg.dropout, deterministic=not train)(x)
+        zeros = nn.initializers.zeros
         out = {
+            # Zero-init: untrained gate is uniform -> loop decisions are
+            # bit-identical to the heuristic classifier (module docstring).
             "onset_pitch": nn.Dense(self.n_q, dtype=jnp.float32,
+                                    kernel_init=zeros,
                                     name="head_onset_pitch")(x),
             "duration": nn.Dense(self.n_d, dtype=jnp.float32,
                                  name="head_duration")(x),
-            "presence": nn.Dense(1, dtype=jnp.float32,
+            "presence": nn.Dense(1, dtype=jnp.float32, kernel_init=zeros,
                                  name="head_presence")(x)[..., 0],
+            "velocity": nn.sigmoid(
+                nn.Dense(self.n_q, dtype=jnp.float32,
+                         name="head_velocity")(x)),
         }
         return out
 
@@ -82,16 +115,20 @@ def make_cnn_score_fn(cfg: Config, params: Any):
     """Adapt a trained classifier to the SAGA loop's ``score_fn`` slot.
 
     Returns scores shaped/ordered exactly like the heuristic
-    (``[B, T, Q]``, q = instrument * n_pitches + pitch), gated by the
-    presence head so silent frames score low.
+    (``[B, T, Q]``, q = instrument * n_pitches + pitch): the matched
+    filter gated by the model's onset/presence heads (module docstring).
     """
     model = build_classifier(cfg)
 
     from ..synth.templates import template_lead
 
     lead = template_lead(cfg.dsp)
+    floor = float(cfg.model.gate_floor)
 
-    def score_fn(res: jnp.ndarray, tmpl, n_frames: int) -> jnp.ndarray:
+    def score_fn(res: jnp.ndarray, tmpl, n_frames: int,
+                 band: jnp.ndarray | None = None) -> jnp.ndarray:
+        from ..saga.loop import heuristic_scores, matmul_precision
+
         # Contract (saga/loop.py): coarse[t] scores "a note whose TRUE
         # onset is frame t".  The residual is front-padded by the template
         # lead, so spec frame t lives at res row t + lead — slice the lead
@@ -101,7 +138,32 @@ def make_cnn_score_fn(cfg: Config, params: Any):
         # config).  Also drop the Pallas path's 128-aligned bin padding.
         x = jax.lax.dynamic_slice_in_dim(res, lead, n_frames, axis=1)
         out = model.apply({"params": params}, x[:, :, :cfg.dsp.n_bins])
-        gate = jax.nn.log_sigmoid(out["presence"])[..., None]
-        return out["onset_pitch"] + gate
+        gate_logits = out["onset_pitch"] + out["presence"][..., None]
+        gate = floor + (1.0 - floor) * jax.nn.sigmoid(gate_logits)
+        mf = heuristic_scores(res, tmpl, n_frames, band=band,
+                              precision=matmul_precision(cfg))
+        return mf * gate
 
+    # transcribe_spectrograms hoists the loop-invariant band matrix out of
+    # the while_loop and passes it in (same treatment as the heuristic —
+    # rebuilding it per iteration was the round-1 profile's largest item).
+    score_fn.needs_band = True
     return score_fn
+
+
+def predict_dense(cfg: Config, params: Any, spec) -> dict[str, jnp.ndarray]:
+    """Standalone dense per-frame prediction (no SAGA loop): onset
+    probabilities [B, T, Q], duration-class probabilities [B, T, D],
+    presence probability [B, T], velocity [B, T, Q] in [0, 1].
+
+    The reference exposes the classifier's raw heads for inspection /
+    downstream use [SURVEY.md C7]; this is that surface.
+    """
+    model = build_classifier(cfg)
+    out = model.apply({"params": params}, jnp.asarray(spec))
+    return {
+        "onset_pitch": jax.nn.sigmoid(out["onset_pitch"]),
+        "duration": jax.nn.softmax(out["duration"], axis=-1),
+        "presence": jax.nn.sigmoid(out["presence"]),
+        "velocity": out["velocity"],
+    }

@@ -78,9 +78,15 @@ def loss_fn(params: Any, batch: dict[str, jnp.ndarray], cfg: Config,
     w_p = 1.0 + (POS_WEIGHT - 1.0) * pres
     l_pres = jnp.sum(bce_p * w_p) / jnp.sum(w_p)
 
-    loss = l_onset + 0.5 * l_dur + 0.5 * l_pres
+    # Velocity regression (MSE at hard onset cells only — the soft
+    # neighbor labels of onset_pitch are < 1 and carry no velocity).
+    vmask = (labels >= 1.0).astype(jnp.float32)
+    sq = jnp.square(out["velocity"] - batch["velocity"])
+    l_vel = jnp.sum(sq * vmask) / jnp.maximum(jnp.sum(vmask), 1.0)
+
+    loss = l_onset + 0.5 * l_dur + 0.5 * l_pres + 0.5 * l_vel
     return loss, {"loss": loss, "l_onset": l_onset, "l_dur": l_dur,
-                  "l_pres": l_pres}
+                  "l_pres": l_pres, "l_vel": l_vel}
 
 
 @partial(jax.jit, static_argnames=("cfg", "model", "tx"), donate_argnums=0)
@@ -95,25 +101,48 @@ def train_step(state: TrainState, batch: dict[str, jnp.ndarray],
     return TrainState(params, opt_state, state.step + 1), metrics
 
 
+def _batch_dict(eb: ExampleBatch) -> dict[str, np.ndarray]:
+    return {
+        "spec": eb.spec,
+        "onset_pitch": eb.onset_pitch,
+        "duration": eb.duration,
+        "presence": eb.presence,
+        "velocity": eb.velocity,
+    }
+
+
 def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
-                   seed: int = 0, noise: float = 0.0, prefetch: int = 0
+                   seed: int = 0, noise: float = 0.0, prefetch: int = 0,
+                   loop_state_p: float = 0.0
                    ) -> Iterator[dict[str, jnp.ndarray]]:
     """Training batches; with ``prefetch`` > 0, host-side generation
     overlaps device compute via a background thread (the host has one
-    core here, so generation is the training bottleneck otherwise)."""
+    core here, so generation is the training bottleneck otherwise).
+
+    ``loop_state_p``: fraction of batches sampled from the loop's OWN
+    mid-transcription residual states (runtime.dataset.LoopStateSampler)
+    instead of the synthetic subtract-a-random-subset approximation —
+    the distribution the classifier actually scores inside the loop.
+    """
+    sampler = None
+    if loop_state_p > 0.0:
+        from ..runtime.dataset import LoopStateSampler
+
+        sampler = LoopStateSampler(cfg)
 
     def gen():
         i = seed
+        rng = np.random.default_rng(seed + 17)
         while True:
-            eb: ExampleBatch = make_example_batch(
-                cfg, batch_size=cfg.train.batch_size, seconds=seconds,
-                seed=i, kind=kind, noise=noise)
-            yield {
-                "spec": eb.spec,
-                "onset_pitch": eb.onset_pitch,
-                "duration": eb.duration,
-                "presence": eb.presence,
-            }
+            if sampler is not None and rng.random() < loop_state_p:
+                eb = sampler.batch(
+                    batch_size=cfg.train.batch_size, seconds=seconds,
+                    seed=i, kind=kind, noise=noise)
+            else:
+                eb = make_example_batch(
+                    cfg, batch_size=cfg.train.batch_size, seconds=seconds,
+                    seed=i, kind=kind, noise=noise)
+            yield _batch_dict(eb)
             i += 1
 
     if prefetch > 0:
@@ -177,12 +206,7 @@ def corpus_batch_iterator(cfg: Config, corpus_dir: str, *,
         for eb in corpus.example_batches(
                 cfg, batch_size=cfg.train.batch_size, seconds=seconds,
                 seed=seed):
-            yield {
-                "spec": eb.spec,
-                "onset_pitch": eb.onset_pitch,
-                "duration": eb.duration,
-                "presence": eb.presence,
-            }
+            yield _batch_dict(eb)
 
     if prefetch > 0:
         yield from prefetch_to_device(gen(), depth=prefetch)
@@ -194,14 +218,15 @@ def corpus_batch_iterator(cfg: Config, corpus_dir: str, *,
 def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
           kind: str = "mus", noise: float = 0.0,
           corpus_dir: str | None = None, corpus_format: str = "paired",
-          corpus_split: str | None = None,
+          corpus_split: str | None = None, loop_state_p: float = 0.0,
           metrics: MetricsWriter | None = None,
           checkpoint: bool = True) -> TrainState:
     """Run the training loop; returns final state.
 
     With ``corpus_dir``, batches come from the user's on-disk corpus
     (``corpus_format``: paired|musicnet|maestro|maps); otherwise from the
-    synthetic fixture generator (``kind``).
+    synthetic fixture generator (``kind``), optionally mixed with
+    mid-transcription loop states (``loop_state_p``).
     """
     steps = steps if steps is not None else cfg.train.steps
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -214,7 +239,8 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
                                    split=corpus_split)
     else:
         it = batch_iterator(cfg, seconds=seconds, kind=kind,
-                            seed=cfg.train.seed, noise=noise, prefetch=2)
+                            seed=cfg.train.seed, noise=noise, prefetch=2,
+                            loop_state_p=loop_state_p)
     mw = metrics or MetricsWriter()
     every = max(1, cfg.train.checkpoint_every)
     for i in range(steps):

@@ -112,6 +112,7 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, model, tx,
         "onset_pitch": data_sharding(mesh, 3),
         "duration": data_sharding(mesh, 2),
         "presence": data_sharding(mesh, 2),
+        "velocity": data_sharding(mesh, 3),
     }
 
     step = jax.jit(

@@ -116,7 +116,7 @@ class PairedCorpus:
         rng = np.random.default_rng(seed)
         n_crop = int(round(seconds * cfg.dsp.sample_rate))
         while True:
-            specs, ops, durs, pres = [], [], [], []
+            specs, ops, durs, pres, vels = [], [], [], [], []
             for _ in range(batch_size):
                 it = self.items[int(rng.integers(len(self.items)))]
                 wave, ref = self.load(it, cfg)
@@ -135,14 +135,16 @@ class PairedCorpus:
                     if 0 <= n.onset < seconds
                 ])
                 spec = spectrogram_np(crop, cfg.dsp)
-                op, du, pr = _labels_for(local, cfg, spec.shape[0])
+                op, du, pr, ve = _labels_for(local, cfg, spec.shape[0])
                 specs.append(spec)
                 ops.append(op)
                 durs.append(du)
                 pres.append(pr)
+                vels.append(ve)
             yield ExampleBatch(
                 spec=np.stack(specs), onset_pitch=np.stack(ops),
-                duration=np.stack(durs), presence=np.stack(pres))
+                duration=np.stack(durs), presence=np.stack(pres),
+                velocity=np.stack(vels))
 
 
 def load_labels(item: CorpusItem) -> NoteSequence | None:

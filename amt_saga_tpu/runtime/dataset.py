@@ -37,15 +37,17 @@ class ExampleBatch:
     onset_pitch: np.ndarray  # [B, T, Q] float32 0/1
     duration: np.ndarray     # [B, T] int32 class or -1
     presence: np.ndarray     # [B, T] float32 0/1
+    velocity: np.ndarray     # [B, T, Q] float32 velocity/127 at onsets
 
 
 def _labels_for(seq: NoteSequence, cfg: Config, n_frames: int
-                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     n_q = cfg.synth.n_instruments * cfg.synth.n_pitches
     n_d = len(cfg.synth.duration_grid)
     onset_pitch = np.zeros((n_frames, n_q), dtype=np.float32)
     duration = np.full((n_frames,), -1, dtype=np.int32)
     presence = np.zeros((n_frames,), dtype=np.float32)
+    velocity = np.zeros((n_frames, n_q), dtype=np.float32)
     spf = cfg.dsp.hop / cfg.dsp.sample_rate
     grid = np.asarray(cfg.synth.duration_grid)
     for n in seq:
@@ -69,7 +71,8 @@ def _labels_for(seq: NoteSequence, cfg: Config, n_frames: int
                 onset_pitch[t + dt, q] = max(onset_pitch[t + dt, q], 0.4)
         duration[t] = int(np.argmin(np.abs(grid - n.duration))) % n_d
         presence[t] = 1.0
-    return onset_pitch, duration, presence
+        velocity[t, q] = n.velocity / 127.0
+    return onset_pitch, duration, presence, velocity
 
 
 def _subtract_notes(spec: np.ndarray, notes: list, cfg: Config
@@ -107,7 +110,7 @@ def make_example_batch(
     programs: tuple[int, ...] = (0,),
 ) -> ExampleBatch:
     rng = np.random.default_rng(seed)
-    specs, ops, durs, pres = [], [], [], []
+    specs, ops, durs, pres, vels = [], [], [], [], []
     for b in range(batch_size):
         wave, seq = make_clip(cfg, kind=kind, seconds=seconds,
                               seed=seed * 1000 + b, noise=noise,
@@ -120,11 +123,101 @@ def make_example_batch(
             removed = [notes[i] for i in idx]
             spec = _subtract_notes(spec, removed, cfg)
             notes = [n for i, n in enumerate(notes) if i not in set(idx)]
-        op, du, pr = _labels_for(NoteSequence(notes), cfg, spec.shape[0])
+        op, du, pr, ve = _labels_for(NoteSequence(notes), cfg,
+                                     spec.shape[0])
         specs.append(spec)
         ops.append(op)
         durs.append(du)
         pres.append(pr)
+        vels.append(ve)
     return ExampleBatch(
         spec=np.stack(specs), onset_pitch=np.stack(ops),
-        duration=np.stack(durs), presence=np.stack(pres))
+        duration=np.stack(durs), presence=np.stack(pres),
+        velocity=np.stack(vels))
+
+
+class LoopStateSampler:
+    """Training examples from the loop's OWN mid-transcription states.
+
+    Round 1 approximated mid-loop residuals by subtracting random
+    ground-truth subsets with EXACT gains; the real loop subtracts
+    estimated notes (refit gains, occasional off-by-one onsets, grid-
+    snapped durations), leaving characteristic artifacts the classifier
+    must score through.  This sampler runs the actual jitted loop
+    (saga.loop.transcribe_partial) to a random iteration cut, takes the
+    device residual, and labels the notes NOT yet extracted — extracted
+    notes are matched to ground truth by (q, onset within ``match_tol``
+    frames) and removed from the label maps.
+
+    One compiled program serves every cut (``max_iters`` is traced).
+    """
+
+    def __init__(self, cfg: Config):
+        import jax
+        import jax.numpy as jnp
+
+        from ..saga.loop import load_template_arrays, transcribe_partial
+
+        # The sampler feeds host spectrograms straight into the loop, so
+        # keep unpadded bins (the Pallas front-end's 128-aligned padding
+        # never enters this path).
+        self.cfg = cfg.override(**{"run.use_pallas": False})
+        self.tmpl = load_template_arrays(self.cfg)
+        self._tmpl_dev = jax.device_put(self.tmpl)
+        self._jit = jax.jit(
+            lambda spec, tmpl, k: transcribe_partial(
+                spec, self.cfg, tmpl, k))
+        self._jnp = jnp
+
+    def batch(self, *, batch_size: int = 8, seconds: float = 4.0,
+              seed: int = 0, kind: str = "mus", noise: float = 0.0,
+              match_tol: int = 2) -> ExampleBatch:
+        import jax
+
+        cfg = self.cfg
+        rng = np.random.default_rng(seed)
+        waves, refs = [], []
+        for b in range(batch_size):
+            w, seq = make_clip(cfg, kind=kind, seconds=seconds,
+                               seed=seed * 1000 + b, noise=noise)
+            waves.append(spectrogram_np(w, cfg.dsp))
+            refs.append(seq)
+        spec0 = np.stack(waves)
+        # Random cut: 0 = clean input (the loop's first iteration also
+        # sees the raw spectrogram), else mid-transcription.
+        k = int(rng.integers(0, 13))
+        notes, res = jax.device_get(self._jit(
+            self._jnp.asarray(spec0), self._tmpl_dev,
+            self._jnp.asarray(k, np.int32)))
+
+        spf = cfg.dsp.hop / cfg.dsp.sample_rate
+        specs, ops, durs, pres, vels = [], [], [], [], []
+        for b in range(batch_size):
+            remaining = list(refs[b])
+            for i in range(int(notes.count[b])):
+                q = int(notes.program[b, i]) * cfg.synth.n_pitches + int(
+                    notes.pitch[b, i])
+                t = int(notes.onset[b, i])
+                best, best_dt = None, match_tol + 1
+                for j, n in enumerate(remaining):
+                    pi = n.pitch - cfg.synth.pitch_min
+                    qj = n.program * cfg.synth.n_pitches + pi
+                    dt = abs(int(round(n.onset / spf)) - t)
+                    if qj == q and dt < best_dt:
+                        best, best_dt = j, dt
+                if best is not None:
+                    remaining.pop(best)
+                # Unmatched extraction = a false positive the loop
+                # subtracted anyway; its artifact stays in the residual
+                # (realistic), nothing to remove from the labels.
+            op, du, pr, ve = _labels_for(NoteSequence(remaining), cfg,
+                                         res.shape[1])
+            specs.append(res[b])
+            ops.append(op)
+            durs.append(du)
+            pres.append(pr)
+            vels.append(ve)
+        return ExampleBatch(
+            spec=np.stack(specs), onset_pitch=np.stack(ops),
+            duration=np.stack(durs), presence=np.stack(pres),
+            velocity=np.stack(vels))

@@ -421,11 +421,12 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
                   carry.it + 1)
 
 
-def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
-                            tmpl: TemplateArrays,
-                            score_fn: ScoreFn = heuristic_scores,
-                            ) -> NotesBatch:
-    """[B, T, F] linear log-freq spectrograms -> NotesBatch (jittable)."""
+def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
+              score_fn: ScoreFn, max_iters: jnp.ndarray | None) -> _Carry:
+    """Run the SAGA while_loop; returns the final carry (residual
+    included).  ``max_iters`` (traced scalar, optional) caps the trip
+    count — the mid-transcription state capture used to train the
+    classifier on the loop's OWN residual distribution."""
     n_frames = spec.shape[1]
     cap = cfg.loop.max_notes
     b = spec.shape[0]
@@ -453,12 +454,44 @@ def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
         band = band_matrix(tmpl.env, n_frames, res.shape[1])
         score_fn = partial(heuristic_scores, band=band,
                            precision=matmul_precision(cfg))
+    elif getattr(score_fn, "needs_band", False):
+        # Same hoist for score fns that consume the band matrix (the CNN
+        # path's matched-filter term — see models.classifier).
+        band = band_matrix(tmpl.env, n_frames, res.shape[1])
+        score_fn = partial(score_fn, band=band)
 
+    lim = cap if max_iters is None else jnp.minimum(cap, max_iters)
     body = partial(_loop_body, cfg=cfg, tmpl=tmpl, n_frames=n_frames,
                    score_fn=score_fn)
-    out = jax.lax.while_loop(
-        lambda c: (c.it < cap) & jnp.any(~c.done), body, carry0)
+    return jax.lax.while_loop(
+        lambda c: (c.it < lim) & jnp.any(~c.done), body, carry0)
+
+
+def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
+                            tmpl: TemplateArrays,
+                            score_fn: ScoreFn = heuristic_scores,
+                            ) -> NotesBatch:
+    """[B, T, F] linear log-freq spectrograms -> NotesBatch (jittable)."""
+    out = _run_loop(spec, cfg, tmpl, score_fn, None)
     return out.notes._replace(iterations=out.it)
+
+
+def transcribe_partial(spec: jnp.ndarray, cfg: Config,
+                       tmpl: TemplateArrays, max_iters: jnp.ndarray,
+                       score_fn: ScoreFn = heuristic_scores,
+                       ) -> tuple[NotesBatch, jnp.ndarray]:
+    """Run at most ``max_iters`` loop iterations; returns (notes-so-far,
+    UNPADDED residual [B, T, F] sliced back to true frames/bins).
+
+    ``max_iters`` is a traced scalar, so ONE compiled program serves every
+    cut point — the classifier trainer samples random cuts per batch
+    (runtime/dataset.make_loop_state_batch) to cover the loop's whole
+    residual state distribution.
+    """
+    out = _run_loop(spec, cfg, tmpl, score_fn, max_iters)
+    lead = template_lead(cfg.dsp)
+    res = out.res[:, lead:lead + spec.shape[1], :spec.shape[2]]
+    return out.notes._replace(iterations=out.it), res
 
 
 def transcribe_waves(waves: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,

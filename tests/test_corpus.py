@@ -79,7 +79,8 @@ def test_training_on_real_corpus_batches(corpus_dir, tiny_config):
     batch = {"spec": jnp.asarray(eb.spec),
              "onset_pitch": jnp.asarray(eb.onset_pitch),
              "duration": jnp.asarray(eb.duration),
-             "presence": jnp.asarray(eb.presence)}
+             "presence": jnp.asarray(eb.presence),
+             "velocity": jnp.asarray(eb.velocity)}
     state2, m = train_step(state, batch, cfg, model, tx)
     assert np.isfinite(float(m["loss"]))
 
