@@ -44,28 +44,41 @@ def note_f1(
     offset_min_tol: float = 0.05,
     with_instrument: bool = False,
 ) -> F1Result:
-    p = pred.sorted().notes
-    r = ref.sorted().notes
-    n_p, n_r = len(p), len(r)
+    pa = pred.to_arrays()
+    ra = ref.to_arrays()
+    n_p, n_r = len(pa["pitch"]), len(ra["pitch"])
     if n_p == 0 or n_r == 0:
         n_match = 0
     else:
-        rows, cols = [], []
-        for i, pn in enumerate(p):
-            for j, rn in enumerate(r):
-                if pn.pitch != rn.pitch:
-                    continue
-                if abs(pn.onset - rn.onset) > onset_tol:
-                    continue
-                if with_instrument and pn.program != rn.program:
-                    continue
-                if with_offset:
-                    tol = max(offset_min_tol, offset_ratio * rn.duration)
-                    if abs(pn.offset - rn.offset) > tol:
-                        continue
-                rows.append(i)
-                cols.append(j)
-        if not rows:
+        # Vectorized candidate-pair construction: broadcast only WITHIN
+        # each (pitch[, program]) group — overall cost is
+        # sum_k n_p(k)*n_r(k) in numpy, not n_p*n_r Python-loop
+        # iterations (a full-length MAESTRO recording has thousands of
+        # notes; the quadratic host loop was the evaluator's wall-time).
+        p_key = pa["pitch"].astype(np.int64)
+        r_key = ra["pitch"].astype(np.int64)
+        if with_instrument:
+            p_key = p_key + (pa["program"].astype(np.int64) << 32)
+            r_key = r_key + (ra["program"].astype(np.int64) << 32)
+        rows_l, cols_l = [], []
+        for key in np.intersect1d(np.unique(p_key), np.unique(r_key)):
+            pi = np.nonzero(p_key == key)[0]
+            ri = np.nonzero(r_key == key)[0]
+            ok = (np.abs(pa["onset"][pi, None] - ra["onset"][None, ri])
+                  <= onset_tol)
+            if with_offset:
+                tol = np.maximum(offset_min_tol,
+                                 offset_ratio * ra["duration"][ri])
+                p_off = pa["onset"][pi] + pa["duration"][pi]
+                r_off = ra["onset"][ri] + ra["duration"][ri]
+                ok &= (np.abs(p_off[:, None] - r_off[None, :])
+                       <= tol[None, :])
+            ii, jj = np.nonzero(ok)
+            rows_l.append(pi[ii])
+            cols_l.append(ri[jj])
+        rows = np.concatenate(rows_l) if rows_l else np.array([], int)
+        cols = np.concatenate(cols_l) if cols_l else np.array([], int)
+        if len(rows) == 0:
             n_match = 0
         else:
             graph = csr_matrix(

@@ -123,6 +123,11 @@ def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
     mid-transcription residual states (runtime.dataset.LoopStateSampler)
     instead of the synthetic subtract-a-random-subset approximation —
     the distribution the classifier actually scores inside the loop.
+
+    ``noise`` is a per-batch MAXIMUM: each batch draws its noise level
+    uniformly from [0, noise], so one run covers the clean regime (the
+    learned gate must not suppress real peaks there) through the noisy
+    one (where suppression is the whole point).
     """
     sampler = None
     if loop_state_p > 0.0:
@@ -134,14 +139,15 @@ def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
         i = seed
         rng = np.random.default_rng(seed + 17)
         while True:
+            noise_i = float(rng.uniform(0.0, noise)) if noise > 0 else 0.0
             if sampler is not None and rng.random() < loop_state_p:
                 eb = sampler.batch(
                     batch_size=cfg.train.batch_size, seconds=seconds,
-                    seed=i, kind=kind, noise=noise)
+                    seed=i, kind=kind, noise=noise_i)
             else:
                 eb = make_example_batch(
                     cfg, batch_size=cfg.train.batch_size, seconds=seconds,
-                    seed=i, kind=kind, noise=noise)
+                    seed=i, kind=kind, noise=noise_i)
             yield _batch_dict(eb)
             i += 1
 
