@@ -87,10 +87,20 @@ def _make_transcriber(cfg: Config):
         from .models.classifier import make_cnn_score_fn
         from .models.train import load_checkpoint
 
-        # Numeric sort: lexicographic would rank step_999 above step_3000.
-        steps = sorted(
-            glob.glob(os.path.join(ckpt, "step_*")),
-            key=lambda p: int(os.path.basename(p).rsplit("_", 1)[1]))
+        def _steps_under(d):
+            # Numeric sort: lexicographic ranks step_999 above step_3000.
+            return sorted(
+                glob.glob(os.path.join(d, "step_*")),
+                key=lambda p: int(os.path.basename(p).rsplit("_", 1)[1]))
+
+        steps = _steps_under(ckpt)
+        if not steps:
+            # Fall back to the checkpoint shipped with the repo (trained
+            # on synthetic fixtures + loop states, default config).
+            shipped = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "checkpoints", "default")
+            steps = _steps_under(shipped)
         if not steps:
             raise SystemExit(
                 f"run.classifier=cnn but no checkpoint under {ckpt!r} "
@@ -357,7 +367,10 @@ def cmd_selftest(args) -> int:
     from .golden.pipeline import transcribe_golden
     from .runtime.fixtures import make_clip
 
-    tr = _make_transcriber(cfg)
+    # MIDI bit-parity is defined against the heuristic classifier (the
+    # golden oracle's scoring rule); the trained CNN is gated separately
+    # below by F1-vs-heuristic bars on the same fixtures.
+    tr = _make_transcriber(cfg.override(**{"run.classifier": "heuristic"}))
     golden_atoms = None
     if cfg.run.synth == "neural":
         # Parity is bank-agnostic: run the golden oracle on the SAME
@@ -368,6 +381,14 @@ def cmd_selftest(args) -> int:
             cfg, load_synth(cfg, _synth_checkpoint_path(cfg)))
     cases = [("isol", dict(n_notes=4)), ("mus", dict(n_voices=2)),
              ("mus", dict(n_voices=4))]
+    tr_cnn = None
+    try:
+        tr_cnn = _make_transcriber(cfg.override(**{"run.classifier": "cnn"}))
+    except (SystemExit, ValueError):
+        # No trained checkpoint on this machine (or one from an older
+        # model architecture): the CNN gate is skipped, not failed.
+        pass
+
     failures = 0
     results = []
     for i, (kind, kw) in enumerate(cases):
@@ -389,6 +410,19 @@ def cmd_selftest(args) -> int:
         results.append({"case": f"{kind}#{i}", "notes": len(pred),
                         "f1": round(f1, 4), "midi_parity": parity,
                         "ok": ok})
+        if tr_cnn is not None:
+            # CNN acceptance (VERDICT r1 #2): the trained classifier must
+            # hold the heuristic's clean-fixture quality (its score head
+            # composes the matched filter, so clean behavior is the
+            # structural floor — see models/classifier.py).
+            f1_c = note_f1(tr_cnn.transcribe(wave), ref).f1
+            ok_c = f1_c >= f1 - 0.02
+            failures += not ok_c
+            results.append({"case": f"{kind}#{i}/cnn",
+                            "f1": round(f1_c, 4),
+                            "f1_heuristic": round(f1, 4), "ok": ok_c})
+    if tr_cnn is None:
+        results.append({"case": "cnn", "skipped": "no checkpoint"})
     if getattr(args, "on_chip", False):
         gate = _pallas_gate(cfg)
         failures += not gate["ok"]

@@ -147,7 +147,11 @@ class ModelConfig:
     # gate (pure heuristic); floor=0 gives the net full veto power over
     # matched-filter peaks (a CNN false negative can then hide a real
     # onset, so keep a floor unless the training domain is trusted).
-    gate_floor: float = 0.25
+    # Default 0.4 from the acceptance sweep (benchmarks/eval_classifier):
+    # clean 3-voice F1 ties the heuristic exactly (0.9627) while noise
+    # 0.03 scores 0.9408 vs the heuristic's 0.8915; floor 0.25 trades 1.4
+    # clean points for +0.3 under noise, floor 0.5 halves the noise edge.
+    gate_floor: float = 0.4
     dtype: str = "float32"  # compute dtype for the conv tower
 
 
@@ -188,6 +192,12 @@ class RunConfig:
     # bank (models/synth_decoder.py, trained with `train-synth`, loaded
     # from AMT_SYNTH_CHECKPOINT or <train.checkpoint_dir>/synth.msgpack).
     synth: str = "analytic"  # "analytic" | "neural"
+    # Directory for AOT-serialized compiled executables (runtime/aot.py):
+    # later processes reload the compiled program and skip tracing + XLA
+    # backend compile entirely (minutes on the axon remote-compile path).
+    # Empty disables.  Backend support is probed at runtime; unsupported
+    # backends fall back to plain jit with a logged warning.
+    aot_cache: str = ""
     profile: bool = False
     # MXU precision for the two hot matmuls (coarse matched filter and
     # candidate dots).  "highest" (full f32) keeps TPU-vs-golden score

@@ -1,0 +1,120 @@
+"""AOT-serialized executables (SURVEY.md §5 checkpoint/resume analogue for
+COMPILES; round-1 verdict: compile time dwarfs run time).
+
+The flagship transcription program compiles in minutes through the axon
+remote-compile service while executing in milliseconds, and the JAX
+persistent *compilation* cache does not shortcut recompiles on that
+backend.  This module serializes the COMPILED executable itself
+(``jax.experimental.serialize_executable``: PJRT executable bytes + arg
+pytree defs) keyed by (device kind, config, input shapes), so a later
+process skips tracing AND XLA backend compile entirely — true ahead-of-
+time deployment, the TPU-native replacement for "ship a torchscript
+file".
+
+Not every PJRT plugin supports executable serialization; ``try_load`` /
+``try_save`` degrade to None (with a logged reason) and callers fall
+back to plain jit — behavior, not availability, is the contract here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Any, Callable
+
+import jax
+
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_FORMAT_VERSION = 1
+
+
+def cache_key(cfg_json: str, shapes: Any) -> str:
+    """Content-addressed filename: device kind + jax version + config +
+    abstract input shapes/dtypes.  Python's builtin hash() is randomized
+    per process, so hash explicitly via sha256."""
+    dev = jax.devices()[0]
+    ident = "|".join([
+        f"v{_FORMAT_VERSION}", jax.__version__, dev.platform,
+        getattr(dev, "device_kind", "?"), cfg_json, repr(shapes),
+    ])
+    return hashlib.sha256(ident.encode()).hexdigest()[:24] + ".aotx"
+
+
+def try_save(compiled, path: str) -> bool:
+    """Serialize a ``jax.stages.Compiled`` to ``path``; False if the
+    backend does not support executable serialization."""
+    try:
+        from jax.experimental import serialize_executable as se
+
+        payload = se.serialize(compiled)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)
+        return True
+    except Exception as e:  # backend-dependent; degrade, don't crash
+        log.warning("AOT serialize unsupported here (%s); falling back "
+                    "to jit", e)
+        return False
+
+
+def try_load(path: str) -> Callable | None:
+    """Deserialize a compiled executable; None on any failure (missing
+    file, backend/device mismatch, version skew)."""
+    if not os.path.exists(path):
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        # The cached program is the single-device flagship executable;
+        # pin loading to device 0 (the default execution_devices is ALL
+        # local devices, which mismatches a 1-shard executable on the
+        # 8-virtual-device test backend).
+        loaded = se.deserialize_and_load(
+            *payload, execution_devices=jax.devices()[:1])
+        log.info("AOT executable loaded from %s (no compile)", path)
+        return loaded
+    except Exception as e:
+        log.warning("AOT load failed for %s (%s); falling back to jit",
+                    path, e)
+        return None
+
+
+class AotCache:
+    """Directory-backed executable cache for one traced function.
+
+    ``fn`` must be a plain Python callable (it is wrapped in jax.jit
+    here); ``cfg_json`` keys the cache entry together with the concrete
+    input shapes of each call.
+    """
+
+    def __init__(self, fn: Callable, cfg_json: str, directory: str):
+        self._fn = fn
+        self._jit = jax.jit(fn)
+        self._cfg_json = cfg_json
+        self._dir = directory
+        os.makedirs(directory, exist_ok=True)
+        self._loaded: dict[str, Callable] = {}
+
+    def __call__(self, *args):
+        shapes = jax.tree.map(
+            lambda a: (getattr(a, "shape", ()), str(getattr(a, "dtype",
+                                                            type(a)))),
+            args)
+        key = cache_key(self._cfg_json, shapes)
+        entry = self._loaded.get(key)
+        if entry is None:
+            path = os.path.join(self._dir, key)
+            entry = try_load(path)
+            if entry is None:
+                compiled = self._jit.lower(*args).compile()
+                try_save(compiled, path)
+                entry = compiled
+            self._loaded[key] = entry
+        return entry(*args)

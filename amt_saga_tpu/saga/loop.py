@@ -510,7 +510,8 @@ class Transcriber:
     """
 
     def __init__(self, cfg: Config, score_fn: ScoreFn = heuristic_scores,
-                 tmpl: TemplateArrays | None = None):
+                 tmpl: TemplateArrays | None = None,
+                 aot_dir: str | None = None):
         self.cfg = cfg
         # tmpl override: e.g. a bank generated by the SING-style neural
         # synthesizer (models/synth_decoder.py) instead of the analytic one.
@@ -522,13 +523,21 @@ class Transcriber:
         # (HTTP 413); as an argument only its SHAPE is compiled and the
         # data uploads once via device_put.
         self._tmpl_dev = jax.device_put(self.tmpl)
-        self._jit = jax.jit(
-            lambda waves, tmpl: transcribe_waves(waves, cfg, tmpl,
-                                                 self._score_fn))
+        fn = lambda waves, tmpl: transcribe_waves(waves, cfg, tmpl,  # noqa: E731
+                                                  self._score_fn)
+        aot_dir = aot_dir or cfg.run.aot_cache or None
+        if aot_dir:
+            # AOT executable cache (runtime/aot.py): reload the COMPILED
+            # program in later processes — no tracing, no backend compile.
+            from ..runtime.aot import AotCache
+
+            self._call = AotCache(fn, cfg.to_json(), aot_dir)
+        else:
+            self._call = jax.jit(fn)
 
     def _fn(self, waves):
         """Async-dispatch the jitted program on a device waveform batch."""
-        return self._jit(waves, self._tmpl_dev)
+        return self._call(waves, self._tmpl_dev)
 
     def transcribe_batch(self, waves: np.ndarray) -> list[NoteSequence]:
         notes = jax.device_get(self._fn(jnp.asarray(waves)))

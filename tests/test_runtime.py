@@ -79,3 +79,25 @@ def test_nan_guard_on_loop():
         assert len(seq) >= 1
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_aot_executable_cache(tiny_config, tmp_path):
+    """runtime/aot.py: first Transcriber compiles and serializes the
+    executable; a FRESH Transcriber (new jit cache) reloads the compiled
+    program from disk and produces identical notes."""
+    import glob as _glob
+
+    from amt_saga_tpu.runtime.aot import try_load
+    from amt_saga_tpu.runtime.fixtures import make_clip
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    cfg = tiny_config.override(**{"run.aot_cache": str(tmp_path)})
+    wave, _ = make_clip(cfg, kind="isol", seconds=2.0, n_notes=2, seed=0)
+    a = Transcriber(cfg).transcribe(wave)
+    files = _glob.glob(str(tmp_path / "*.aotx"))
+    assert len(files) == 1, files
+    # The serialized executable must be independently loadable and the
+    # second (fresh) Transcriber must reproduce the notes through it.
+    assert try_load(files[0]) is not None
+    b = Transcriber(cfg).transcribe(wave)
+    assert a.sorted().notes == b.sorted().notes
