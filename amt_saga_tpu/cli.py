@@ -216,7 +216,8 @@ def cmd_transcribe_corpus(args) -> int:
             # the blocking halved-batch path for just that batch.
             try:
                 host_notes = jax.device_get(notes)
-                seqs = notes_batch_to_sequences(host_notes, cfg)
+                seqs = notes_batch_to_sequences(host_notes, cfg,
+                                                gram=tr.host_gram())
             except jax.errors.JaxRuntimeError:
                 seqs = with_oom_retry(tr.transcribe_batch, dev)
             postprocess(paths, seqs[:len(paths)])

@@ -119,6 +119,19 @@ class LoopConfig:
     # still uses the grid template (only grid atoms exist); this affects
     # emission only.
     refine_duration: bool = True
+    # Joint gain re-projection (orthogonal-matching-pursuit style): after
+    # the greedy loop, re-fit ALL accepted notes' gains together by
+    # nonnegative cyclic coordinate descent on ||spec - sum g_a W_a||^2,
+    # using the precomputed template Gram for overlaps.  Greedy gains are
+    # fitted against the residual mid-extraction, so on dense polyphony
+    # they absorb the energy of not-yet-extracted neighbors; the joint
+    # refit removes that bias (better velocities).  Decisions (which
+    # notes, onsets, durations) are untouched — emission-side only, like
+    # refine_duration.  The descent runs on the HOST in float64 from
+    # decision-quantized device-recorded dots, identically for the TPU
+    # and golden paths, so MIDI bit-parity is preserved.
+    refit_gains: bool = True
+    refit_sweeps: int = 4
     # Candidate scoring uses the closed form
     #   score = 2*g*<window, W> - g^2*||W||^2
     # which equals (energy reduction) - 1.0*(over-subtraction energy):
@@ -206,7 +219,7 @@ class RunConfig:
     # ~10-15% faster end-to-end but its ~2^-14 relative error straddles
     # the 2^-10 decision buckets a few percent of the time; discrete
     # decisions mostly survive (ties are rare) but the CONTINUOUS
-    # duration-refinement inputs (NotesBatch.sd3) then differ from golden
+    # duration-refinement inputs (NotesBatch.sd) then differ from golden
     # often enough to break MIDI bit-parity — use it only where raw
     # throughput beats the parity guarantee.
     matmul_precision: str = "highest"  # "highest" | "high"

@@ -104,48 +104,6 @@ class NoteSequence:
         return cls(list(notes))
 
 
-def refined_duration_seconds(d_idx: int, s_lo: float, s_mid: float,
-                             s_hi: float,
-                             duration_grid: Sequence[float]) -> float | None:
-    """Continuous duration from the winner's scores at grid neighbors.
-
-    The loop records the winner's (quantized) scores at three CONSECUTIVE
-    grid indices ``m-1, m, m+1`` with ``m = clip(d, 1, D-2)`` — centered
-    on the winning duration ``d`` in the interior, shifted one step
-    inward when ``d`` is a grid boundary (the common real-world case: an
-    off-grid duration just below the longest grid entry).  The parabola
-    vertex through those samples, in grid-index space, is clamped to
-    ``[d-0.5, d+0.5]`` (never overriding the argmax by more than half a
-    step) and mapped through log-duration interpolation.
-
-    Pure float64 host arithmetic on decision-quantized inputs — the TPU
-    and golden paths record bit-identical inputs, so the refined tick is
-    bit-identical too (SURVEY.md §7 "hard parts": round on host at
-    emission).  Returns None (caller keeps the grid duration) when the
-    grid has <3 entries or the samples are not strictly concave.
-    """
-    n_d = len(duration_grid)
-    if n_d < 3:
-        return None
-    d = int(d_idx)
-    m = min(max(d, 1), n_d - 2)
-    a, b, c = float(s_lo), float(s_mid), float(s_hi)
-    denom = a - 2.0 * b + c
-    if not denom < 0.0:  # not a concave maximum (incl. NaN)
-        return None
-    p = m + 0.5 * (a - c) / denom  # vertex in grid-index space
-    p = max(d - 0.5, min(d + 0.5, p))
-    p = max(0.0, min(float(n_d - 1), p))
-    import math
-
-    lo = int(math.floor(p))
-    hi = min(lo + 1, n_d - 1)
-    w = p - lo
-    ln_lo = math.log(float(duration_grid[lo]))
-    ln_hi = math.log(float(duration_grid[hi]))
-    return math.exp((1.0 - w) * ln_lo + w * ln_hi)
-
-
 def note_arrays_to_sequence(
     onset_frames: Sequence[int],
     dur_frames: Sequence[int],
@@ -158,8 +116,8 @@ def note_arrays_to_sequence(
     sample_rate: int,
     pitch_min: int = 21,
     d_idx: Sequence[int] | None = None,
-    sd3: Sequence[Sequence[float]] | None = None,
-    duration_grid: Sequence[float] | None = None,
+    sd: Sequence[Sequence[float]] | None = None,
+    refiner=None,
 ) -> NoteSequence:
     """Convert device-side note arrays to a host NoteSequence.
 
@@ -168,32 +126,89 @@ def note_arrays_to_sequence(
     onset ticks).  ``gains`` are least-squares template gains; velocity maps
     through a quantized log-ish curve that is robust to tiny float noise.
 
-    With ``d_idx``/``sd3``/``duration_grid`` (LoopConfig.refine_duration),
-    emitted durations are refined past the grid by
-    :func:`refined_duration_seconds`.
+    With ``d_idx``/``sd``/``refiner`` (LoopConfig.refine_duration), emitted
+    durations are refined past the grid by the continuous duration
+    estimator (``synth.templates.DurationRefiner``) — a deterministic
+    float64 function of the decision-quantized score vector recorded
+    identically by the TPU and golden paths, so MIDI parity survives.
     """
     seq = NoteSequence()
     spf = hop / float(sample_rate)  # seconds per frame
     n = int(count)
-    refine = (d_idx is not None and sd3 is not None
-              and duration_grid is not None)
+    refine = d_idx is not None and sd is not None and refiner is not None
     for i in range(n):
         onset = float(int(onset_frames[i])) * spf
         dur = float(max(1, int(dur_frames[i]))) * spf
         if refine:
-            r = refined_duration_seconds(
-                d_idx[i], sd3[i][0], sd3[i][1], sd3[i][2], duration_grid)
+            r = refiner(int(d_idx[i]), int(pitches[i]), int(programs[i]),
+                        sd[i])
             if r is not None:
                 # Snap to the frame lattice: durations stay frame-
                 # quantized like the grid path (a frame is ~32 ms, far
                 # inside the 50 ms offset tolerance), and rare one-bucket
-                # differences in sd3 between backends must also cross a
+                # differences in sd between backends must also cross a
                 # frame boundary before they can move the emitted tick.
                 dur = float(max(1, round(r / spf))) * spf
         vel = gain_to_velocity(float(gains[i]))
         seq.add(onset, dur, int(pitches[i]) + pitch_min, vel,
                 int(programs[i]))
     return seq
+
+
+def refit_gains_host(
+    onset_frames: Sequence[int],
+    qd: Sequence[int],
+    dot0: Sequence[float],
+    gains: Sequence[float],
+    count: int,
+    gram: np.ndarray,
+    sweeps: int = 2,
+) -> np.ndarray:
+    """Joint nonnegative gain re-projection over the accepted notes.
+
+    Cyclic coordinate descent on ``||spec - sum_a g_a W_a||^2`` with
+    ``g >= 0`` (the orthogonal-projection step of orthogonal matching
+    pursuit, warm-started at the greedy gains): per sweep, each gain is
+    set to its exact 1-D minimizer
+
+        g_a = max(0, (dot0_a - sum_{b != a} g_b G_ab) / G_aa)
+
+    where ``dot0_a = <spec, W_a at onset_a>`` (device-recorded, decision-
+    quantized) and ``G_ab = gram[t_a - t_b, qd_a, qd_b]`` gathered from
+    the precomputed template-overlap Gram (``synth.templates
+    .gram_from_bank`` — the same host-computed array both paths use, so
+    the gather is bit-exact).  Greedy gains are fitted against the
+    mid-extraction residual and absorb the energy of not-yet-extracted
+    overlapping neighbors; the joint refit removes that bias.
+
+    Pure float64 host arithmetic in a pinned order: identical inputs on
+    the TPU and golden paths give bit-identical refit gains, preserving
+    MIDI parity.  Returns a float64 copy of ``gains`` with the first
+    ``count`` entries replaced.
+    """
+    out = np.asarray(gains, dtype=np.float64).copy()
+    n = int(count)
+    if n == 0:
+        return out
+    tmax = (gram.shape[0] + 1) // 2
+    t = np.asarray(onset_frames[:n], dtype=np.int64)
+    a_qd = np.asarray(qd[:n], dtype=np.int64)
+    # gram[dt, a, b] = sum_tau W_a[tau + dt] W_b[tau] (gram_from_bank), so
+    # the overlap of atom a at t_a with atom b at t_b is gram[t_b - t_a].
+    dt = t[None, :] - t[:, None]
+    in_band = np.abs(dt) < tmax
+    k = np.clip(dt + tmax - 1, 0, gram.shape[0] - 1)
+    G = np.where(in_band,
+                 gram[k, a_qd[:, None], a_qd[None, :]], 0.0
+                 ).astype(np.float64)
+    diag = np.maximum(np.diagonal(G), 1e-12)
+    d0 = np.asarray(dot0[:n], dtype=np.float64)
+    g = out[:n]
+    for _ in range(int(sweeps)):
+        for a in range(n):
+            num = d0[a] - (float(G[a] @ g) - G[a, a] * g[a])
+            g[a] = max(0.0, num / diag[a])
+    return out
 
 
 def gain_to_velocity(gain: float) -> int:

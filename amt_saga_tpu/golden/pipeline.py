@@ -57,9 +57,14 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..config import Config
-from ..core.notes import NoteSequence, note_arrays_to_sequence
+from ..core.notes import (
+    NoteSequence,
+    note_arrays_to_sequence,
+    refit_gains_host,
+)
 from ..synth.templates import (
     duration_grid_frames,
+    make_duration_refiner,
     onset_envelope,
     spectral_profiles,
     template_bank,
@@ -131,6 +136,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
         spec,
         np.zeros((tmax, spec.shape[1]), dtype=np.float32),
     ], axis=0)
+    spec0 = res.copy()  # pristine padded spectrogram for the gain refit
 
     if atoms is None:
         bank = template_bank(synth, dsp)          # [I, P, D, Tmax, F]
@@ -152,7 +158,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
     gains = np.zeros(cap, dtype=np.float32)
     programs = np.zeros(cap, dtype=np.int32)
     d_idx = np.zeros(cap, dtype=np.int32)
-    sd3 = np.zeros((cap, 3), dtype=np.float32)
+    sd = np.zeros((cap, n_d), dtype=np.float32)
 
     e0 = float(np.sum(np.square(res), dtype=np.float32))
     count = 0
@@ -253,26 +259,45 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
             gains[count] = g_best
             programs[count] = qi
             d_idx[count] = di
-            # Quantized scores at three consecutive grid indices (window
-            # shifted inward at boundaries) for host-side continuous
-            # duration refinement (mirror of saga/loop.py sd3; the shared
-            # f64 parabola in core.notes keeps MIDI parity).
-            if n_d >= 3:
-                m = min(max(di, 1), n_d - 2)
-                sd3[count] = (s_qdo[q, m - 1, oi], s_qdo[q, m, oi],
-                              s_qdo[q, m + 1, oi])
+            # Quantized scores at ALL grid durations (winner's pitch and
+            # onset) for the host-side continuous duration fit (mirror of
+            # saga/loop.py sd; the shared f64 DurationRefiner keeps MIDI
+            # parity).
+            sd[count] = s_qdo[q, :, oi]
             count += 1
             any_acc = True
 
         if not any_acc:
             break
 
+    emit_gains = gains
+    if loop.refit_gains:
+        # Joint gain re-projection (mirror of saga/loop.py): dot each
+        # accepted atom with the PRISTINE spectrogram (quantized, like
+        # the device recording), then the shared host f64 coordinate
+        # descent; overlaps from the same host-computed Gram tensor the
+        # TPU path gathers from, so parity holds bit-for-bit.
+        from ..synth.templates import gram_from_bank
+
+        dot0 = np.zeros(cap, dtype=np.float32)
+        for a in range(count):
+            t_a = int(onset_f[a])
+            w_a = bank[programs[a], pitch_i[a], d_idx[a]].reshape(-1)
+            dot0[a] = np.float32(
+                spec0[t_a:t_a + tmax].reshape(-1) @ w_a)
+        dot0 = quantize_decisions_np(dot0)
+        gram = gram_from_bank(bank.reshape(n_i * n_p * n_d, tmax, -1))
+        qd = (programs * n_p + pitch_i) * n_d + d_idx
+        emit_gains = refit_gains_host(onset_f, qd, dot0, gains, count,
+                                      gram, loop.refit_sweeps)
+
     refine = loop.refine_duration
+    refiner = make_duration_refiner(synth, dsp) if refine else None
     seq = note_arrays_to_sequence(
-        onset_f, dur_f, pitch_i, gains, programs, count,
+        onset_f, dur_f, pitch_i, emit_gains, programs, count,
         hop=dsp.hop, sample_rate=dsp.sample_rate, pitch_min=synth.pitch_min,
-        d_idx=d_idx if refine else None, sd3=sd3 if refine else None,
-        duration_grid=synth.duration_grid if refine else None)
+        d_idx=d_idx if refine else None, sd=sd if refine else None,
+        refiner=refiner)
     e_final = float(np.sum(np.square(res), dtype=np.float32))
     return GoldenResult(seq, onset_f[:count], dur_f[:count], pitch_i[:count],
                         gains[:count], programs[:count], count, e_final)

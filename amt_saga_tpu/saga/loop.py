@@ -49,7 +49,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..core.notes import NoteSequence, note_arrays_to_sequence
+from ..core.notes import (
+    NoteSequence,
+    note_arrays_to_sequence,
+    refit_gains_host,
+)
 from ..dsp.cqt import logf_spectrogram
 from ..dsp.residual import energy as residual_energy
 from ..dsp.residual import section as residual_section
@@ -58,6 +62,7 @@ from ..dsp.stft import stft_magnitude
 from ..synth.templates import (
     duration_grid_frames,
     gram_from_bank,
+    make_duration_refiner,
     onset_envelope,
     spectral_profiles,
     template_bank,
@@ -128,7 +133,13 @@ class NotesBatch(NamedTuple):
     gain: jnp.ndarray     # [B, cap] float32
     program: jnp.ndarray  # [B, cap] int32 instrument index
     d_idx: jnp.ndarray    # [B, cap] int32 duration-grid index
-    sd3: jnp.ndarray      # [B, cap, 3] float32 quantized scores at d-1,d,d+1
+    sd: jnp.ndarray       # [B, cap, D] float32 quantized scores at ALL
+    #                       grid durations (winner's pitch/onset), for the
+    #                       host-side continuous duration fit
+    dot0: jnp.ndarray     # [B, cap] float32 quantized <spec, W_a> of each
+    #                       note's atom in the ORIGINAL spectrogram, for
+    #                       the host-side joint gain refit (LoopConfig
+    #                       .refit_gains); zeros when refit is off
     count: jnp.ndarray    # [B] int32
     residual_energy: jnp.ndarray  # [B] float32
     # Sanitizer state (SURVEY.md §5): a lane whose residual energy or
@@ -371,20 +382,13 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
             res_i, _ = subtract_pallas(res_i, w, gain_eff, t_best)
         else:
             res_i = jax.vmap(residual_subtract)(res_i, w, gain_eff, t_best)
-        # Winner's quantized scores at three consecutive duration-grid
-        # indices (window shifted inward at grid boundaries), recorded
-        # for the HOST-side continuous duration refinement (f64 parabola,
-        # shared with the golden path; see refined_duration_seconds).
-        def s_at(dd):
-            j = q_best * (n_d * n_o) + dd * n_o + o_best
-            return jnp.take_along_axis(s_flat, j[:, None], 1)[:, 0]
-
-        if n_d >= 3:
-            m = jnp.clip(d_best, 1, n_d - 2)
-            sd3_val = jnp.stack(
-                [s_at(m - 1), s_at(m), s_at(m + 1)], axis=1)  # [B, 3]
-        else:
-            sd3_val = jnp.zeros((b, 3), jnp.float32)
+        # Winner's quantized scores at ALL duration-grid indices (same
+        # pitch/onset candidate), recorded for the HOST-side continuous
+        # duration fit (f64 rank-1 cross-correlation estimator, shared
+        # with the golden path; see synth.templates.DurationRefiner).
+        dd = jax.lax.broadcasted_iota(jnp.int32, (b, n_d), 1)
+        j_all = q_best[:, None] * (n_d * n_o) + dd * n_o + o_best[:, None]
+        sd_val = jnp.take_along_axis(s_flat, j_all, axis=1)   # [B, D]
 
         idx = notes_i.count
         app = jax.vmap(_append_row)
@@ -395,7 +399,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
             gain=app(notes_i.gain, idx, g_best, acc),
             program=app(notes_i.program, idx, q_best // n_p, acc),
             d_idx=app(notes_i.d_idx, idx, d_best, acc),
-            sd3=jax.vmap(_append_vec)(notes_i.sd3, idx, sd3_val, acc),
+            sd=jax.vmap(_append_vec)(notes_i.sd, idx, sd_val, acc),
             count=notes_i.count + acc.astype(jnp.int32),
         )
         if n_k > 1:
@@ -439,7 +443,8 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
         gain=jnp.zeros((b, cap), jnp.float32),
         program=jnp.zeros((b, cap), jnp.int32),
         d_idx=jnp.zeros((b, cap), jnp.int32),
-        sd3=jnp.zeros((b, cap, 3), jnp.float32),
+        sd=jnp.zeros((b, cap, len(cfg.synth.duration_grid)), jnp.float32),
+        dot0=jnp.zeros((b, cap), jnp.float32),
         count=jnp.zeros((b,), jnp.int32),
         residual_energy=e0,
         poison=jnp.zeros((b,), bool),
@@ -463,8 +468,50 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
     lim = cap if max_iters is None else jnp.minimum(cap, max_iters)
     body = partial(_loop_body, cfg=cfg, tmpl=tmpl, n_frames=n_frames,
                    score_fn=score_fn)
-    return jax.lax.while_loop(
+    out = jax.lax.while_loop(
         lambda c: (c.it < lim) & jnp.any(~c.done), body, carry0)
+    if cfg.loop.refit_gains:
+        # Inputs for the host-side joint gain re-projection
+        # (core.notes.refit_gains_host): each accepted note's atom dotted
+        # with the ORIGINAL padded spectrogram (res is the pre-loop
+        # residual, untouched by the while_loop's carried copy).
+        dot0 = _original_spec_dots(res, out.notes, cfg, tmpl)
+        out = out._replace(notes=out.notes._replace(dot0=dot0))
+    return out
+
+
+def _original_spec_dots(spec_padded: jnp.ndarray, notes: NotesBatch,
+                        cfg: Config, tmpl: TemplateArrays) -> jnp.ndarray:
+    """[B, cap] quantized <spec, W_a> for every note slot (garbage beyond
+    ``count`` — the host refit only reads the first ``count`` entries).
+
+    One while_loop step per USED slot (bounded by the batch's max note
+    count, not the static capacity): a [B, Tmax, F] atom gather + window
+    gather + elementwise dot.  Runs ONCE per batch after the while_loop
+    (not per iteration).
+    """
+    tmax = cfg.synth.template_frames
+    n_q, n_d = tmpl.norms.shape
+    n_p = cfg.synth.n_pitches
+    cap = notes.onset.shape[1]
+    qd = (notes.program * n_p + notes.pitch) * n_d + notes.d_idx  # [B, cap]
+    bank_flat = tmpl.bank.reshape(n_q * n_d, tmax, -1)
+    n_used = jnp.max(notes.count)
+
+    def slot(state):
+        a, acc = state
+        atom = bank_flat[qd[:, a]]                       # [B, Tmax, F]
+        win = jax.vmap(
+            lambda r, t: residual_section(r, t, tmax))(
+                spec_padded, notes.onset[:, a])          # [B, Tmax, F]
+        d = jnp.sum(atom * win, axis=(1, 2))
+        return a + 1, acc.at[:, a].set(d)
+
+    _, dots = jax.lax.while_loop(
+        lambda s: s[0] < n_used, slot,
+        (jnp.zeros((), jnp.int32),
+         jnp.zeros((notes.onset.shape[0], cap), jnp.float32)))
+    return quantize_decisions(dots)
 
 
 def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
@@ -539,17 +586,53 @@ class Transcriber:
         """Async-dispatch the jitted program on a device waveform batch."""
         return self._call(waves, self._tmpl_dev)
 
+    def host_gram(self) -> np.ndarray | None:
+        """Host copy of THIS transcriber's template Gram (for the joint
+        gain refit) — consistent with a neural-bank tmpl override, unlike
+        the analytic default inside notes_batch_to_sequences."""
+        if not self.cfg.loop.refit_gains:
+            return None
+        if not hasattr(self, "_gram_np"):
+            self._gram_np = np.asarray(self.tmpl.gram)
+        return self._gram_np
+
     def transcribe_batch(self, waves: np.ndarray) -> list[NoteSequence]:
         notes = jax.device_get(self._fn(jnp.asarray(waves)))
-        return notes_batch_to_sequences(notes, self.cfg)
+        return notes_batch_to_sequences(notes, self.cfg,
+                                        gram=self.host_gram())
 
     def transcribe(self, wave: np.ndarray) -> NoteSequence:
         return self.transcribe_batch(np.asarray(wave)[None])[0]
 
 
-def notes_batch_to_sequences(notes: NotesBatch,
-                             cfg: Config) -> list[NoteSequence]:
+def _host_gram_analytic(cfg: Config) -> np.ndarray:
+    """Host-side analytic-bank Gram for the joint gain refit (content-
+    addressed disk cache inside gram_from_bank makes repeat calls a
+    file load; module-level memo makes them free)."""
+    key = (cfg.synth, cfg.dsp)
+    hit = _HOST_GRAM_MEMO.get(key)
+    if hit is None:
+        bank = template_bank(cfg.synth, cfg.dsp)
+        n_i, n_p, n_d, tmax, f = bank.shape
+        hit = gram_from_bank(bank.reshape(n_i * n_p * n_d, tmax, f))
+        _HOST_GRAM_MEMO.clear()  # keep at most one (hundreds of MB)
+        _HOST_GRAM_MEMO[key] = hit
+    return hit
+
+
+_HOST_GRAM_MEMO: dict = {}
+
+
+def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
+                             gram: np.ndarray | None = None,
+                             ) -> list[NoteSequence]:
     refine = cfg.loop.refine_duration
+    refiner = (make_duration_refiner(cfg.synth, cfg.dsp)
+               if refine else None)
+    refit = cfg.loop.refit_gains
+    if refit and gram is None:
+        gram = _host_gram_analytic(cfg)
+    n_p, n_d = cfg.synth.n_pitches, len(cfg.synth.duration_grid)
     poison = np.asarray(notes.poison)
     out = []
     for b in range(notes.onset.shape[0]):
@@ -564,13 +647,22 @@ def notes_batch_to_sequences(notes: NotesBatch,
                 "emitting empty sequence", b)
             out.append(NoteSequence())
             continue
+        gains_b = np.asarray(notes.gain[b])
+        if refit:
+            qd = ((np.asarray(notes.program[b]) * n_p
+                   + np.asarray(notes.pitch[b])) * n_d
+                  + np.asarray(notes.d_idx[b]))
+            gains_b = refit_gains_host(
+                np.asarray(notes.onset[b]), qd,
+                np.asarray(notes.dot0[b]), gains_b,
+                int(notes.count[b]), gram, cfg.loop.refit_sweeps)
         out.append(note_arrays_to_sequence(
             np.asarray(notes.onset[b]), np.asarray(notes.dur[b]),
-            np.asarray(notes.pitch[b]), np.asarray(notes.gain[b]),
+            np.asarray(notes.pitch[b]), gains_b,
             np.asarray(notes.program[b]), int(notes.count[b]),
             hop=cfg.dsp.hop, sample_rate=cfg.dsp.sample_rate,
             pitch_min=cfg.synth.pitch_min,
             d_idx=np.asarray(notes.d_idx[b]) if refine else None,
-            sd3=np.asarray(notes.sd3[b]) if refine else None,
-            duration_grid=cfg.synth.duration_grid if refine else None))
+            sd=np.asarray(notes.sd[b]) if refine else None,
+            refiner=refiner))
     return out

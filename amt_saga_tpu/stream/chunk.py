@@ -152,9 +152,13 @@ def transcribe_long(wave: np.ndarray, transcriber, cfg: Config,
     bs = batch_size or cfg.run.batch_size
     seqs: list[NoteSequence] = []
 
+    gram = (transcriber.host_gram()
+            if hasattr(transcriber, "host_gram") else None)
+
     def fetch(pending, n_keep):
         host = jax.device_get(pending)
-        seqs.extend(notes_batch_to_sequences(host, cfg)[:n_keep])
+        seqs.extend(
+            notes_batch_to_sequences(host, cfg, gram=gram)[:n_keep])
 
     pending = None  # (device NotesBatch, n_real_chunks_in_batch)
     for i in range(0, len(chunks), bs):

@@ -202,3 +202,190 @@ def duration_grid_frames(synth: SynthConfig, dsp: DSPConfig) -> np.ndarray:
     spf = dsp.hop / dsp.sample_rate
     return np.maximum(
         1, np.round(np.asarray(synth.duration_grid) / spf)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Continuous duration refinement (SURVEY.md C7 "duration regression").
+#
+# The SAGA loop picks durations from the discrete grid; both paths record
+# the winner's decision-quantized closed-form scores at ALL grid durations
+# (NotesBatch.sd / golden sd).  Host-side, those scores are fitted against
+# a precomputed cross-correlation table between the grid atoms and
+# templates rendered at a FINE log-spaced duration grid: for the true
+# (off-grid) duration tau, the score vector over grid atoms d is
+# s_d = <w, W_d>^2 / ||W_d||^2 with w ~= g * W_tau, so
+# sqrt(s_d * ||W_d||^2) ~= g * <W_d, W_tau> = g * K[d, tau] — a rank-1
+# model in the unknown gain whose least-squares fit quality
+# r(tau) = (sum_d dvec_d K[d,tau])^2 / sum_d K[d,tau]^2 peaks at the true
+# duration.  Pure float64 host arithmetic on identically-quantized inputs
+# keeps TPU/golden MIDI bit-parity (SURVEY.md §7 "round on host").
+# ---------------------------------------------------------------------------
+
+# Fine-grid resolution: log-spaced points per adjacent grid interval.  16
+# gives ~2-3% duration steps everywhere — below one STFT frame (the
+# emission lattice) for all default grid entries.
+FINE_POINTS_PER_INTERVAL = 16
+
+
+def fine_duration_grid(synth: SynthConfig) -> np.ndarray:
+    """[n_fine] float64 log-spaced durations spanning the grid's range."""
+    grid = np.asarray(synth.duration_grid, dtype=np.float64)
+    if len(grid) < 2:
+        return grid.copy()
+    segs = [
+        np.exp(np.linspace(np.log(grid[i]), np.log(grid[i + 1]),
+                           FINE_POINTS_PER_INTERVAL, endpoint=False))
+        for i in range(len(grid) - 1)
+    ]
+    return np.concatenate(segs + [grid[-1:]])
+
+
+@lru_cache(maxsize=4)
+def duration_fit_table(synth: SynthConfig, dsp: DSPConfig) -> np.ndarray:
+    """[Q, D, n_fine] float32: K[q, d, j] = <W_{q,d}, W_{q,tau_j}>.
+
+    Cross-correlations (zero lag, shared onset) between each grid template
+    and templates rendered at the fine duration grid.  The fine renders
+    factor the note envelope out of the harmonic stack — the stack is
+    duration-independent, so each (q, tau) render is one envelope multiply
+    + spectrogram instead of a full ``note_waveform`` call.  Disk-cached
+    like the Gram tensor (pure function of the configs).
+    """
+    fine = fine_duration_grid(synth)
+    key = (f"durfit-v1|{synth!r}|{dsp!r}|{fine.tobytes().hex()[:40]}")
+    digest = hashlib.sha1(key.encode()).hexdigest()[:20]
+    cache_dir = os.environ.get(
+        "AMT_GRAM_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "amt_saga_tpu"))
+    path = os.path.join(cache_dir, f"durfit_{digest}.npy")
+    n_q = synth.n_instruments * synth.n_pitches
+    n_d = len(synth.duration_grid)
+    if os.path.exists(path):
+        try:
+            tab = np.load(path)
+            if tab.shape == (n_q, n_d, len(fine)):
+                return tab
+        except Exception:
+            pass  # unreadable cache entry: recompute below
+
+    bank = template_bank(synth, dsp).reshape(n_q, n_d, -1)
+    n_samp = template_length_samples(synth, dsp)
+    lead_samp = template_lead(dsp) * dsp.hop
+    sr = dsp.sample_rate
+    t = np.arange(n_samp - lead_samp, dtype=np.float64) / sr
+    decay_env = np.exp(-t / synth.decay_seconds)
+    tab = np.empty((n_q, n_d, len(fine)), dtype=np.float32)
+    for i in range(synth.n_instruments):
+        for pi in range(synth.n_pitches):
+            q = i * synth.n_pitches + pi
+            # Duration-independent harmonic stack (mirrors note_waveform).
+            pitch = synth.pitch_min + pi
+            f0 = midi_to_hz(pitch)
+            rolloff = instrument_rolloff(synth, i)
+            nyq = 0.95 * sr / 2.0
+            stack = np.zeros_like(t)
+            norm = 0.0
+            for h in range(1, synth.n_harmonics + 1):
+                fh = h * f0
+                if fh >= nyq:
+                    break
+                a = h ** (-rolloff)
+                stack += a * np.sin(2.0 * np.pi * fh * t)
+                norm += a
+            if norm > 0:
+                stack /= norm
+            fine_mat = np.empty((len(fine), bank.shape[-1]),
+                                dtype=np.float32)
+            buf = np.zeros(n_samp, dtype=np.float32)
+            for j, tau in enumerate(fine):
+                env = decay_env.copy()
+                after = t > tau
+                env[after] *= np.exp(-(t[after] - tau)
+                                     / synth.release_seconds)
+                buf[lead_samp:] = (stack * env).astype(np.float32)
+                fine_mat[j] = spectrogram_np(buf, dsp, pad=False).reshape(-1)
+            tab[q] = bank[q] @ fine_mat.T
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npy")
+        with os.fdopen(fd, "wb") as f:
+            np.save(f, tab)
+        os.replace(tmp, path)  # atomic: concurrent writers race safely
+    except OSError:
+        pass  # cache is best-effort
+    return tab
+
+
+class DurationRefiner:
+    """Continuous duration from the winner's grid-score vector.
+
+    Callable shared by ``saga.loop`` and ``golden.pipeline`` at emission
+    time: ``refiner(d_idx, pitch_idx, program, svec) -> seconds | None``.
+    ``svec`` holds the winner's decision-quantized scores at every grid
+    duration (same candidate onset/offset); both paths record it
+    bit-identically, and everything here is deterministic float64, so the
+    refined tick is bit-identical too — MIDI parity is preserved.
+
+    The estimate maximizes the rank-1 fit quality r(tau) over the fine
+    grid (see module comment), restricted to [grid[d-1], grid[d+1]]
+    around the argmax winner d (the discrete decision is never overridden
+    by more than one grid step), then sharpened by a parabolic vertex in
+    log-duration through the argmax neighbors.
+    """
+
+    def __init__(self, synth: SynthConfig, dsp: DSPConfig):
+        self.n_p = synth.n_pitches
+        self.grid = np.asarray(synth.duration_grid, dtype=np.float64)
+        n_d = len(self.grid)
+        self.norms = template_sq_norms(synth, dsp).reshape(
+            -1, n_d).astype(np.float64)
+        self.fine = fine_duration_grid(synth)
+        self.table = duration_fit_table(synth, dsp).astype(np.float64)
+        self.den = np.maximum(
+            np.sum(np.square(self.table), axis=1), 1e-300)  # [Q, n_fine]
+
+    def __call__(self, d_idx: int, pitch_idx: int, program: int,
+                 svec) -> float | None:
+        n_d = len(self.grid)
+        if n_d < 2:
+            return None
+        s = np.asarray(svec, dtype=np.float64)
+        if s.shape[-1] != n_d or not np.all(np.isfinite(s)):
+            return None
+        q = int(program) * self.n_p + int(pitch_idx)
+        dvec = np.sqrt(np.maximum(s, 0.0) * self.norms[q])
+        if not dvec.max() > 0.0:
+            return None
+        num = dvec @ self.table[q]                       # [n_fine]
+        r = np.square(np.maximum(num, 0.0)) / self.den[q]
+        d = int(d_idx)
+        lo = self.grid[max(d - 1, 0)]
+        hi = self.grid[min(d + 1, n_d - 1)]
+        masked = np.where((self.fine >= lo) & (self.fine <= hi), r, -np.inf)
+        j = int(np.argmax(masked))                       # first-max
+        if not np.isfinite(masked[j]):
+            return None
+        tau = float(self.fine[j])
+        # Parabolic vertex through (ln tau, r) at j-1, j, j+1 (general
+        # unequal-spacing form; fine points are log-uniform inside one
+        # grid interval but not across interval boundaries).
+        if 0 < j < len(self.fine) - 1 and np.isfinite(
+                masked[j - 1]) and np.isfinite(masked[j + 1]):
+            x0, x1, x2 = np.log(self.fine[j - 1:j + 2])
+            y0, y1, y2 = r[j - 1:j + 2]
+            d01, d12, d02 = x1 - x0, x2 - x1, x2 - x0
+            denom = d01 * d12 * d02
+            if denom > 0.0:
+                a = (y0 * d12 - y1 * d02 + y2 * d01) / denom
+                if a < 0.0:  # concave maximum
+                    b = (y2 - y0) / d02 - a * (x0 + x2)
+                    v = -b / (2.0 * a)
+                    v = max(x0, min(x2, v))
+                    tau = float(np.exp(v))
+        return max(float(lo), min(float(hi), tau))
+
+
+@lru_cache(maxsize=4)
+def make_duration_refiner(synth: SynthConfig,
+                          dsp: DSPConfig) -> DurationRefiner:
+    return DurationRefiner(synth, dsp)

@@ -122,3 +122,70 @@ def test_nan_lane_poisoned_not_garbage(tiny_config, tiny_transcriber):
     assert len(seqs[0]) > 0      # clean lane transcribed normally
     assert len(seqs[1]) == 0     # poisoned lane emits empty, not garbage
     assert int(notes.iterations) >= 1
+
+
+def test_refit_gains_exact_recovery_linear(tiny_config):
+    """The joint gain re-projection (core.notes.refit_gains_host) must
+    recover the true gains of overlapping atoms exactly in the linear-
+    superposition regime (where the model ||spec - sum g W||^2 is exact),
+    including the ill-conditioned same-pitch-different-duration case that
+    greedy extraction biases."""
+    import numpy as np
+
+    from amt_saga_tpu.core.notes import refit_gains_host
+    from amt_saga_tpu.synth.templates import gram_from_bank, template_bank
+
+    cfg = tiny_config
+    bank = template_bank(cfg.synth, cfg.dsp)
+    n_i, n_p, n_d, tmax, f = bank.shape
+    gram = gram_from_bank(bank.reshape(n_i * n_p * n_d, tmax, f))
+    notes = [(10, 12, 2, 0.9), (14, 19, 2, 0.5), (20, 12, 1, 0.7)]
+    spec = np.zeros((120 + tmax, f), np.float32)
+    for t, p, d, g in notes:
+        spec[t:t + tmax] += g * bank[0, p, d]
+    onset = np.array([n[0] for n in notes])
+    qd = np.array([(0 * n_p + n[1]) * n_d + n[2] for n in notes])
+    dot0 = np.array(
+        [spec[t:t + tmax].reshape(-1) @ bank[0, p, d].reshape(-1)
+         for t, p, d, _ in notes], np.float32)
+    out = refit_gains_host(onset, qd, dot0,
+                           np.array([1.1, 0.3, 0.9]), 3, gram, sweeps=4)
+    np.testing.assert_allclose(out[:3], [0.9, 0.5, 0.7], atol=0.01)
+    # Entries beyond count are untouched.
+    out2 = refit_gains_host(
+        np.array([10, 0]), np.array([qd[0], 0]),
+        np.array([dot0[0], 123.0]), np.array([0.2, 0.33]), 1, gram)
+    assert out2[1] == 0.33
+
+
+def test_refit_gains_improves_polyphonic_velocity(tiny_config,
+                                                  tiny_transcriber):
+    """On 3-voice polyphony the joint refit must track rendered
+    velocities at least as well as the greedy gains (roadmap #5); on
+    isolated notes both are exact."""
+    import numpy as np
+
+    from amt_saga_tpu.runtime.fixtures import make_clip
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    cfg = tiny_config
+    greedy = Transcriber(cfg.override(**{"loop.refit_gains": False}))
+
+    def vel_mae(tr, kind, **kw):
+        errs = []
+        for s in range(4):
+            wave, ref = make_clip(cfg, kind=kind, seconds=6.0,
+                                  seed=900 + s, **kw)
+            pred = tr.transcribe(wave)
+            for rn in ref:
+                hits = [pn for pn in pred if pn.pitch == rn.pitch
+                        and abs(pn.onset - rn.onset) <= 0.05]
+                if hits:
+                    best = min(hits, key=lambda pn: abs(pn.onset - rn.onset))
+                    errs.append(abs(best.velocity - rn.velocity))
+        return float(np.mean(errs))
+
+    assert vel_mae(tiny_transcriber, "isol", n_notes=4) == 0.0
+    mus_refit = vel_mae(tiny_transcriber, "mus", n_voices=3)
+    mus_greedy = vel_mae(greedy, "mus", n_voices=3)
+    assert mus_refit <= mus_greedy, (mus_refit, mus_greedy)
