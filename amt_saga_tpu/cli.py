@@ -139,6 +139,32 @@ def cmd_transcribe(args) -> int:
     return 0
 
 
+def _corpus_shard(args) -> tuple[int, int]:
+    """(index, count) for multi-process corpus sharding.
+
+    ``--shard i/n`` wins; otherwise a multi-host JAX runtime's
+    process_index/count (1 process on a single host — no sharding).
+    Each process transcribes every n-th clip of the density-sorted list
+    (balanced load) and writes its own manifest shard, so N independent
+    CLI invocations — or N hosts of one jax.distributed job — split a
+    corpus with no coordination service (SURVEY.md §5 failure recovery:
+    resume stays per-process via the per-shard manifest).
+    """
+    spec = getattr(args, "shard", None)
+    if spec:
+        try:
+            idx_s, count_s = spec.split("/")
+            idx, count = int(idx_s), int(count_s)
+        except ValueError:
+            raise SystemExit(f"--shard expects i/n, got: {spec!r}")
+        if not 0 <= idx < count:
+            raise SystemExit(f"--shard index out of range: {spec!r}")
+        return idx, count
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
 def cmd_transcribe_corpus(args) -> int:
     cfg = load_config(args)
     from .core.midi import write_midi
@@ -146,8 +172,13 @@ def cmd_transcribe_corpus(args) -> int:
     from .runtime.manifest import Manifest
 
     os.makedirs(args.output_dir, exist_ok=True)
-    manifest = Manifest(args.manifest or
-                        os.path.join(args.output_dir, "manifest.jsonl"))
+    shard_idx, shard_count = _corpus_shard(args)
+    manifest_path = (args.manifest or
+                     os.path.join(args.output_dir, "manifest.jsonl"))
+    if shard_count > 1:
+        base, ext = os.path.splitext(manifest_path)
+        manifest_path = f"{base}.shard{shard_idx}of{shard_count}{ext}"
+    manifest = Manifest(manifest_path)
     fmt = getattr(args, "format", "paired") or "paired"
     if fmt == "paired":
         paths = sorted(glob.glob(os.path.join(args.input_dir, "*.wav")))
@@ -181,6 +212,14 @@ def cmd_transcribe_corpus(args) -> int:
     from .dsp.audio import estimate_onset_density
 
     todo = sorted(todo, key=lambda p: (estimate_onset_density(p), p))
+    if shard_count > 1:
+        # Strided over the density-sorted list: each shard gets the same
+        # density mix (balanced wall-clock), and shards are disjoint.
+        todo = todo[shard_idx::shard_count]
+        log.info("shard %d/%d: %d clips", shard_idx, shard_count,
+                 len(todo))
+        if not todo:
+            return 0
 
     def gen_batches():
         for i in range(0, len(todo), bs):
@@ -283,7 +322,8 @@ def cmd_evaluate(args) -> int:
     if not pairs:
         raise SystemExit("no (pred, ref) MIDI pairs found")
     r = corpus_f1(pairs, with_offset=args.offset,
-                  with_instrument=args.instrument)
+                  with_instrument=args.instrument,
+                  with_velocity=getattr(args, "velocity", False))
     print(json.dumps({
         "precision": round(r.precision, 4), "recall": round(r.recall, 4),
         "f1": round(r.f1, 4), "n_pred": r.n_pred, "n_ref": r.n_ref,
@@ -469,6 +509,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input_dir")
     p.add_argument("output_dir")
     p.add_argument("--manifest", help="manifest path (default: in out dir)")
+    p.add_argument("--shard", metavar="I/N",
+                   help="transcribe only the I-th of N disjoint corpus "
+                        "shards (run N processes/hosts; default: this "
+                        "JAX process's index — 0/1 on a single host)")
     p.add_argument("--resume", action="store_true",
                    help="(default behavior; flag kept for clarity)")
     p.add_argument("--format", default="paired",
@@ -522,6 +566,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also require offset agreement")
     p.add_argument("--instrument", action="store_true",
                    help="also require program agreement (MusicNet)")
+    p.add_argument("--velocity", action="store_true",
+                   help="also require velocity within 0.1*127 "
+                        "(mir_eval transcription_velocity criterion)")
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate)
 

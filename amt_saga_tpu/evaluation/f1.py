@@ -7,7 +7,13 @@ SURVEY.md §7): a predicted note matches a reference note iff
 * exact pitch equality,
 * optionally (``with_offset``) offset within
   ``max(offset_min_tol, offset_ratio * ref_duration)``,
-* optionally (``with_instrument``) program equality (MusicNet setting).
+* optionally (``with_instrument``) program equality (MusicNet setting),
+* optionally (``with_velocity``) velocity within ``velocity_tol`` of the
+  reference on the [0, 1] = velocity/127 scale.  (mir_eval's
+  transcription_velocity additionally rescales predicted velocities to
+  the reference by a global least-squares fit; velocities here live on
+  the same absolute MIDI scale on both sides, so the direct tolerance is
+  the faithful criterion.)
 
 Matching is a maximum bipartite matching over the valid pairs (greedy
 matching undercounts; mir_eval also uses maximum matching).
@@ -43,6 +49,8 @@ def note_f1(
     offset_ratio: float = 0.2,
     offset_min_tol: float = 0.05,
     with_instrument: bool = False,
+    with_velocity: bool = False,
+    velocity_tol: float = 0.1,
 ) -> F1Result:
     pa = pred.to_arrays()
     ra = ref.to_arrays()
@@ -73,6 +81,10 @@ def note_f1(
                 r_off = ra["onset"][ri] + ra["duration"][ri]
                 ok &= (np.abs(p_off[:, None] - r_off[None, :])
                        <= tol[None, :])
+            if with_velocity:
+                dv = np.abs(pa["velocity"][pi, None].astype(np.float64)
+                            - ra["velocity"][None, ri]) / 127.0
+                ok &= dv <= velocity_tol
             ii, jj = np.nonzero(ok)
             rows_l.append(pi[ii])
             cols_l.append(ri[jj])

@@ -60,7 +60,7 @@ from ..config import Config
 from ..core.notes import (
     NoteSequence,
     note_arrays_to_sequence,
-    refit_gains_host,
+    refit_gains_power_host,
 )
 from ..synth.templates import (
     duration_grid_frames,
@@ -272,24 +272,29 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
 
     emit_gains = gains
     if loop.refit_gains:
-        # Joint gain re-projection (mirror of saga/loop.py): dot each
-        # accepted atom with the PRISTINE spectrogram (quantized, like
-        # the device recording), then the shared host f64 coordinate
-        # descent; overlaps from the same host-computed Gram tensor the
-        # TPU path gathers from, so parity holds bit-for-bit.
+        # Power-domain joint gain re-projection (mirror of saga/loop.py):
+        # dot each accepted SQUARED atom with the squared PRISTINE
+        # spectrogram (quantized, like the device recording), then the
+        # shared host f64 coordinate descent on the squared gains;
+        # overlaps from the same host-computed squared-atom Gram the TPU
+        # path's host side uses, so parity holds bit-for-bit.
         from ..synth.templates import gram_from_bank
 
+        spec0_pow = np.square(spec0)
         dot0 = np.zeros(cap, dtype=np.float32)
         for a in range(count):
             t_a = int(onset_f[a])
-            w_a = bank[programs[a], pitch_i[a], d_idx[a]].reshape(-1)
+            w_a = np.square(
+                bank[programs[a], pitch_i[a], d_idx[a]]).reshape(-1)
             dot0[a] = np.float32(
-                spec0[t_a:t_a + tmax].reshape(-1) @ w_a)
+                spec0_pow[t_a:t_a + tmax].reshape(-1) @ w_a)
         dot0 = quantize_decisions_np(dot0)
-        gram = gram_from_bank(bank.reshape(n_i * n_p * n_d, tmax, -1))
+        gram_pow = gram_from_bank(
+            np.square(bank).reshape(n_i * n_p * n_d, tmax, -1))
         qd = (programs * n_p + pitch_i) * n_d + d_idx
-        emit_gains = refit_gains_host(onset_f, qd, dot0, gains, count,
-                                      gram, loop.refit_sweeps)
+        emit_gains = refit_gains_power_host(onset_f, qd, dot0, gains,
+                                            count, gram_pow,
+                                            loop.refit_sweeps)
 
     refine = loop.refine_duration
     refiner = make_duration_refiner(synth, dsp) if refine else None

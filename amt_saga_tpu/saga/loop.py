@@ -52,7 +52,7 @@ from ..config import Config
 from ..core.notes import (
     NoteSequence,
     note_arrays_to_sequence,
-    refit_gains_host,
+    refit_gains_power_host,
 )
 from ..dsp.cqt import logf_spectrogram
 from ..dsp.residual import energy as residual_energy
@@ -136,10 +136,12 @@ class NotesBatch(NamedTuple):
     sd: jnp.ndarray       # [B, cap, D] float32 quantized scores at ALL
     #                       grid durations (winner's pitch/onset), for the
     #                       host-side continuous duration fit
-    dot0: jnp.ndarray     # [B, cap] float32 quantized <spec, W_a> of each
-    #                       note's atom in the ORIGINAL spectrogram, for
-    #                       the host-side joint gain refit (LoopConfig
-    #                       .refit_gains); zeros when refit is off
+    dot0: jnp.ndarray     # [B, cap] float32 quantized <spec^2, W_a^2> of
+    #                       each note's SQUARED atom in the squared
+    #                       ORIGINAL spectrogram — the power-domain dots
+    #                       for the host-side joint gain refit (LoopConfig
+    #                       .refit_gains; see core.notes
+    #                       .refit_gains_power_host); zeros when off
     count: jnp.ndarray    # [B] int32
     residual_energy: jnp.ndarray  # [B] float32
     # Sanitizer state (SURVEY.md §5): a lane whose residual energy or
@@ -482,8 +484,10 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
 
 def _original_spec_dots(spec_padded: jnp.ndarray, notes: NotesBatch,
                         cfg: Config, tmpl: TemplateArrays) -> jnp.ndarray:
-    """[B, cap] quantized <spec, W_a> for every note slot (garbage beyond
-    ``count`` — the host refit only reads the first ``count`` entries).
+    """[B, cap] quantized POWER-domain dots <spec^2, W_a^2> for every
+    note slot (garbage beyond ``count`` — the host refit only reads the
+    first ``count`` entries).  Squared because overlapping magnitudes
+    add in quadrature (see core.notes.refit_gains_power_host).
 
     One while_loop step per USED slot (bounded by the batch's max note
     count, not the static capacity): a [B, Tmax, F] atom gather + window
@@ -504,7 +508,7 @@ def _original_spec_dots(spec_padded: jnp.ndarray, notes: NotesBatch,
         win = jax.vmap(
             lambda r, t: residual_section(r, t, tmax))(
                 spec_padded, notes.onset[:, a])          # [B, Tmax, F]
-        d = jnp.sum(atom * win, axis=(1, 2))
+        d = jnp.sum(jnp.square(atom) * jnp.square(win), axis=(1, 2))
         return a + 1, acc.at[:, a].set(d)
 
     _, dots = jax.lax.while_loop(
@@ -587,14 +591,19 @@ class Transcriber:
         return self._call(waves, self._tmpl_dev)
 
     def host_gram(self) -> np.ndarray | None:
-        """Host copy of THIS transcriber's template Gram (for the joint
-        gain refit) — consistent with a neural-bank tmpl override, unlike
-        the analytic default inside notes_batch_to_sequences."""
+        """Host-side POWER-domain Gram of THIS transcriber's bank (for
+        the joint gain refit) — consistent with a neural-bank tmpl
+        override, unlike the analytic default inside
+        notes_batch_to_sequences.  Squared-atom overlaps, computed once
+        (content-addressed disk cache inside gram_from_bank)."""
         if not self.cfg.loop.refit_gains:
             return None
-        if not hasattr(self, "_gram_np"):
-            self._gram_np = np.asarray(self.tmpl.gram)
-        return self._gram_np
+        if not hasattr(self, "_gram_pow_np"):
+            bank = np.asarray(self.tmpl.bank)            # [Q, D, Tmax, F]
+            q, d, tmax, f = bank.shape
+            self._gram_pow_np = gram_from_bank(
+                np.square(bank).reshape(q * d, tmax, f))
+        return self._gram_pow_np
 
     def transcribe_batch(self, waves: np.ndarray) -> list[NoteSequence]:
         notes = jax.device_get(self._fn(jnp.asarray(waves)))
@@ -606,15 +615,16 @@ class Transcriber:
 
 
 def _host_gram_analytic(cfg: Config) -> np.ndarray:
-    """Host-side analytic-bank Gram for the joint gain refit (content-
-    addressed disk cache inside gram_from_bank makes repeat calls a
-    file load; module-level memo makes them free)."""
+    """Host-side POWER-domain analytic-bank Gram for the joint gain
+    refit (content-addressed disk cache inside gram_from_bank makes
+    repeat calls a file load; module-level memo makes them free)."""
     key = (cfg.synth, cfg.dsp)
     hit = _HOST_GRAM_MEMO.get(key)
     if hit is None:
         bank = template_bank(cfg.synth, cfg.dsp)
         n_i, n_p, n_d, tmax, f = bank.shape
-        hit = gram_from_bank(bank.reshape(n_i * n_p * n_d, tmax, f))
+        hit = gram_from_bank(
+            np.square(bank).reshape(n_i * n_p * n_d, tmax, f))
         _HOST_GRAM_MEMO.clear()  # keep at most one (hundreds of MB)
         _HOST_GRAM_MEMO[key] = hit
     return hit
@@ -652,7 +662,7 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             qd = ((np.asarray(notes.program[b]) * n_p
                    + np.asarray(notes.pitch[b])) * n_d
                   + np.asarray(notes.d_idx[b]))
-            gains_b = refit_gains_host(
+            gains_b = refit_gains_power_host(
                 np.asarray(notes.onset[b]), qd,
                 np.asarray(notes.dot0[b]), gains_b,
                 int(notes.count[b]), gram, cfg.loop.refit_sweeps)

@@ -79,6 +79,50 @@ def bench_quality() -> list[dict]:
             "recall": round(r.recall, 4),
             "f1": round(r.f1, 4),
         })
+
+    # Off-grid durations under the onset+offset criterion: tracks the
+    # continuous duration fit (synth.templates.DurationRefiner).
+    import numpy as np
+
+    from amt_saga_tpu.core.notes import NoteSequence
+    from amt_saga_tpu.runtime.fixtures import render_notes
+
+    rng = np.random.default_rng(77)
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    pairs = []
+    for _s in range(4):
+        ref = NoteSequence()
+        frame = 10
+        for _ in range(8):
+            dur = float(rng.uniform(0.17, 1.8))
+            pitch = int(rng.integers(cfg.synth.pitch_min + 8,
+                                     cfg.synth.pitch_max - 8))
+            ref.add(frame * spf, dur, pitch, 96, 0)
+            frame += int(rng.integers(28, 40))
+        wave = render_notes(ref.sorted(),
+                            cfg, int(10.0 * cfg.dsp.sample_rate))
+        pairs.append((tr.transcribe(wave), ref.sorted()))
+    r = corpus_f1(pairs, with_offset=True)
+    out.append({"name": "f1_offgrid_offset",
+                "precision": round(r.precision, 4),
+                "recall": round(r.recall, 4), "f1": round(r.f1, 4)})
+
+    # Velocity MAE on 3-voice polyphony: tracks the joint gain refit
+    # (LoopConfig.refit_gains).
+    clips = make_corpus(cfg, kind="mus", n_clips=4, seconds=10.0,
+                        seed=4321, n_voices=3)
+    errs = []
+    for w, ref in clips:
+        pred = tr.transcribe(w)
+        for rn in ref:
+            hits = [pn for pn in pred if pn.pitch == rn.pitch
+                    and abs(pn.onset - rn.onset) <= 0.05]
+            if hits:
+                best = min(hits, key=lambda pn: abs(pn.onset - rn.onset))
+                errs.append(abs(best.velocity - rn.velocity))
+    out.append({"name": "vel_mae_mus3",
+                "mae": round(float(np.mean(errs)), 2) if errs else None,
+                "n_matched": len(errs)})
     return out
 
 

@@ -138,3 +138,25 @@ def test_config_leaf_field_sharing_subconfig_name(tiny_config):
     back = Config.from_json(cfg.to_json())
     assert back.run.synth == "neural"
     assert back == cfg
+
+
+def test_transcribe_corpus_sharded(tmp_path, tiny_cfg_file):
+    """--shard i/n: N invocations cover the corpus disjointly with
+    per-shard manifests (multi-host corpus sharding, SURVEY.md §2.4)."""
+    fx = str(tmp_path / "fx")
+    main(["fixtures", fx, "--kind", "isol", "--clips", "4",
+          "--seconds", "2.0"] + _tiny_args(tiny_cfg_file))
+    out = str(tmp_path / "mids")
+    base = ["transcribe-corpus", fx, out, "--set", "run.batch_size=2"] + \
+        _tiny_args(tiny_cfg_file)
+    assert main(base + ["--shard", "0/2"]) == 0
+    assert main(base + ["--shard", "1/2"]) == 0
+    mids = [f for f in os.listdir(out) if f.endswith(".mid")]
+    assert len(mids) == 4  # disjoint shards cover everything
+    m0 = Manifest(os.path.join(out, "manifest.shard0of2.jsonl"))
+    m1 = Manifest(os.path.join(out, "manifest.shard1of2.jsonl"))
+    assert m0.n_done == 2 and m1.n_done == 2
+    with pytest.raises(SystemExit):
+        main(base + ["--shard", "2/2"])  # index out of range
+    with pytest.raises(SystemExit):
+        main(base + ["--shard", "nope"])

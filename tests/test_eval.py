@@ -74,3 +74,14 @@ def test_corpus_micro_average():
     pred_half = _seq([(0.0, 0.5, 60)])
     r = corpus_f1([(pred_half, ref), (ref, ref)])
     assert r.n_match == 3 and r.n_ref == 4 and r.n_pred == 3
+
+
+def test_velocity_criterion():
+    ref = _seq([(0.0, 1.0, 60, 90)])
+    within = _seq([(0.0, 1.0, 60, 80)])    # |90-80|/127 = 0.079 <= 0.1
+    outside = _seq([(0.0, 1.0, 60, 70)])   # |90-70|/127 = 0.157 > 0.1
+    assert note_f1(within, ref, with_velocity=False).f1 == 1.0
+    assert note_f1(within, ref, with_velocity=True).f1 == 1.0
+    assert note_f1(outside, ref, with_velocity=True).f1 == 0.0
+    assert note_f1(outside, ref, with_velocity=True,
+                   velocity_tol=0.2).f1 == 1.0

@@ -158,6 +158,37 @@ def test_refit_gains_exact_recovery_linear(tiny_config):
     assert out2[1] == 0.33
 
 
+def test_refit_gains_power_exact_recovery(tiny_config):
+    """The production power-domain refit (core.notes
+    .refit_gains_power_host) recovers true gains exactly when magnitudes
+    add in quadrature — the physics of overlapping notes with random
+    relative phase."""
+    import numpy as np
+
+    from amt_saga_tpu.core.notes import refit_gains_power_host
+    from amt_saga_tpu.synth.templates import gram_from_bank, template_bank
+
+    cfg = tiny_config
+    bank = template_bank(cfg.synth, cfg.dsp)
+    n_i, n_p, n_d, tmax, f = bank.shape
+    bank_pow = np.square(bank)
+    gram_pow = gram_from_bank(
+        bank_pow.reshape(n_i * n_p * n_d, tmax, f))
+    notes = [(10, 12, 2, 0.9), (14, 19, 2, 0.5), (20, 12, 1, 0.7)]
+    spec_pow = np.zeros((120 + tmax, f), np.float32)
+    for t, p, d, g in notes:  # quadrature superposition: powers add
+        spec_pow[t:t + tmax] += (g * g) * bank_pow[0, p, d]
+    onset = np.array([n[0] for n in notes])
+    qd = np.array([(0 * n_p + n[1]) * n_d + n[2] for n in notes])
+    dot0p = np.array(
+        [spec_pow[t:t + tmax].reshape(-1) @ bank_pow[0, p, d].reshape(-1)
+         for t, p, d, _ in notes], np.float32)
+    out = refit_gains_power_host(
+        onset, qd, dot0p, np.array([1.1, 0.3, 0.9]), 3, gram_pow,
+        sweeps=4)
+    np.testing.assert_allclose(out[:3], [0.9, 0.5, 0.7], atol=0.01)
+
+
 def test_refit_gains_improves_polyphonic_velocity(tiny_config,
                                                   tiny_transcriber):
     """On 3-voice polyphony the joint refit must track rendered
@@ -188,4 +219,6 @@ def test_refit_gains_improves_polyphonic_velocity(tiny_config,
     assert vel_mae(tiny_transcriber, "isol", n_notes=4) == 0.0
     mus_refit = vel_mae(tiny_transcriber, "mus", n_voices=3)
     mus_greedy = vel_mae(greedy, "mus", n_voices=3)
-    assert mus_refit <= mus_greedy, (mus_refit, mus_greedy)
+    # Power-domain fit: measured 4.6 vs 14.3 greedy on this workload.
+    assert mus_refit <= 8.0, (mus_refit, mus_greedy)
+    assert mus_refit <= mus_greedy - 5.0, (mus_refit, mus_greedy)
