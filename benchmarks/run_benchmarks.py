@@ -40,13 +40,16 @@ def bench_throughput(batch: int, seconds: float, repeats: int,
         for i in range(batch)])
     tr = Transcriber(cfg)
     dev = jax.device_put(jnp.asarray(waves))
+    # Timing must FETCH the result: on the axon backend block_until_ready
+    # can return before an async-compiled program has executed (same
+    # workaround as bench.py).
     t0 = time.time()
-    jax.block_until_ready(tr._fn(dev))
+    jax.device_get(tr._fn(dev))
     compile_s = time.time() - t0
     times = []
     for _ in range(repeats):
         t0 = time.time()
-        jax.block_until_ready(tr._fn(dev))
+        jax.device_get(tr._fn(dev))
         times.append(time.time() - t0)
     wall = statistics.median(times)
     return {
