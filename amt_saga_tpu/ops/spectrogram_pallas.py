@@ -74,11 +74,16 @@ def _kernel(rows_hbm, cos_ref, sin_ref, fb_ref, out_ref,
     f = pl.program_id(2)
 
     # DMA the span of rows covering this frame block (rounded up to the
-    # 8-sublane tiling Mosaic requires for sliced copies).
-    dma = pltpu.make_async_copy(
-        rows_hbm.at[b, pl.ds(t * tb, span_rows), :], span, sem)
-    dma.start()
-    dma.wait()
+    # 8-sublane tiling Mosaic requires for sliced copies).  Only on the
+    # FIRST frequency step: the f axis is the innermost (sequential)
+    # grid dimension, so the scratch span persists across the remaining
+    # f steps of the same (b, t) block.
+    @pl.when(f == 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            rows_hbm.at[b, pl.ds(t * tb, span_rows), :], span, sem)
+        dma.start()
+        dma.wait()
 
     # Windowed DFT as R statically-shifted matmuls on the MXU.
     hi = jax.lax.Precision.HIGHEST
@@ -117,13 +122,18 @@ def spectrogram_pallas(waves: jnp.ndarray, cfg: DSPConfig,
     b, n = waves.shape
     t_pad = cfg.num_frames(n)
     r = cfg.n_fft // cfg.hop
-    tb = min(cfg.pad_frames_to, t_pad)
-    if t_pad % tb:
-        raise ValueError(f"{t_pad} frames not divisible by block {tb}")
+    # Time block = matmul M dimension.  The MXU is a 128x128 systolic
+    # array: a 16-row block uses 1/8 of it (the round-2 profile showed
+    # K1 at ~4x off the f32 matmul rate for exactly this reason), so run
+    # 128 frames per block and pad the frame axis up to a multiple — the
+    # pad frames compute garbage from the zero-padded tail and are
+    # masked/sliced off below.
+    tb = min(128, t_pad)
+    t_grid = _round_up(t_pad, tb)
     hop = cfg.hop
 
     span_rows = _round_up(tb + r - 1, 8)
-    n_rows = t_pad - tb + span_rows  # last block's span must fit
+    n_rows = t_grid - tb + span_rows  # last block's span must fit
     n_span = n_rows * hop
     if n < n_span:
         waves = jnp.pad(waves, ((0, 0), (0, n_span - n)))
@@ -137,7 +147,7 @@ def spectrogram_pallas(waves: jnp.ndarray, cfg: DSPConfig,
 
     out = pl.pallas_call(
         partial(_kernel, tb=tb, r=r, hop=hop, span_rows=span_rows),
-        grid=(b, t_pad // tb, n_f),
+        grid=(b, t_grid // tb, n_f),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # rows (manual DMA)
             pl.BlockSpec((r, hop, freq_block), lambda bb, t, f: (0, 0, f),
@@ -149,7 +159,7 @@ def spectrogram_pallas(waves: jnp.ndarray, cfg: DSPConfig,
         ],
         out_specs=pl.BlockSpec((1, tb, nb_pad), lambda bb, t, f: (bb, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, nb_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t_grid, nb_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((span_rows, hop), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -164,7 +174,9 @@ def spectrogram_pallas(waves: jnp.ndarray, cfg: DSPConfig,
     )(rows, jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(fb))
     # Frames past the last FULL frame are zero-pad frames by convention
     # (dsp.stft), but the row decomposition would compute them from the
-    # waveform tail — mask them out.
+    # waveform tail — mask them out (and slice off the block-rounding
+    # frames beyond t_pad).
+    out = out[:, :t_pad]
     t_raw = cfg.raw_num_frames(n)
     mask = (jnp.arange(t_pad) < t_raw)[None, :, None]
     if not keep_padded_bins:

@@ -112,6 +112,25 @@ class AotCache:
         if entry is None:
             path = os.path.join(self._dir, key)
             entry = try_load(path)
+            if entry is not None:
+                # Validate by executing once and BLOCKING: some AOT
+                # loaders (notably XLA:CPU) accept an executable at
+                # deserialize time but fail at run time (machine-feature
+                # or buffer-definition mismatch), and with async
+                # dispatch that error would otherwise surface at the
+                # caller's device_get.  One blocking call per process is
+                # cheap — there is no compile to overlap anyway.
+                try:
+                    out = entry(*args)
+                    jax.block_until_ready(out)
+                    self._loaded[key] = entry
+                    return out
+                except Exception as e:
+                    log.warning(
+                        "AOT executable from %s failed to execute (%s); "
+                        "recompiling and refreshing the cache entry",
+                        path, e)
+                    entry = None
             if entry is None:
                 compiled = self._jit.lower(*args).compile()
                 try_save(compiled, path)
