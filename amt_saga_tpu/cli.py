@@ -190,6 +190,23 @@ def cmd_transcribe_corpus(args) -> int:
         corpus = open_corpus(args.input_dir, fmt,
                              split=getattr(args, "split", None))
         paths = [it.wav_path for it in corpus.items]
+    # Density bucketing: the batched while_loop runs max-over-lanes
+    # iterations, so order clips by estimated note density — each batch
+    # then groups similar clips and sparse clips stop paying for dense
+    # ones.  The estimate is a strided mmap read (no decode).  Sorted
+    # over ALL clips (before manifest filtering) so that shard ownership
+    # is a stable function of the corpus — a resumed shard keeps exactly
+    # its own clips instead of re-striding the not-yet-done remainder
+    # (which would overlap other shards and orphan clips).
+    from .dsp.audio import estimate_onset_density
+
+    paths = sorted(paths, key=lambda p: (estimate_onset_density(p), p))
+    if shard_count > 1:
+        # Strided over the density-sorted list: each shard gets the same
+        # density mix (balanced wall-clock), and shards are disjoint.
+        paths = paths[shard_idx::shard_count]
+        log.info("shard %d/%d: %d clips", shard_idx, shard_count,
+                 len(paths))
     todo = [p for p in paths if not manifest.is_done(p)]
     log.info("%d clips, %d already done, %d to go",
              len(paths), manifest.n_done, len(todo))
@@ -205,21 +222,6 @@ def cmd_transcribe_corpus(args) -> int:
     # recompiles; clips are padded with silence.  Header-only length scan —
     # the full decode happens once, inside the prefetching feeder.
     max_len = max(wav_length(p, cfg.dsp.sample_rate) for p in todo)
-    # Density bucketing: the batched while_loop runs max-over-lanes
-    # iterations, so order clips by estimated note density — each batch
-    # then groups similar clips and sparse clips stop paying for dense
-    # ones.  The estimate is a strided mmap read (no decode).
-    from .dsp.audio import estimate_onset_density
-
-    todo = sorted(todo, key=lambda p: (estimate_onset_density(p), p))
-    if shard_count > 1:
-        # Strided over the density-sorted list: each shard gets the same
-        # density mix (balanced wall-clock), and shards are disjoint.
-        todo = todo[shard_idx::shard_count]
-        log.info("shard %d/%d: %d clips", shard_idx, shard_count,
-                 len(todo))
-        if not todo:
-            return 0
 
     def gen_batches():
         for i in range(0, len(todo), bs):
@@ -255,8 +257,9 @@ def cmd_transcribe_corpus(args) -> int:
             # the blocking halved-batch path for just that batch.
             try:
                 host_notes = jax.device_get(notes)
-                seqs = notes_batch_to_sequences(host_notes, cfg,
-                                                gram=tr.host_gram())
+                seqs = notes_batch_to_sequences(
+                    host_notes, cfg, gram=tr.host_gram(),
+                    refiner=tr.duration_refiner())
             except jax.errors.JaxRuntimeError:
                 seqs = with_oom_retry(tr.transcribe_batch, dev)
             postprocess(paths, seqs[:len(paths)])

@@ -296,7 +296,11 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                                             count, gram_pow,
                                             loop.refit_sweeps)
 
-    refine = loop.refine_duration
+    # The continuous duration fit is defined by the ANALYTIC bank's
+    # fine-duration renders; with an ``atoms`` override the recorded
+    # scores follow a different bank and refinement stays off (mirror of
+    # Transcriber.duration_refiner).
+    refine = loop.refine_duration and atoms is None
     refiner = make_duration_refiner(synth, dsp) if refine else None
     seq = note_arrays_to_sequence(
         onset_f, dur_f, pitch_i, emit_gains, programs, count,

@@ -113,16 +113,18 @@ class AotCache:
             path = os.path.join(self._dir, key)
             entry = try_load(path)
             if entry is not None:
-                # Validate by executing once and BLOCKING: some AOT
-                # loaders (notably XLA:CPU) accept an executable at
-                # deserialize time but fail at run time (machine-feature
-                # or buffer-definition mismatch), and with async
-                # dispatch that error would otherwise surface at the
-                # caller's device_get.  One blocking call per process is
-                # cheap — there is no compile to overlap anyway.
+                # Validate by executing once and FETCHING the result:
+                # some AOT loaders (notably XLA:CPU) accept an
+                # executable at deserialize time but fail at run time
+                # (machine-feature or buffer-definition mismatch), and
+                # with async dispatch that error would otherwise surface
+                # at the caller's device_get.  Fetch — not
+                # block_until_ready, which can return before execution
+                # on the axon backend (see bench.py).  One fetched call
+                # per process is cheap — there is no compile to overlap.
                 try:
                     out = entry(*args)
-                    jax.block_until_ready(out)
+                    jax.device_get(out)
                     self._loaded[key] = entry
                     return out
                 except Exception as e:

@@ -31,6 +31,10 @@ class Manifest:
     def is_done(self, clip: str) -> bool:
         return clip in self._done
 
+    def done_keys(self) -> list[str]:
+        """Clips marked done, in insertion order."""
+        return list(self._done)
+
     def mark_done(self, clip: str, **extra: Any) -> None:
         rec = {"clip": clip, "status": "done", **extra}
         self._done[clip] = rec

@@ -566,6 +566,7 @@ class Transcriber:
         self.cfg = cfg
         # tmpl override: e.g. a bank generated by the SING-style neural
         # synthesizer (models/synth_decoder.py) instead of the analytic one.
+        self._tmpl_overridden = tmpl is not None
         self.tmpl = tmpl if tmpl is not None else load_template_arrays(cfg)
         self._score_fn = score_fn
         # Templates enter as a jit ARGUMENT, not a closure constant: the
@@ -599,16 +600,34 @@ class Transcriber:
         if not self.cfg.loop.refit_gains:
             return None
         if not hasattr(self, "_gram_pow_np"):
-            bank = np.asarray(self.tmpl.bank)            # [Q, D, Tmax, F]
+            # Slice the Pallas F-padding columns off BEFORE squaring:
+            # the zero columns are value-neutral, but keeping them would
+            # change the content-address (a duplicate multi-hundred-MB
+            # cache entry) and the sgemm K extent (summation order — and
+            # these floats feed the refit UNquantized, so the golden
+            # path's unpadded computation must be matched exactly).
+            bank = np.asarray(self.tmpl.bank)[..., :self.cfg.dsp.n_bins]
             q, d, tmax, f = bank.shape
             self._gram_pow_np = gram_from_bank(
                 np.square(bank).reshape(q * d, tmax, f))
         return self._gram_pow_np
 
+    def duration_refiner(self):
+        """The continuous-duration estimator consistent with THIS
+        transcriber's bank — or None when refinement must stay off: the
+        fit table is built from the ANALYTIC bank's fine-duration
+        renders, so with a tmpl override (e.g. the neural bank) the
+        recorded scores follow a different model and refinement would
+        bias durations; such banks keep grid durations."""
+        if not self.cfg.loop.refine_duration or self._tmpl_overridden:
+            return None
+        return make_duration_refiner(self.cfg.synth, self.cfg.dsp)
+
     def transcribe_batch(self, waves: np.ndarray) -> list[NoteSequence]:
         notes = jax.device_get(self._fn(jnp.asarray(waves)))
         return notes_batch_to_sequences(notes, self.cfg,
-                                        gram=self.host_gram())
+                                        gram=self.host_gram(),
+                                        refiner=self.duration_refiner())
 
     def transcribe(self, wave: np.ndarray) -> NoteSequence:
         return self.transcribe_batch(np.asarray(wave)[None])[0]
@@ -633,12 +652,16 @@ def _host_gram_analytic(cfg: Config) -> np.ndarray:
 _HOST_GRAM_MEMO: dict = {}
 
 
+_AUTO_REFINER = object()  # sentinel: build the analytic-bank refiner
+
+
 def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                              gram: np.ndarray | None = None,
-                             ) -> list[NoteSequence]:
-    refine = cfg.loop.refine_duration
-    refiner = (make_duration_refiner(cfg.synth, cfg.dsp)
-               if refine else None)
+                             refiner=_AUTO_REFINER) -> list[NoteSequence]:
+    if refiner is _AUTO_REFINER:
+        refiner = (make_duration_refiner(cfg.synth, cfg.dsp)
+                   if cfg.loop.refine_duration else None)
+    refine = cfg.loop.refine_duration and refiner is not None
     refit = cfg.loop.refit_gains
     if refit and gram is None:
         gram = _host_gram_analytic(cfg)

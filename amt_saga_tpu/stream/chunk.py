@@ -154,11 +154,14 @@ def transcribe_long(wave: np.ndarray, transcriber, cfg: Config,
 
     gram = (transcriber.host_gram()
             if hasattr(transcriber, "host_gram") else None)
+    refiner = (transcriber.duration_refiner()
+               if hasattr(transcriber, "duration_refiner") else None)
 
     def fetch(pending, n_keep):
         host = jax.device_get(pending)
         seqs.extend(
-            notes_batch_to_sequences(host, cfg, gram=gram)[:n_keep])
+            notes_batch_to_sequences(host, cfg, gram=gram,
+                                     refiner=refiner)[:n_keep])
 
     pending = None  # (device NotesBatch, n_real_chunks_in_batch)
     for i in range(0, len(chunks), bs):

@@ -156,6 +156,25 @@ def test_transcribe_corpus_sharded(tmp_path, tiny_cfg_file):
     m0 = Manifest(os.path.join(out, "manifest.shard0of2.jsonl"))
     m1 = Manifest(os.path.join(out, "manifest.shard1of2.jsonl"))
     assert m0.n_done == 2 and m1.n_done == 2
+    done0 = set(m0.done_keys())
+    done1 = set(m1.done_keys())
+    assert not done0 & done1  # disjoint ownership
+
+    # Resume regression: shard ownership must be a function of the
+    # corpus, not of the not-yet-done remainder.  A shard resumed with a
+    # PARTIAL manifest (one of its clips done) must transcribe only its
+    # own remaining clip — not re-stride into the other shard's clips.
+    out2 = str(tmp_path / "mids2")
+    base2 = ["transcribe-corpus", fx, out2, "--set", "run.batch_size=2"] \
+        + _tiny_args(tiny_cfg_file)
+    os.makedirs(out2)
+    part = Manifest(os.path.join(out2, "manifest.shard0of2.jsonl"))
+    first0 = sorted(done0)[0]
+    part.mark_done(first0, notes=0, output="pre-existing")
+    assert main(base2 + ["--shard", "0/2"]) == 0
+    m0b = Manifest(os.path.join(out2, "manifest.shard0of2.jsonl"))
+    assert set(m0b.done_keys()) == done0  # same ownership as clean run
+
     with pytest.raises(SystemExit):
         main(base + ["--shard", "2/2"])  # index out of range
     with pytest.raises(SystemExit):
