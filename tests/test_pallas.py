@@ -87,3 +87,20 @@ def test_use_pallas_matches_jnp_path_decisions(tiny_config, tiny_transcriber):
     # Decision quantization absorbs the kernels' fp differences on clean
     # fixtures: identical note events.
     assert pred_pallas.sorted().notes == pred_jnp.sorted().notes
+
+
+def test_k1_block_rounding_edge_cases(tiny_config):
+    """The v6 128-frame MXU time block pads the frame axis up to a block
+    multiple and slices it back — outputs must match the jnp path for
+    frame counts below, at, and just past the block size."""
+    cfg = tiny_config
+    rng = np.random.default_rng(3)
+    hop, n_fft = cfg.dsp.hop, cfg.dsp.n_fft
+    # t_raw targets: tiny (< one block), exactly 128, and 128+something.
+    for t_target in (5, 128, 137):
+        n = (t_target - 1) * hop + n_fft
+        w = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+        ref = np.asarray(_jnp_spec(w, cfg))
+        out = np.asarray(spectrogram_pallas(w, cfg.dsp))
+        assert out.shape == ref.shape, (t_target, out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-4)
