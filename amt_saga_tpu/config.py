@@ -119,6 +119,16 @@ class LoopConfig:
     # still uses the grid template (only grid atoms exist); this affects
     # emission only.
     refine_duration: bool = True
+    # Candidate onset offsets (frames) tried around each coarse peak in
+    # the exact refit.  On dense polyphony the coarse matched-filter
+    # peak systematically fires EARLY (neighboring voices' decaying
+    # energy tilts the envelope), so the set reaches further forward
+    # than back: sweeping on the golden oracle, (-1, 0, 2) scores
+    # 4-voice F1 0.950 vs 0.944 for the symmetric (-1, 0, 1) at equal
+    # cost, ties it on 2-voice/mono/off-grid-onset/noise suites, and
+    # gives back 0.4 pt on template-mismatch; (-1, 0, 1, 2) matches
+    # (-1, 0, 2) everywhere at 4/3 the candidate-matmul cost.
+    onset_offsets: Tuple[int, ...] = (-1, 0, 2)
     # Joint gain re-projection (orthogonal-matching-pursuit style): after
     # the greedy loop, re-fit ALL accepted notes' gains together by
     # nonnegative cyclic coordinate descent in the POWER domain —

@@ -73,7 +73,8 @@ from ..synth.templates import (
 )
 from .dsp_np import spectrogram_np
 
-ONSET_OFFSETS = (-1, 0, 1)
+# Candidate onset offsets come from LoopConfig.onset_offsets (shared
+# with saga.loop through the same config object).
 
 # Must match saga.loop.DECISION_DROP_BITS (see the comment there): decision
 # values are mantissa-truncated before comparisons so CPU/TPU last-ulp
@@ -197,7 +198,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
         # acceptances (the TPU path computes the same quantity as
         # dots0 - sum g*gram via precomputed template overlaps; equal up
         # to float rounding, absorbed by decision quantization).
-        n_o = len(ONSET_OFFSETS)
+        n_o = len(loop.onset_offsets)
         n_q = n_i * n_p
         bank_mat = bank.reshape(n_q * n_d, -1)                   # [QD, M]
         nrm_flat = np.maximum(norms.reshape(n_q * n_d), 1e-12)   # [QD]
@@ -208,7 +209,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                 continue
             dots = np.zeros((n_o, n_q * n_d), dtype=np.float32)
             t_cands = np.zeros(n_o, dtype=np.int32)
-            for oi, off in enumerate(ONSET_OFFSETS):
+            for oi, off in enumerate(loop.onset_offsets):
                 t_c = min(max(t_star + off, 0), n_frames - 1)
                 t_cands[oi] = t_c
                 window = vres[t_c:t_c + tmax].reshape(-1)        # [M]

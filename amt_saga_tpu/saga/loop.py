@@ -70,7 +70,8 @@ from ..synth.templates import (
     template_sq_norms,
 )
 
-ONSET_OFFSETS = (-1, 0, 1)  # must match golden.pipeline.ONSET_OFFSETS
+# Candidate onset offsets live in LoopConfig.onset_offsets (shared with
+# golden.pipeline through the same config object).
 
 # Decision values (scores, peak heights, energies) are mantissa-truncated
 # before every comparison: TPU and CPU float reductions differ in the last
@@ -261,8 +262,8 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     loop = cfg.loop
     tmax = cfg.synth.template_frames
     n_q, n_d = tmpl.norms.shape
-    n_o = len(ONSET_OFFSETS)
-    offsets = jnp.asarray(ONSET_OFFSETS, dtype=jnp.int32)
+    n_o = len(loop.onset_offsets)
+    offsets = jnp.asarray(loop.onset_offsets, dtype=jnp.int32)
     hi = matmul_precision(cfg)
 
     res, notes = carry.res, carry.notes

@@ -54,7 +54,7 @@ def _loop_flops(cfg, batch: int, n_samples: int, iterations: int) -> float:
     n_d = len(synth.duration_grid)
     qd = q * n_d
     m = synth.template_frames * f
-    k, o = max(1, loop.n_extract), 3
+    k, o = max(1, loop.n_extract), len(loop.onset_offsets)
     coarse = 2.0 * batch * tp * f * q + 2.0 * t * tp * batch * q
     dots = 2.0 * batch * k * o * m * qd
     spec = 2.0 * batch * t * dsp.n_fft * (dsp.n_fft // 2 + 1) * 2 \
