@@ -240,6 +240,87 @@ def refit_gains_power_host(
     return np.sqrt(np.maximum(h, 0.0))
 
 
+def refit_gains_programs_host(
+    onset_frames: Sequence[int],
+    pitches: Sequence[int],
+    d_idx: Sequence[int],
+    programs: Sequence[int],
+    dot0_pow: np.ndarray,
+    gains: Sequence[float],
+    count: int,
+    gram_pow: np.ndarray,
+    n_pitches: int,
+    n_durations: int,
+    sweeps: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Power-domain joint gain refit WITH instrument re-selection.
+
+    The loop picks each note's instrument against a partially-subtracted
+    residual; on colliding voices that choice is noisy (measured ~5% of
+    matched notes flip).  Comparing the variants against the PRISTINE
+    spectrogram alone is worse (the mixture's other voices tilt the
+    single-atom fit — measured 0.91 -> 0.82 instrument-F1), but
+    comparing them inside the JOINT fit — each variant scored by its
+    1-D optimal objective against the residual with every OTHER note's
+    explained energy removed via the Gram — recovers flips: measured
+    instrument-criterion F1 0.905 -> 0.926 on 2-instrument fixtures.
+
+    ``dot0_pow`` is [cap, I]: quantized ``<spec^2, W_{i,p,d}^2>`` for
+    every instrument variant of each note's (pitch, duration) atom,
+    recorded on device (golden mirrors it).  Per sweep, per note, each
+    variant's nonnegative 1-D optimum and objective gain are computed
+    with the other notes held at their current (variant, gain); the
+    best variant wins (first-max).  Pure float64, pinned order — bit
+    parity preserved.  Returns (gains, programs) copies with the first
+    ``count`` entries refit.
+
+    With one instrument this reduces exactly to the plain power-domain
+    gain refit (:func:`refit_gains_power_host`).
+    """
+    out_g = np.asarray(gains, dtype=np.float64).copy()
+    out_p = np.asarray(programs, dtype=np.int64).copy()
+    n = int(count)
+    n_i = dot0_pow.shape[1]
+    if n == 0:
+        return out_g, out_p
+    if n_i == 1:
+        qd = (0 * n_pitches + np.asarray(pitches, np.int64)) \
+            * n_durations + np.asarray(d_idx, np.int64)
+        g = refit_gains_power_host(onset_frames, qd, dot0_pow[:, 0],
+                                   gains, count, gram_pow, sweeps)
+        return g, out_p
+    tmax = (gram_pow.shape[0] + 1) // 2
+    t = np.asarray(onset_frames[:n], dtype=np.int64)
+    p = np.asarray(pitches[:n], dtype=np.int64)
+    d = np.asarray(d_idx[:n], dtype=np.int64)
+    prog = out_p[:n]
+    # gram index convention: overlap(a@t_a, b@t_b) = gram[t_b - t_a].
+    dt = t[None, :] - t[:, None]
+    in_band = np.abs(dt) < tmax
+    k = np.clip(dt + tmax - 1, 0, gram_pow.shape[0] - 1)
+    qd_var = (np.arange(n_i)[None, :] * n_pitches + p[:, None]) \
+        * n_durations + d[:, None]                       # [n, I]
+    d0 = np.asarray(dot0_pow[:n], dtype=np.float64)      # [n, I]
+    h = np.square(out_g[:n])
+    for _ in range(int(sweeps)):
+        for a in range(n):
+            qb = qd_var[np.arange(n), prog]              # [n]
+            rows = gram_pow[k[a][None, :], qd_var[a][:, None],
+                            qb[None, :]].astype(np.float64)  # [I, n]
+            rows = np.where(in_band[a][None, :], rows, 0.0)
+            gaa = np.maximum(
+                gram_pow[tmax - 1, qd_var[a], qd_var[a]].astype(
+                    np.float64), 1e-12)                  # [I]
+            s = rows @ h - rows[:, a] * h[a]             # exclude self
+            g = np.maximum(0.0, (d0[a] - s) / gaa)
+            obj = g * g * gaa
+            i_best = int(np.argmax(obj))                 # first-max
+            prog[a] = i_best
+            h[a] = g[i_best]
+    out_g[:n] = np.sqrt(np.maximum(h, 0.0))
+    return out_g, out_p
+
+
 def gain_to_velocity(gain: float) -> int:
     """Map a template gain (~[0, 1.5]) to MIDI velocity 1..127.
 

@@ -60,7 +60,7 @@ from ..config import Config
 from ..core.notes import (
     NoteSequence,
     note_arrays_to_sequence,
-    refit_gains_power_host,
+    refit_gains_programs_host,
 )
 from ..synth.templates import (
     duration_grid_frames,
@@ -271,31 +271,32 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
         if not any_acc:
             break
 
-    emit_gains = gains
+    emit_gains, emit_programs = gains, programs
     if loop.refit_gains:
-        # Power-domain joint gain re-projection (mirror of saga/loop.py):
-        # dot each accepted SQUARED atom with the squared PRISTINE
+        # Power-domain joint gain re-projection + instrument
+        # re-selection (mirror of saga/loop.py): dot every instrument
+        # variant of each accepted atom with the squared PRISTINE
         # spectrogram (quantized, like the device recording), then the
-        # shared host f64 coordinate descent on the squared gains;
-        # overlaps from the same host-computed squared-atom Gram the TPU
-        # path's host side uses, so parity holds bit-for-bit.
+        # shared host f64 variant-comparing coordinate descent; overlaps
+        # from the same host-computed squared-atom Gram the TPU path's
+        # host side uses, so parity holds bit-for-bit.
         from ..synth.templates import gram_from_bank
 
         spec0_pow = np.square(spec0)
-        dot0 = np.zeros(cap, dtype=np.float32)
+        dot0 = np.zeros((cap, n_i), dtype=np.float32)
         for a in range(count):
             t_a = int(onset_f[a])
-            w_a = np.square(
-                bank[programs[a], pitch_i[a], d_idx[a]]).reshape(-1)
-            dot0[a] = np.float32(
-                spec0_pow[t_a:t_a + tmax].reshape(-1) @ w_a)
+            wv = spec0_pow[t_a:t_a + tmax].reshape(-1)
+            for i in range(n_i):
+                w_a = np.square(
+                    bank[i, pitch_i[a], d_idx[a]]).reshape(-1)
+                dot0[a, i] = np.float32(wv @ w_a)
         dot0 = quantize_decisions_np(dot0)
         gram_pow = gram_from_bank(
             np.square(bank).reshape(n_i * n_p * n_d, tmax, -1))
-        qd = (programs * n_p + pitch_i) * n_d + d_idx
-        emit_gains = refit_gains_power_host(onset_f, qd, dot0, gains,
-                                            count, gram_pow,
-                                            loop.refit_sweeps)
+        emit_gains, emit_programs = refit_gains_programs_host(
+            onset_f, pitch_i, d_idx, programs, dot0, gains, count,
+            gram_pow, n_p, n_d, loop.refit_sweeps)
 
     # The continuous duration fit is defined by the ANALYTIC bank's
     # fine-duration renders; with an ``atoms`` override the recorded
@@ -304,7 +305,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
     refine = loop.refine_duration and atoms is None
     refiner = make_duration_refiner(synth, dsp) if refine else None
     seq = note_arrays_to_sequence(
-        onset_f, dur_f, pitch_i, emit_gains, programs, count,
+        onset_f, dur_f, pitch_i, emit_gains, emit_programs, count,
         hop=dsp.hop, sample_rate=dsp.sample_rate, pitch_min=synth.pitch_min,
         d_idx=d_idx if refine else None, sd=sd if refine else None,
         refiner=refiner)

@@ -52,7 +52,7 @@ from ..config import Config
 from ..core.notes import (
     NoteSequence,
     note_arrays_to_sequence,
-    refit_gains_power_host,
+    refit_gains_programs_host,
 )
 from ..dsp.cqt import logf_spectrogram
 from ..dsp.residual import energy as residual_energy
@@ -137,12 +137,14 @@ class NotesBatch(NamedTuple):
     sd: jnp.ndarray       # [B, cap, D] float32 quantized scores at ALL
     #                       grid durations (winner's pitch/onset), for the
     #                       host-side continuous duration fit
-    dot0: jnp.ndarray     # [B, cap] float32 quantized <spec^2, W_a^2> of
-    #                       each note's SQUARED atom in the squared
-    #                       ORIGINAL spectrogram — the power-domain dots
-    #                       for the host-side joint gain refit (LoopConfig
-    #                       .refit_gains; see core.notes
-    #                       .refit_gains_power_host); zeros when off
+    dot0: jnp.ndarray     # [B, cap, I] float32 quantized <spec^2, W^2>
+    #                       of each note's SQUARED atom — for EVERY
+    #                       instrument variant of its (pitch, duration)
+    #                       — in the squared ORIGINAL spectrogram: the
+    #                       power-domain dots for the host-side joint
+    #                       gain refit + instrument re-selection
+    #                       (LoopConfig.refit_gains; see core.notes
+    #                       .refit_gains_programs_host); zeros when off
     count: jnp.ndarray    # [B] int32
     residual_energy: jnp.ndarray  # [B] float32
     # Sanitizer state (SURVEY.md §5): a lane whose residual energy or
@@ -447,7 +449,7 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
         program=jnp.zeros((b, cap), jnp.int32),
         d_idx=jnp.zeros((b, cap), jnp.int32),
         sd=jnp.zeros((b, cap, len(cfg.synth.duration_grid)), jnp.float32),
-        dot0=jnp.zeros((b, cap), jnp.float32),
+        dot0=jnp.zeros((b, cap, cfg.synth.n_instruments), jnp.float32),
         count=jnp.zeros((b,), jnp.int32),
         residual_energy=e0,
         poison=jnp.zeros((b,), bool),
@@ -485,37 +487,43 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
 
 def _original_spec_dots(spec_padded: jnp.ndarray, notes: NotesBatch,
                         cfg: Config, tmpl: TemplateArrays) -> jnp.ndarray:
-    """[B, cap] quantized POWER-domain dots <spec^2, W_a^2> for every
-    note slot (garbage beyond ``count`` — the host refit only reads the
-    first ``count`` entries).  Squared because overlapping magnitudes
-    add in quadrature (see core.notes.refit_gains_power_host).
+    """[B, cap, I] quantized POWER-domain dots <spec^2, W^2> for every
+    note slot x instrument variant (garbage beyond ``count`` — the host
+    refit only reads the first ``count`` entries).  Squared because
+    overlapping magnitudes add in quadrature; all I variants of the
+    note's (pitch, duration) atom are recorded so the host refit can
+    also RE-SELECT the instrument inside the joint fit (see
+    core.notes.refit_gains_programs_host).
 
     One while_loop step per USED slot (bounded by the batch's max note
-    count, not the static capacity): a [B, Tmax, F] atom gather + window
-    gather + elementwise dot.  Runs ONCE per batch after the while_loop
-    (not per iteration).
+    count, not the static capacity): I x [B, Tmax, F] atom gathers + one
+    window gather + elementwise dots.  Runs ONCE per batch after the
+    while_loop (not per iteration).
     """
     tmax = cfg.synth.template_frames
     n_q, n_d = tmpl.norms.shape
     n_p = cfg.synth.n_pitches
+    n_i = cfg.synth.n_instruments
     cap = notes.onset.shape[1]
-    qd = (notes.program * n_p + notes.pitch) * n_d + notes.d_idx  # [B, cap]
     bank_flat = tmpl.bank.reshape(n_q * n_d, tmax, -1)
     n_used = jnp.max(notes.count)
 
     def slot(state):
         a, acc = state
-        atom = bank_flat[qd[:, a]]                       # [B, Tmax, F]
-        win = jax.vmap(
+        win2 = jnp.square(jax.vmap(
             lambda r, t: residual_section(r, t, tmax))(
-                spec_padded, notes.onset[:, a])          # [B, Tmax, F]
-        d = jnp.sum(jnp.square(atom) * jnp.square(win), axis=(1, 2))
-        return a + 1, acc.at[:, a].set(d)
+                spec_padded, notes.onset[:, a]))         # [B, Tmax, F]
+        for i in range(n_i):
+            qd_i = (i * n_p + notes.pitch[:, a]) * n_d + notes.d_idx[:, a]
+            atom = bank_flat[qd_i]                       # [B, Tmax, F]
+            d = jnp.sum(jnp.square(atom) * win2, axis=(1, 2))
+            acc = acc.at[:, a, i].set(d)
+        return a + 1, acc
 
     _, dots = jax.lax.while_loop(
         lambda s: s[0] < n_used, slot,
         (jnp.zeros((), jnp.int32),
-         jnp.zeros((notes.onset.shape[0], cap), jnp.float32)))
+         jnp.zeros((notes.onset.shape[0], cap, n_i), jnp.float32)))
     return quantize_decisions(dots)
 
 
@@ -682,18 +690,18 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             out.append(NoteSequence())
             continue
         gains_b = np.asarray(notes.gain[b])
+        progs_b = np.asarray(notes.program[b])
         if refit:
-            qd = ((np.asarray(notes.program[b]) * n_p
-                   + np.asarray(notes.pitch[b])) * n_d
-                  + np.asarray(notes.d_idx[b]))
-            gains_b = refit_gains_power_host(
-                np.asarray(notes.onset[b]), qd,
+            gains_b, progs_b = refit_gains_programs_host(
+                np.asarray(notes.onset[b]), np.asarray(notes.pitch[b]),
+                np.asarray(notes.d_idx[b]), progs_b,
                 np.asarray(notes.dot0[b]), gains_b,
-                int(notes.count[b]), gram, cfg.loop.refit_sweeps)
+                int(notes.count[b]), gram, n_p, n_d,
+                cfg.loop.refit_sweeps)
         out.append(note_arrays_to_sequence(
             np.asarray(notes.onset[b]), np.asarray(notes.dur[b]),
             np.asarray(notes.pitch[b]), gains_b,
-            np.asarray(notes.program[b]), int(notes.count[b]),
+            progs_b, int(notes.count[b]),
             hop=cfg.dsp.hop, sample_rate=cfg.dsp.sample_rate,
             pitch_min=cfg.synth.pitch_min,
             d_idx=np.asarray(notes.d_idx[b]) if refine else None,

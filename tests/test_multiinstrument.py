@@ -108,3 +108,28 @@ def test_multi_instrument_cli_end_to_end(multi_config, tmp_path):
         assert main(["evaluate", out, fx, "--instrument"] + args) == 0
     rec = json.loads(buf.getvalue())
     assert rec["f1"] >= 0.6, rec
+
+
+def test_instrument_reselection_in_joint_refit(multi_config):
+    """The joint power-domain refit re-selects each note's instrument
+    against the pristine spectrogram with neighbors' energy explained
+    (core.notes.refit_gains_programs_host): instrument-criterion F1 must
+    be at least as good as with the refit disabled (measured +2 pts on
+    2-instrument golden fixtures), with pitch/onset decisions
+    untouched."""
+    from amt_saga_tpu.evaluation.f1 import corpus_f1
+
+    cfg = multi_config
+    tr = Transcriber(cfg)
+    off = Transcriber(cfg.override(**{"loop.refit_gains": False}))
+    pw, pn = [], []
+    for s in range(3):
+        wave, ref = make_clip(cfg, kind="multi", seconds=5.0,
+                              n_voices=2, seed=40 + s, programs=(0, 2))
+        pw.append((tr.transcribe(wave), ref))
+        pn.append((off.transcribe(wave), ref))
+    with_r = corpus_f1(pw, with_instrument=True)
+    no_r = corpus_f1(pn, with_instrument=True)
+    assert with_r.f1 >= no_r.f1, (with_r, no_r)
+    # pitch-level results unchanged by the emission-side re-selection
+    assert corpus_f1(pw).n_match == corpus_f1(pn).n_match
