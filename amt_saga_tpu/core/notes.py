@@ -118,6 +118,7 @@ def note_arrays_to_sequence(
     d_idx: Sequence[int] | None = None,
     sd: Sequence[Sequence[float]] | None = None,
     refiner=None,
+    refine_programs: Sequence[int] | None = None,
 ) -> NoteSequence:
     """Convert device-side note arrays to a host NoteSequence.
 
@@ -140,7 +141,13 @@ def note_arrays_to_sequence(
         onset = float(int(onset_frames[i])) * spf
         dur = float(max(1, int(dur_frames[i]))) * spf
         if refine:
-            r = refiner(int(d_idx[i]), int(pitches[i]), int(programs[i]),
+            # The score vector sd was recorded with the note's ORIGINAL
+            # instrument's atoms; when the joint refit re-assigns the
+            # emitted program, the duration fit must still read the
+            # table row that produced sd (refine_programs).
+            rp = refine_programs if refine_programs is not None \
+                else programs
+            r = refiner(int(d_idx[i]), int(pitches[i]), int(rp[i]),
                         sd[i])
             if r is not None:
                 # Snap to the frame lattice: durations stay frame-
@@ -314,11 +321,33 @@ def refit_gains_programs_host(
             s = rows @ h - rows[:, a] * h[a]             # exclude self
             g = np.maximum(0.0, (d0[a] - s) / gaa)
             obj = g * g * gaa
-            i_best = int(np.argmax(obj))                 # first-max
+            # The variant choice is a DISCRETE decision emitted into
+            # MIDI: quantize the objectives (same mantissa-truncation
+            # contract as every other decision — the warm-start gains
+            # differ in last ulps between the TPU and golden paths) and
+            # break ties in favor of the INCUMBENT program, so an
+            # all-zero / tied objective keeps the loop's choice instead
+            # of collapsing to instrument 0.
+            obj_q = _quantize_decisions_f32(obj)
+            i_best = int(np.argmax(obj_q))               # first-max
+            if obj_q[i_best] == obj_q[prog[a]]:
+                i_best = int(prog[a])
             prog[a] = i_best
             h[a] = g[i_best]
     out_g[:n] = np.sqrt(np.maximum(h, 0.0))
     return out_g, out_p
+
+
+# Must match saga.loop.DECISION_DROP_BITS / golden.pipeline (see the
+# comment there): discrete decisions compare mantissa-truncated floats
+# so cross-backend last-ulp differences cannot flip them.
+_DECISION_DROP_BITS = 13
+
+
+def _quantize_decisions_f32(x: np.ndarray) -> np.ndarray:
+    i = np.ascontiguousarray(x, dtype=np.float32).view(np.int32)
+    mask = np.int32(~((1 << _DECISION_DROP_BITS) - 1))
+    return (i & mask).view(np.float32)
 
 
 def gain_to_velocity(gain: float) -> int:

@@ -283,17 +283,17 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
         from ..synth.templates import gram_from_bank
 
         spec0_pow = np.square(spec0)
+        bank_pow = np.square(bank)
         dot0 = np.zeros((cap, n_i), dtype=np.float32)
         for a in range(count):
             t_a = int(onset_f[a])
             wv = spec0_pow[t_a:t_a + tmax].reshape(-1)
             for i in range(n_i):
-                w_a = np.square(
-                    bank[i, pitch_i[a], d_idx[a]]).reshape(-1)
-                dot0[a, i] = np.float32(wv @ w_a)
+                dot0[a, i] = np.float32(
+                    wv @ bank_pow[i, pitch_i[a], d_idx[a]].reshape(-1))
         dot0 = quantize_decisions_np(dot0)
         gram_pow = gram_from_bank(
-            np.square(bank).reshape(n_i * n_p * n_d, tmax, -1))
+            bank_pow.reshape(n_i * n_p * n_d, tmax, -1))
         emit_gains, emit_programs = refit_gains_programs_host(
             onset_f, pitch_i, d_idx, programs, dot0, gains, count,
             gram_pow, n_p, n_d, loop.refit_sweeps)
@@ -308,7 +308,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
         onset_f, dur_f, pitch_i, emit_gains, emit_programs, count,
         hop=dsp.hop, sample_rate=dsp.sample_rate, pitch_min=synth.pitch_min,
         d_idx=d_idx if refine else None, sd=sd if refine else None,
-        refiner=refiner)
+        refiner=refiner, refine_programs=programs if refine else None)
     e_final = float(np.sum(np.square(res), dtype=np.float32))
     return GoldenResult(seq, onset_f[:count], dur_f[:count], pitch_i[:count],
                         gains[:count], programs[:count], count, e_final)

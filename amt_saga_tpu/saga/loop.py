@@ -513,12 +513,12 @@ def _original_spec_dots(spec_padded: jnp.ndarray, notes: NotesBatch,
         win2 = jnp.square(jax.vmap(
             lambda r, t: residual_section(r, t, tmax))(
                 spec_padded, notes.onset[:, a]))         # [B, Tmax, F]
-        for i in range(n_i):
-            qd_i = (i * n_p + notes.pitch[:, a]) * n_d + notes.d_idx[:, a]
-            atom = bank_flat[qd_i]                       # [B, Tmax, F]
-            d = jnp.sum(jnp.square(atom) * win2, axis=(1, 2))
-            acc = acc.at[:, a, i].set(d)
-        return a + 1, acc
+        qd_all = ((jnp.arange(n_i)[None, :] * n_p
+                   + notes.pitch[:, a, None]) * n_d
+                  + notes.d_idx[:, a, None])             # [B, I]
+        atoms = bank_flat[qd_all]                        # [B, I, Tmax, F]
+        d = jnp.sum(jnp.square(atoms) * win2[:, None], axis=(2, 3))
+        return a + 1, acc.at[:, a, :].set(d)
 
     _, dots = jax.lax.while_loop(
         lambda s: s[0] < n_used, slot,
@@ -706,5 +706,7 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             pitch_min=cfg.synth.pitch_min,
             d_idx=np.asarray(notes.d_idx[b]) if refine else None,
             sd=np.asarray(notes.sd[b]) if refine else None,
-            refiner=refiner))
+            refiner=refiner,
+            refine_programs=(np.asarray(notes.program[b])
+                             if refine else None)))
     return out
