@@ -222,3 +222,45 @@ def test_refit_gains_improves_polyphonic_velocity(tiny_config,
     # Power-domain fit: measured 4.6 vs 14.3 greedy on this workload.
     assert mus_refit <= 8.0, (mus_refit, mus_greedy)
     assert mus_refit <= mus_greedy - 5.0, (mus_refit, mus_greedy)
+
+
+def test_parity_fuzz_random_configs():
+    """MIDI bit-parity TPU-path-vs-golden must hold across RANDOM config
+    variations (duration grids, n_extract, onset offsets, instruments,
+    refinement toggles) — not just the defaults the other tests pin."""
+    import numpy as np
+
+    from amt_saga_tpu.config import (Config, DSPConfig, LoopConfig,
+                                     SynthConfig)
+    from amt_saga_tpu.core.midi import notes_to_midi_bytes
+    from amt_saga_tpu.golden.pipeline import transcribe_golden
+    from amt_saga_tpu.runtime.fixtures import make_clip
+
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        grid = sorted(rng.choice(
+            [0.2, 0.3, 0.45, 0.6, 0.8, 1.1], size=3, replace=False))
+        n_i = int(rng.integers(1, 3))
+        cfg = Config(
+            dsp=DSPConfig(sample_rate=8000, n_fft=512, hop=256,
+                          fmin=55.0, bins_per_octave=12, n_bins=72,
+                          pad_frames_to=8),
+            synth=SynthConfig(pitch_min=40, pitch_max=76, n_harmonics=5,
+                              template_frames=36,
+                              duration_grid=tuple(float(g) for g in grid),
+                              n_instruments=n_i),
+            loop=LoopConfig(
+                max_notes=16,
+                n_extract=int(rng.integers(1, 5)),
+                onset_offsets=tuple(sorted(rng.choice(
+                    [-2, -1, 0, 1, 2], size=3, replace=False))),
+                refine_duration=bool(rng.integers(0, 2)),
+                refit_gains=bool(rng.integers(0, 2)),
+            ))
+        kind = "multi" if n_i > 1 else "mus"
+        wave, _ = make_clip(cfg, kind=kind, seconds=4.0,
+                            seed=300 + trial, n_voices=2)
+        g = transcribe_golden(wave, cfg).sequence
+        t = Transcriber(cfg).transcribe(wave)
+        assert notes_to_midi_bytes(g) == notes_to_midi_bytes(t), (
+            trial, cfg.loop, cfg.synth.duration_grid)
