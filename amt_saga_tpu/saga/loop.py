@@ -298,7 +298,8 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
                            -jnp.inf, m_cur)
         return m_next, (t_i, peak)
 
-    _, (t_sel, peaks) = jax.lax.scan(pick, m0, None, length=n_k)
+    _, (t_sel, peaks) = jax.lax.scan(pick, m0, None, length=n_k,
+                                     unroll=True)
     t_sel = jnp.transpose(t_sel)                              # [B, K]
     valid = jnp.transpose(jnp.isfinite(peaks))                # [B, K]
 
@@ -421,9 +422,14 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
         return res_i, notes_i, dots_i, any_acc | acc
 
     with jax.named_scope("saga_subtract_append"):
+        # unroll: the K extractions are data-dependent (greedy), but
+        # unrolled straight-line code lets XLA overlap step i+1's
+        # gathers with step i's compute and fuse across the step
+        # boundary — the sequential fori dispatch was ~0.24 ms of the
+        # 0.92 ms iteration in the round-2 trace.
         res_new, notes_new, _, any_acc = jax.lax.fori_loop(
             0, n_k, extract_i,
-            (res, notes, dots0, jnp.zeros((b,), bool)))
+            (res, notes, dots0, jnp.zeros((b,), bool)), unroll=True)
     notes_new = notes_new._replace(
         residual_energy=residual_energy(res_new), poison=poison)
     return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,
