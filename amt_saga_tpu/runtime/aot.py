@@ -32,14 +32,39 @@ log = get_logger(__name__)
 _FORMAT_VERSION = 1
 
 
+def _code_fingerprint() -> str:
+    """Content hash of the package's Python sources.  Without it, a code
+    change that alters the traced program (same config, same shapes)
+    would silently reload a STALE executable from the cache — computed
+    once per process, a few ms for the whole tree."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import glob
+
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"),
+                                     recursive=True)):
+            with open(path, "rb") as f:
+                h.update(path.encode())
+                h.update(f.read())
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
+
+
+_CODE_FP: str | None = None
+
+
 def cache_key(cfg_json: str, shapes: Any) -> str:
-    """Content-addressed filename: device kind + jax version + config +
-    abstract input shapes/dtypes.  Python's builtin hash() is randomized
-    per process, so hash explicitly via sha256."""
+    """Content-addressed filename: device kind + jax version + package
+    code fingerprint + config + abstract input shapes/dtypes.  Python's
+    builtin hash() is randomized per process, so hash explicitly via
+    sha256."""
     dev = jax.devices()[0]
     ident = "|".join([
         f"v{_FORMAT_VERSION}", jax.__version__, dev.platform,
-        getattr(dev, "device_kind", "?"), cfg_json, repr(shapes),
+        getattr(dev, "device_kind", "?"), _code_fingerprint(),
+        cfg_json, repr(shapes),
     ])
     return hashlib.sha256(ident.encode()).hexdigest()[:24] + ".aotx"
 

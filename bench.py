@@ -87,7 +87,19 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
     # contract holds for the rfft path; see ops/spectrogram_pallas.py).
     cfg = default_config().override(**{"run.use_pallas": use_pallas})
     waves = _make_waves(cfg, batch, seconds)
-    tr = Transcriber(cfg)
+    # AOT executable cache: a later bench process (e.g. the BENCH
+    # protocol's fresh run) reloads the compiled program instead of
+    # paying the axon remote compile (107-900 s observed variance; a
+    # deserialized first execution worst-cases at ~half that and
+    # best-cases at ~0.3 s).  Keyed by code fingerprint + config +
+    # shapes, so a stale executable can never be reloaded silently.
+    # AMT_NO_BENCH_AOT=1 opts out (e.g. to measure true cold compile).
+    import os
+
+    aot_dir = (None if os.environ.get("AMT_NO_BENCH_AOT") else
+               os.path.join(os.path.expanduser("~"), ".cache",
+                            "amt_saga_tpu", "aot_bench"))
+    tr = Transcriber(cfg, aot_dir=aot_dir)
     dev_waves = jax.device_put(waves)
 
     # Warmup must FETCH the result: on the axon backend
