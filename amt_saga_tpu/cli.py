@@ -165,6 +165,53 @@ def _corpus_shard(args) -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def _densities_cached(paths: list[str], cache_path: str) -> dict:
+    """Per-clip onset-density estimates behind a sidecar JSON cache.
+
+    The estimate itself is a strided mmap read, but over a large corpus
+    (and once per shard process, on every resume) the scans add up; the
+    cache keys on (mtime, size) so edits invalidate.  Best-effort and
+    atomic-replace — concurrent shard writers race safely.
+    """
+    import json
+
+    from .dsp.audio import estimate_onset_density
+
+    cache: dict = {}
+    try:
+        with open(cache_path) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        pass
+    out, dirty = {}, False
+    for p in paths:
+        try:
+            st = os.stat(p)
+            meta = [st.st_mtime, st.st_size]
+        except OSError:
+            out[p] = 0.0
+            continue
+        ent = cache.get(p)
+        if isinstance(ent, list) and len(ent) == 3 and ent[:2] == meta:
+            out[p] = float(ent[2])
+        else:
+            out[p] = float(estimate_onset_density(p))
+            cache[p] = meta + [out[p]]
+            dirty = True
+    if dirty:
+        try:
+            d = os.path.dirname(cache_path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            tmp = f"{cache_path}.tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(cache, f)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass
+    return out
+
+
 def cmd_transcribe_corpus(args) -> int:
     cfg = load_config(args)
     from .core.midi import write_midi
@@ -198,9 +245,9 @@ def cmd_transcribe_corpus(args) -> int:
     # is a stable function of the corpus — a resumed shard keeps exactly
     # its own clips instead of re-striding the not-yet-done remainder
     # (which would overlap other shards and orphan clips).
-    from .dsp.audio import estimate_onset_density
-
-    paths = sorted(paths, key=lambda p: (estimate_onset_density(p), p))
+    dens = _densities_cached(
+        paths, os.path.join(args.output_dir, "density_cache.json"))
+    paths = sorted(paths, key=lambda p: (dens[p], p))
     if shard_count > 1:
         # Strided over the density-sorted list: each shard gets the same
         # density mix (balanced wall-clock), and shards are disjoint.

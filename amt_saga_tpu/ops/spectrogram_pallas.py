@@ -42,6 +42,28 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _best_time_block(t_pad: int) -> int:
+    """Frame-block size: trade MXU M-dim fill against round-up waste.
+
+    ``t_pad`` is a multiple of 16 (``DSPConfig.pad_frames_to``).  tb=128
+    fills the MXU but rounds the frame grid up to a 128 multiple — up to
+    127 garbage frames (~78% waste at t_pad=144).  Smaller tb wastes MXU
+    rows instead (measured ~4x cost/frame at tb=16 vs tb=128, i.e.
+    roughly (128/tb)**(2/3)).  Minimize the product; ties go to the
+    larger block.
+    """
+    if t_pad >= 128 * 8:        # waste <= 1/8 of one block; keep full fill
+        return 128
+    if t_pad <= 16:
+        return max(t_pad, 1)
+    best, best_cost = 16, float("inf")
+    for tb in range(16, min(128, t_pad) + 1, 16):
+        cost = _round_up(t_pad, tb) * (128.0 / tb) ** (2.0 / 3.0)
+        if cost <= best_cost:
+            best, best_cost = tb, cost
+    return best
+
+
 @lru_cache(maxsize=4)
 def _bases(cfg: DSPConfig, nf_pad: int) -> tuple[np.ndarray, np.ndarray]:
     """Window-folded DFT bases [R, hop, nf_pad] (cos, sin), float32."""
@@ -125,10 +147,11 @@ def spectrogram_pallas(waves: jnp.ndarray, cfg: DSPConfig,
     # Time block = matmul M dimension.  The MXU is a 128x128 systolic
     # array: a 16-row block uses 1/8 of it (the round-2 profile showed
     # K1 at ~4x off the f32 matmul rate for exactly this reason), so run
-    # 128 frames per block and pad the frame axis up to a multiple — the
-    # pad frames compute garbage from the zero-padded tail and are
-    # masked/sliced off below.
-    tb = min(128, t_pad)
+    # up to 128 frames per block and pad the frame axis up to a multiple
+    # — the pad frames compute garbage from the zero-padded tail and are
+    # masked/sliced off below.  For short clips the block size adapts to
+    # cap that round-up waste (see _best_time_block).
+    tb = _best_time_block(t_pad)
     t_grid = _round_up(t_pad, tb)
     hop = cfg.hop
 

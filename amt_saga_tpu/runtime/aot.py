@@ -46,7 +46,9 @@ def _code_fingerprint() -> str:
         for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"),
                                      recursive=True)):
             with open(path, "rb") as f:
-                h.update(path.encode())
+                # Package-relative: a relocated checkout (or two identical
+                # checkouts) keeps the same fingerprint and shares a cache.
+                h.update(os.path.relpath(path, pkg).encode())
                 h.update(f.read())
         _CODE_FP = h.hexdigest()[:16]
     return _CODE_FP

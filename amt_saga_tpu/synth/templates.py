@@ -252,7 +252,7 @@ def duration_fit_table(synth: SynthConfig, dsp: DSPConfig) -> np.ndarray:
     like the Gram tensor (pure function of the configs).
     """
     fine = fine_duration_grid(synth)
-    key = (f"durfit-v1|{synth!r}|{dsp!r}|{fine.tobytes().hex()[:40]}")
+    key = (f"durfit-v2|{synth!r}|{dsp!r}|{fine.tobytes().hex()[:40]}")
     digest = hashlib.sha1(key.encode()).hexdigest()[:20]
     cache_dir = os.environ.get(
         "AMT_GRAM_CACHE",
@@ -302,6 +302,10 @@ def duration_fit_table(synth: SynthConfig, dsp: DSPConfig) -> np.ndarray:
                 after = t > tau
                 env[after] *= np.exp(-(t[after] - tau)
                                      / synth.release_seconds)
+                # note_waveform truncates the note at tau + 4*release
+                # (default length); mirror that so K[d, tau] matches the
+                # atoms the bank actually contains near grid durations.
+                env[t > tau + 4.0 * synth.release_seconds] = 0.0
                 buf[lead_samp:] = (stack * env).astype(np.float32)
                 fine_mat[j] = spectrogram_np(buf, dsp, pad=False).reshape(-1)
             tab[q] = bank[q] @ fine_mat.T

@@ -182,7 +182,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--golden", action="store_true",
                    help="measure the golden CPU denominator instead")
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=64,
+                   help="batch size (64 = measured per-chip optimum, "
+                        "docs/PERFORMANCE.md)")
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--no-pallas", action="store_true",
