@@ -248,6 +248,7 @@ def cmd_transcribe_corpus(args) -> int:
     dens = _densities_cached(
         paths, os.path.join(args.output_dir, "density_cache.json"))
     paths = sorted(paths, key=lambda p: (dens[p], p))
+    paths_full = paths  # pre-shard: bucket planning must be corpus-stable
     if shard_count > 1:
         # Strided over the density-sorted list: each shard gets the same
         # density mix (balanced wall-clock), and shards are disjoint.
@@ -265,21 +266,42 @@ def cmd_transcribe_corpus(args) -> int:
     tr = _make_transcriber(cfg)
     bs = cfg.run.batch_size
     metrics = MetricsWriter()
-    # Length-bucket into one static shape (max length) per batch to avoid
-    # recompiles; clips are padded with silence.  Header-only length scan —
-    # the full decode happens once, inside the prefetching feeder.
-    max_len = max(wav_length(p, cfg.dsp.sample_rate) for p in todo)
+    # Static length buckets (runtime/bucketing.py): header-only length
+    # scan of the FULL pre-shard corpus, so a resumed or sharded run
+    # recomputes identical buckets and reuses the compiled (AOT-cached)
+    # shapes — and one long outlier no longer inflates every batch.
+    from .runtime.bucketing import bucket_for, choose_length_buckets
+
+    quantum = cfg.dsp.hop * cfg.dsp.pad_frames_to
+    lens = {p: wav_length(p, cfg.dsp.sample_rate) for p in paths_full}
+    buckets = choose_length_buckets(
+        [lens.get(p) or wav_length(p, cfg.dsp.sample_rate)
+         for p in paths_full],
+        max(1, cfg.run.length_buckets), quantum)
+    if len(buckets) > 1:
+        log.info("length buckets: %s samples", buckets)
+
+    # Batch plan: group todo by bucket (ascending), keeping the density
+    # order within each bucket, then chunk into batches of bs.
+    by_bucket: dict[int, list[str]] = {}
+    for p in todo:
+        n = lens.get(p) or wav_length(p, cfg.dsp.sample_rate)
+        by_bucket.setdefault(bucket_for(n, buckets, quantum), []).append(p)
+    plan = []
+    for blen in sorted(by_bucket):
+        group = by_bucket[blen]
+        for i in range(0, len(group), bs):
+            plan.append((group[i:i + bs], blen))
 
     def gen_batches():
-        for i in range(0, len(todo), bs):
-            chunk = todo[i:i + bs]
+        for chunk, blen in plan:
             batch = np.stack([
-                pad_to_length(load_wav(p, cfg.dsp.sample_rate)[0], max_len)
+                pad_to_length(load_wav(p, cfg.dsp.sample_rate)[0], blen)
                 for p in chunk])
             if len(batch) < bs:
                 batch = np.concatenate([
                     batch,
-                    np.zeros((bs - len(batch), max_len), np.float32)])
+                    np.zeros((bs - len(batch), blen), np.float32)])
             yield batch
 
     import jax
@@ -299,11 +321,14 @@ def cmd_transcribe_corpus(args) -> int:
         # the device runs batch i, and JAX's async dispatch lets batch
         # i+1's device work start while the host converts/writes batch
         # i's MIDI (one-deep pipeline of un-fetched device results).
-        def finish(paths, notes, dev, t0):
+        def finish(paths, notes, dev, t0, blen):
             # Device OOM surfaces when the result is fetched; fall back to
             # the blocking halved-batch path for just that batch.
+            sat = 0
             try:
                 host_notes = jax.device_get(notes)
+                sat = int(np.asarray(host_notes.saturated)
+                          [:len(paths)].sum())
                 seqs = notes_batch_to_sequences(
                     host_notes, cfg, gram=tr.host_gram(),
                     refiner=tr.duration_refiner())
@@ -312,19 +337,19 @@ def cmd_transcribe_corpus(args) -> int:
             postprocess(paths, seqs[:len(paths)])
             metrics.write({
                 "event": "corpus_batch", "clips": len(paths),
-                "audio_sec_per_sec": bs * max_len / cfg.dsp.sample_rate
+                "saturated_lanes": sat,
+                "audio_sec_per_sec": bs * blen / cfg.dsp.sample_rate
                 / max(time.time() - t0, 1e-9),
             })
 
-        pending = None  # (paths, device NotesBatch, device batch, t0)
-        for i, dev_batch in zip(range(0, len(todo), bs),
-                                prefetch_to_device(gen_batches())):
-            batch_paths = todo[i:i + bs]
+        pending = None  # (paths, device NotesBatch, device batch, t0, blen)
+        for (batch_paths, blen), dev_batch in zip(
+                plan, prefetch_to_device(gen_batches())):
             t0 = time.time()
             notes = tr._fn(dev_batch)  # async dispatch, no block
             if pending is not None:
                 finish(*pending)
-            pending = (batch_paths, notes, dev_batch, t0)
+            pending = (batch_paths, notes, dev_batch, t0, blen)
         if pending is not None:
             finish(*pending)
     return 0

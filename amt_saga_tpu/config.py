@@ -78,7 +78,11 @@ class SynthConfig:
 class LoopConfig:
     """SAGA generative-subtractive loop (SURVEY.md C9)."""
 
-    max_notes: int = 160  # per-clip/chunk capacity (MAESTRO-like density: ~8 notes/s x 20 s chunks)
+    # Per-clip/chunk note capacity.  256 = ~12.8 notes/s over a 20 s
+    # stream chunk — headroom above routine MAESTRO density (~8 notes/s).
+    # Hitting it is NOT silent: the loop flags the lane saturated and
+    # the host logs a truncation warning (NotesBatch.saturated).
+    max_notes: int = 256
     # Terminate when residual energy falls below this fraction of initial.
     silence_rel: float = 1e-3
     # Minimum least-squares gain for a note to be accepted (gains below
@@ -224,6 +228,11 @@ class RunConfig:
     # Empty disables.  Backend support is probed at runtime; unsupported
     # backends fall back to plain jit with a logged warning.
     aot_cache: str = ""
+    # Max static waveform-length buckets for the corpus runner
+    # (runtime/bucketing.py): each bucket is one compiled shape; the
+    # planner uses FEWER when extra compiles don't pay (uniform corpus
+    # -> 1).  1 restores the single global-max-length behavior.
+    length_buckets: int = 4
     profile: bool = False
     # MXU precision for the two hot matmuls (coarse matched filter and
     # candidate dots).  "highest" (full f32) keeps TPU-vs-golden score

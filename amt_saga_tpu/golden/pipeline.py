@@ -102,6 +102,9 @@ class GoldenResult:
     programs: np.ndarray
     count: int
     residual_energy: float
+    # Mirror of NotesBatch.saturated: a candidate passed every quality
+    # gate but the note array was full (count == max_notes).
+    saturated: bool = False
 
 
 def _coarse_scores(res: np.ndarray, env: np.ndarray, prof_flat: np.ndarray,
@@ -163,6 +166,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
 
     e0 = float(np.sum(np.square(res), dtype=np.float32))
     count = 0
+    saturated = False
     for _ in range(cap):
         e_cur = float(np.sum(np.square(res), dtype=np.float32))
         e_q = _q_scalar(e_cur)
@@ -205,7 +209,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
         any_acc = False
         vres = res.copy()  # virtual residual: unclamped within-iteration
         for t_star, valid in peaks:
-            if not valid or count >= cap:
+            if not valid:
                 continue
             dots = np.zeros((n_o, n_q * n_d), dtype=np.float32)
             t_cands = np.zeros(n_o, dtype=np.int32)
@@ -249,6 +253,12 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                         break
                 if shadow:
                     continue
+            if count >= cap:
+                # Capacity gate LAST (mirror of saga/loop.py): the
+                # candidate passed every quality gate but the note array
+                # is full — flag the truncation, accept nothing.
+                saturated = True
+                continue
             w = bank[qi, qp, di]
             res[t_best:t_best + tmax] = np.maximum(
                 res[t_best:t_best + tmax] - g_best * w, 0.0)
@@ -311,4 +321,5 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
         refiner=refiner, refine_programs=programs if refine else None)
     e_final = float(np.sum(np.square(res), dtype=np.float32))
     return GoldenResult(seq, onset_f[:count], dur_f[:count], pitch_i[:count],
-                        gains[:count], programs[:count], count, e_final)
+                        gains[:count], programs[:count], count, e_final,
+                        saturated)

@@ -152,6 +152,12 @@ class NotesBatch(NamedTuple):
     # the host emits an empty sequence + a logged event instead of silent
     # garbage notes.
     poison: jnp.ndarray   # [B] bool
+    # Saturation flag (SURVEY.md §5 failure detection): true when a
+    # candidate passed EVERY acceptance gate but was dropped because the
+    # lane's note array was full (count == max_notes).  The host logs a
+    # warning and a metric instead of silently truncating the
+    # transcription — the "no silent caps" discipline.
+    saturated: jnp.ndarray  # [B] bool
     iterations: jnp.ndarray  # [] int32 while_loop trip count (for MFU)
 
 
@@ -363,9 +369,9 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
         t_best = jnp.take_along_axis(t_cand[:, i], o_best[:, None],
                                      1)[:, 0]
 
-        acc = (active & valid[:, i] & (notes_i.count < cap)
-               & (quantize_decisions(g_best) >= loop.min_gain)
-               & (s_best >= thr))
+        want = (active & valid[:, i]
+                & (quantize_decisions(g_best) >= loop.min_gain)
+                & (s_best >= thr))
 
         if loop.shadow_gain_frac > 0:
             # Shadow suppression (see LoopConfig) against ALL notes
@@ -378,7 +384,14 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
             weak = (quantize_decisions(g_best)[:, None]
                     < quantize_decisions(
                         loop.shadow_gain_frac * notes_i.gain))
-            acc = acc & ~jnp.any(prev & same_q & near & weak, axis=1)
+            want = want & ~jnp.any(prev & same_q & near & weak, axis=1)
+
+        # Capacity gate LAST: a candidate that passes every quality gate
+        # but finds the note array full marks the lane saturated — the
+        # host warns instead of silently truncating.
+        under_cap = notes_i.count < cap
+        acc = want & under_cap
+        sat_new = notes_i.saturated | (want & ~under_cap)
 
         w = tmpl.bank[q_best, d_best]                         # [B, Tmax, F]
         gain_eff = jnp.where(acc, g_best, 0.0)
@@ -407,6 +420,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
             d_idx=app(notes_i.d_idx, idx, d_best, acc),
             sd=jax.vmap(_append_vec)(notes_i.sd, idx, sd_val, acc),
             count=notes_i.count + acc.astype(jnp.int32),
+            saturated=sat_new,
         )
         if n_k > 1:
             # Gram update: keep every candidate dot exact w.r.t. the
@@ -459,6 +473,7 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
         count=jnp.zeros((b,), jnp.int32),
         residual_energy=e0,
         poison=jnp.zeros((b,), bool),
+        saturated=jnp.zeros((b,), bool),
         iterations=jnp.zeros((), jnp.int32),
     )
     carry0 = _Carry(res, notes0, jnp.zeros((b,), bool), e0,
@@ -682,6 +697,20 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
         gram = _host_gram_analytic(cfg)
     n_p, n_d = cfg.synth.n_pitches, len(cfg.synth.duration_grid)
     poison = np.asarray(notes.poison)
+    saturated = np.asarray(notes.saturated)
+    if saturated.any():
+        # Failure detection (SURVEY.md §5): the note array filled while
+        # acceptable candidates remained — the transcription is
+        # truncated.  Warn (per batch) instead of failing: the notes
+        # emitted so far are still valid; raise loop.max_notes (or use
+        # stream chunking) to capture the tail.
+        from ..utils.logging import get_logger
+
+        get_logger("amt_saga_tpu.saga").warning(
+            "%d/%d lanes hit loop.max_notes=%d with candidates left "
+            "(truncated transcription); raise loop.max_notes or chunk "
+            "the input", int(saturated.sum()), len(saturated),
+            cfg.loop.max_notes)
     out = []
     for b in range(notes.onset.shape[0]):
         if poison[b]:
