@@ -238,6 +238,22 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
     rng = jax.random.PRNGKey(cfg.train.seed)
     state, tx = create_state(cfg, rng)
     model = build_classifier(cfg)
+    # Zero-flag multi-device (SURVEY.md §2.3): DP over the batch x TP
+    # over run.model_parallel whenever more than one chip is visible.
+    from ..parallel.mesh import auto_mesh
+
+    mesh = auto_mesh(cfg.train.batch_size, cfg.run.model_parallel)
+    if mesh is not None:
+        from ..parallel.sharding import make_sharded_train_step
+
+        log.info("sharded training over %d devices %s",
+                 mesh.devices.size, dict(mesh.shape))
+        step_fn, shard_state = make_sharded_train_step(
+            cfg, mesh, model, tx, state)
+        state = shard_state(state)
+    else:
+        def step_fn(s, b):
+            return train_step(s, b, cfg, model, tx)
     if corpus_dir is not None:
         it = corpus_batch_iterator(cfg, corpus_dir, seconds=seconds,
                                    seed=cfg.train.seed,
@@ -251,7 +267,7 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
     every = max(1, cfg.train.checkpoint_every)
     for i in range(steps):
         batch = next(it)
-        state, m = train_step(state, batch, cfg, model, tx)
+        state, m = step_fn(state, batch)
         if i % 20 == 0 or i == steps - 1:
             m = {k: float(v) for k, v in m.items()}
             mw.write({"event": "train_step", "step": i, **m})

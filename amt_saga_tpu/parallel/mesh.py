@@ -40,6 +40,28 @@ def make_mesh(n_devices: int | None = None, model_parallel: int = 1,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def auto_mesh(batch_size: int, model_parallel: int = 1) -> Mesh | None:
+    """Zero-flag multi-device: a DATA x MODEL mesh over the visible
+    devices, or None when sharding is pointless (single device, or a
+    batch the data axis cannot divide).
+
+    The data axis is the largest device count that divides
+    ``batch_size`` (DP needs B % data == 0); ``model_parallel`` comes
+    from ``RunConfig.model_parallel``.  Consumed by the CLI so a v4-8
+    user gets all chips from ``transcribe-corpus``/``train`` with zero
+    flags (SURVEY.md §2.3 DP row).
+    """
+    n_dev = len(jax.devices())
+    mp = max(1, model_parallel)
+    if n_dev <= 1 or mp > n_dev:
+        return None
+    n_data = max((d for d in range(1, n_dev // mp + 1)
+                  if batch_size % d == 0), default=1)
+    if n_data * mp <= 1:
+        return None
+    return make_mesh(n_data * mp, model_parallel=mp)
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard the leading (batch) dim over 'data'; replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

@@ -29,16 +29,14 @@ from ..saga.loop import (
 from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding
 
 
-def make_sharded_transcriber(cfg: Config, mesh: Mesh,
-                             tmpl: TemplateArrays,
-                             score_fn: ScoreFn = heuristic_scores):
-    """Returns a jitted fn: waves [B, N] (B % data-axis == 0) -> NotesBatch,
-    batch sharded over the 'data' axis, note arrays sharded the same way.
+def sharded_transcribe_fn(cfg: Config, mesh: Mesh, tmpl: TemplateArrays,
+                          score_fn: ScoreFn = heuristic_scores):
+    """(jitted (waves, tmpl) -> NotesBatch, replicated-tmpl shardings).
 
-    Templates are a replicated jit ARGUMENT (uploaded once here), not a
-    closure constant — the Gram tensor is hundreds of MB at default config
-    and would blow the axon remote-compile request limit if baked into the
-    program (see saga.loop.Transcriber).
+    Waves [B, N] (B % data-axis == 0) and the output note arrays shard
+    over the 'data' axis; templates replicate.  Used both by
+    :func:`make_sharded_transcriber` and by ``saga.loop.Transcriber``'s
+    multi-device mode (the CLI's zero-flag all-chips path).
     """
     in_s = data_sharding(mesh, 2)
     repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), tmpl)
@@ -52,6 +50,21 @@ def make_sharded_transcriber(cfg: Config, mesh: Mesh,
         in_shardings=(in_s, repl),
         out_shardings=out_s,
     )
+    return fn, repl, in_s
+
+
+def make_sharded_transcriber(cfg: Config, mesh: Mesh,
+                             tmpl: TemplateArrays,
+                             score_fn: ScoreFn = heuristic_scores):
+    """Returns a jitted fn: waves [B, N] (B % data-axis == 0) -> NotesBatch,
+    batch sharded over the 'data' axis, note arrays sharded the same way.
+
+    Templates are a replicated jit ARGUMENT (uploaded once here), not a
+    closure constant — the Gram tensor is hundreds of MB at default config
+    and would blow the axon remote-compile request limit if baked into the
+    program (see saga.loop.Transcriber).
+    """
+    fn, repl, _ = sharded_transcribe_fn(cfg, mesh, tmpl, score_fn)
     tmpl_dev = jax.device_put(tmpl, repl)
     return lambda waves: fn(waves, tmpl_dev)
 

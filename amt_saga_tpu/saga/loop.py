@@ -592,22 +592,38 @@ class Transcriber:
 
     def __init__(self, cfg: Config, score_fn: ScoreFn = heuristic_scores,
                  tmpl: TemplateArrays | None = None,
-                 aot_dir: str | None = None):
+                 aot_dir: str | None = None, mesh=None):
         self.cfg = cfg
         # tmpl override: e.g. a bank generated by the SING-style neural
         # synthesizer (models/synth_decoder.py) instead of the analytic one.
         self._tmpl_overridden = tmpl is not None
         self.tmpl = tmpl if tmpl is not None else load_template_arrays(cfg)
         self._score_fn = score_fn
+        self.mesh = mesh
+        # Input placement for the feeder: the data-sharded spec in
+        # multi-device mode, default single-device placement otherwise.
+        self.input_sharding = None
         # Templates enter as a jit ARGUMENT, not a closure constant: the
         # Gram tensor is hundreds of MB at default config, and baking it
         # into the program blows the axon remote-compile request limit
         # (HTTP 413); as an argument only its SHAPE is compiled and the
         # data uploads once via device_put.
+        aot_dir = aot_dir or cfg.run.aot_cache or None
+        if mesh is not None:
+            # Multi-device mode (SURVEY.md §2.3 DP row): batch shards
+            # over the mesh's 'data' axis, note arrays likewise,
+            # templates replicate.  The AOT executable cache is
+            # single-device-only; multi-device recompiles are amortized
+            # across the whole corpus run.
+            from ..parallel.sharding import sharded_transcribe_fn
+
+            self._call, repl, self.input_sharding = sharded_transcribe_fn(
+                cfg, mesh, self.tmpl, self._score_fn)
+            self._tmpl_dev = jax.device_put(self.tmpl, repl)
+            return
         self._tmpl_dev = jax.device_put(self.tmpl)
         fn = lambda waves, tmpl: transcribe_waves(waves, cfg, tmpl,  # noqa: E731
                                                   self._score_fn)
-        aot_dir = aot_dir or cfg.run.aot_cache or None
         if aot_dir:
             # AOT executable cache (runtime/aot.py): reload the COMPILED
             # program in later processes — no tracing, no backend compile.

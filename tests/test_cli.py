@@ -179,3 +179,55 @@ def test_transcribe_corpus_sharded(tmp_path, tiny_cfg_file):
         main(base + ["--shard", "2/2"])  # index out of range
     with pytest.raises(SystemExit):
         main(base + ["--shard", "nope"])
+
+
+def test_corpus_runner_auto_sharded_parity(tmp_path, tiny_cfg_file):
+    """transcribe-corpus with zero flags shards over the visible (8
+    virtual) devices and still matches the golden oracle byte-for-byte
+    (round-2 verdict item #3)."""
+    from amt_saga_tpu.cli import load_config
+    from amt_saga_tpu.core.midi import notes_to_midi_bytes
+    from amt_saga_tpu.dsp.audio import load_wav
+    from amt_saga_tpu.golden.pipeline import transcribe_golden
+
+    fx = str(tmp_path / "fx")
+    assert main(["fixtures", fx, "--kind", "isol", "--clips", "4",
+                 "--seconds", "3.0"] + _tiny_args(tiny_cfg_file)) == 0
+    out = str(tmp_path / "out")
+    assert main(["transcribe-corpus", fx, out,
+                 "--set", "run.batch_size=4"]
+                + _tiny_args(tiny_cfg_file)) == 0
+
+    class _A:  # load_config wants an args-like object
+        config = tiny_cfg_file
+        set = ["run.batch_size=4"]
+
+    cfg = load_config(_A)
+    from amt_saga_tpu.dsp.audio import pad_to_length
+    from amt_saga_tpu.runtime.bucketing import (
+        bucket_for,
+        choose_length_buckets,
+    )
+
+    quantum = cfg.dsp.hop * cfg.dsp.pad_frames_to
+    wavs = [n for n in sorted(os.listdir(fx)) if n.endswith(".wav")]
+    waves = {n: load_wav(os.path.join(fx, n), cfg.dsp.sample_rate)[0]
+             for n in wavs}
+    buckets = choose_length_buckets(
+        [len(w) + cfg.dsp.n_fft for w in waves.values()],
+        cfg.run.length_buckets, quantum)
+    for name, wave in waves.items():
+        # Same samples the runner fed: the clip padded to its bucket.
+        blen = bucket_for(len(wave) + cfg.dsp.n_fft, buckets, quantum)
+        gold = transcribe_golden(pad_to_length(wave, blen), cfg).sequence
+        pred = os.path.join(out, name[:-4] + ".mid")
+        assert open(pred, "rb").read() == notes_to_midi_bytes(gold)
+
+
+def test_train_auto_sharded_smoke(tmp_path, tiny_cfg_file, monkeypatch):
+    """cmd_train runs the sharded step on the 8-virtual-device backend."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["train", "--steps", "2",
+                 "--set", "train.batch_size=4",
+                 "--set", "train.checkpoint_dir=" + str(tmp_path / "ck")]
+                + _tiny_args(tiny_cfg_file)) == 0

@@ -186,3 +186,52 @@ def test_open_corpus_factory(maps_root):
     assert len(open_corpus(maps_root, "maps")) == 3
     with pytest.raises(ValueError):
         open_corpus(maps_root, "nope")
+
+
+# --------------------------------------- evaluate on native label formats
+
+def _cfg_file(tmp_path, tiny_config):
+    p = tmp_path / "tiny.json"
+    p.write_text(tiny_config.to_json())
+    return str(p)
+
+
+def test_evaluate_musicnet_roundtrip(musicnet_root, tmp_path, tiny_config,
+                                     capsys):
+    """transcribe-corpus --format musicnet -> evaluate --format musicnet
+    with zero hand conversion (round-2 verdict item #8)."""
+    from amt_saga_tpu.cli import main
+
+    cfg = _cfg_file(tmp_path, tiny_config)
+    out = str(tmp_path / "pred")
+    assert main(["transcribe-corpus", musicnet_root, out,
+                 "--format", "musicnet", "--split", "train",
+                 "--set", "run.batch_size=1", "--config", cfg]) == 0
+    assert os.path.exists(os.path.join(out, "1727.mid"))
+    assert main(["evaluate", out, musicnet_root, "--format", "musicnet",
+                 "--split", "train", "--config", cfg]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_clips"] == 1
+    assert rec["n_ref"] == 2  # CSV labels became the reference
+
+
+@pytest.mark.parametrize("maestro_root", ["json_v3"], indirect=True)
+def test_evaluate_maestro_refs(maestro_root, tmp_path, tiny_config,
+                               capsys):
+    """evaluate --format maestro discovers references via the metadata
+    (no flat ref-MIDI directory needed)."""
+    import shutil
+
+    from amt_saga_tpu.cli import main
+
+    cfg = _cfg_file(tmp_path, tiny_config)
+    # Perfect predictions: copy each item's own reference MIDI.
+    corpus = open_maestro(maestro_root, "test")
+    pred = tmp_path / "pred"
+    pred.mkdir()
+    for it in corpus.items:
+        shutil.copy(it.midi_path, pred / (it.name + ".mid"))
+    assert main(["evaluate", str(pred), maestro_root, "--format",
+                 "maestro", "--split", "test", "--config", cfg]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["f1"] == 1.0 and rec["n_clips"] == 1
