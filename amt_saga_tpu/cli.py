@@ -308,6 +308,11 @@ def cmd_transcribe_corpus(args) -> int:
         group = by_bucket[blen]
         for i in range(0, len(group), bs):
             plan.append((group[i:i + bs], blen))
+    # Background-resolve the compiled programs for every planned shape
+    # NOW: the AOT load (or compile) and the axon first-execution
+    # finalize overlap the feeder's WAV loading instead of blocking the
+    # first batch (round-2 verdict item #2).
+    tr.warmup(bs, sorted(by_bucket))
 
     def gen_batches():
         for chunk, blen in plan:

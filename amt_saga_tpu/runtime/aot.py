@@ -119,50 +119,120 @@ class AotCache:
     ``fn`` must be a plain Python callable (it is wrapped in jax.jit
     here); ``cfg_json`` keys the cache entry together with the concrete
     input shapes of each call.
+
+    Startup cost is isolated from the serving path (round-2 verdict
+    item #2): the first execution of a deserialized executable can pay a
+    server-side finalize on the axon backend (0.3-310 s observed —
+    about half a cold compile), so :meth:`warmup_async` resolves +
+    validates executables on a background thread while the host scans
+    the corpus / loads WAVs; per-key ``stats`` split the cost into
+    load_s / compile_s / first_exec_s so benchmarks report the finalize
+    honestly instead of folding it into "compile".
     """
 
     def __init__(self, fn: Callable, cfg_json: str, directory: str):
+        import threading
+
         self._fn = fn
         self._jit = jax.jit(fn)
         self._cfg_json = cfg_json
         self._dir = directory
         os.makedirs(directory, exist_ok=True)
         self._loaded: dict[str, Callable] = {}
+        self.stats: dict[str, dict] = {}
+        self._locks: dict[str, Any] = {}
+        self._locks_guard = threading.Lock()
 
-    def __call__(self, *args):
+    def _key(self, args) -> str:
         shapes = jax.tree.map(
             lambda a: (getattr(a, "shape", ()), str(getattr(a, "dtype",
                                                             type(a)))),
             args)
-        key = cache_key(self._cfg_json, shapes)
-        entry = self._loaded.get(key)
+        return cache_key(self._cfg_json, shapes)
+
+    def _lock_for(self, key: str):
+        import threading
+
+        with self._locks_guard:
+            return self._locks.setdefault(key, threading.Lock())
+
+    def _resolve(self, key: str, args):
+        """Load-or-compile + validating first execution (FETCHED).
+
+        The fetch validates runnability: some AOT loaders (notably
+        XLA:CPU) accept an executable at deserialize time but fail at
+        run time, and with async dispatch that error would surface at
+        the caller's device_get.  Fetch — not block_until_ready, which
+        can return before execution on the axon backend (see bench.py).
+        Returns (entry, fetched_output_of_args).
+        """
+        import time
+
+        path = os.path.join(self._dir, key)
+        st = {"load_s": 0.0, "compile_s": 0.0, "first_exec_s": 0.0,
+              "source": "compile"}
+        t0 = time.time()
+        entry = try_load(path)
+        st["load_s"] = round(time.time() - t0, 3)
+        out = None
+        if entry is not None:
+            try:
+                t0 = time.time()
+                out = entry(*args)
+                jax.device_get(out)
+                st["first_exec_s"] = round(time.time() - t0, 3)
+                st["source"] = "aot"
+            except Exception as e:
+                log.warning(
+                    "AOT executable from %s failed to execute (%s); "
+                    "recompiling and refreshing the cache entry",
+                    path, e)
+                entry, out = None, None
         if entry is None:
-            path = os.path.join(self._dir, key)
-            entry = try_load(path)
-            if entry is not None:
-                # Validate by executing once and FETCHING the result:
-                # some AOT loaders (notably XLA:CPU) accept an
-                # executable at deserialize time but fail at run time
-                # (machine-feature or buffer-definition mismatch), and
-                # with async dispatch that error would otherwise surface
-                # at the caller's device_get.  Fetch — not
-                # block_until_ready, which can return before execution
-                # on the axon backend (see bench.py).  One fetched call
-                # per process is cheap — there is no compile to overlap.
-                try:
-                    out = entry(*args)
-                    jax.device_get(out)
-                    self._loaded[key] = entry
-                    return out
-                except Exception as e:
-                    log.warning(
-                        "AOT executable from %s failed to execute (%s); "
-                        "recompiling and refreshing the cache entry",
-                        path, e)
-                    entry = None
-            if entry is None:
-                compiled = self._jit.lower(*args).compile()
-                try_save(compiled, path)
-                entry = compiled
-            self._loaded[key] = entry
-        return entry(*args)
+            t0 = time.time()
+            entry = self._jit.lower(*args).compile()
+            st["compile_s"] = round(time.time() - t0, 3)
+            try_save(compiled=entry, path=path)
+            t0 = time.time()
+            out = entry(*args)
+            jax.device_get(out)
+            st["first_exec_s"] = round(time.time() - t0, 3)
+        self.stats[key] = st
+        self._loaded[key] = entry
+        return entry, out
+
+    def warmup_async(self, *args):
+        """Resolve + validate the executable for these shapes on a
+        daemon thread; a concurrent serving call for the same shapes
+        blocks on the per-key lock (i.e. joins the warmup) instead of
+        duplicating the work.  Errors surface on the serving path's own
+        resolve, not here."""
+        import threading
+
+        key = self._key(args)
+
+        def run():
+            with self._lock_for(key):
+                if key not in self._loaded:
+                    try:
+                        self._resolve(key, args)
+                    except Exception as e:
+                        log.warning("warmup failed (%s); the serving "
+                                    "call will retry", e)
+
+        t = threading.Thread(target=run, daemon=True,
+                             name=f"aot-warmup-{key[:8]}")
+        t.start()
+        return t
+
+    def __call__(self, *args):
+        key = self._key(args)
+        entry = self._loaded.get(key)
+        if entry is not None:
+            return entry(*args)
+        with self._lock_for(key):
+            entry = self._loaded.get(key)
+            if entry is not None:  # a warmup finished while we waited
+                return entry(*args)
+            entry, out = self._resolve(key, args)
+            return out if out is not None else entry(*args)

@@ -637,6 +637,48 @@ class Transcriber:
         """Async-dispatch the jitted program on a device waveform batch."""
         return self._call(waves, self._tmpl_dev)
 
+    def warmup(self, batch: int, lengths) -> None:
+        """Start resolving the compiled program(s) for these
+        (batch, n_samples) shapes on a background thread, so the serving
+        path never pays load/compile/first-execution (the axon
+        server-side finalize can cost minutes) synchronously.  The
+        corpus runner calls this right after planning its batch shapes;
+        the warmup overlaps WAV loading and spectrogram feeding.  A
+        serving call that arrives first simply does the work itself
+        (per-key lock — never duplicated)."""
+        from ..runtime.aot import AotCache
+
+        if isinstance(self._call, AotCache):
+            for n in lengths:
+                self._call.warmup_async(
+                    jnp.zeros((batch, int(n)), jnp.float32),
+                    self._tmpl_dev)
+        else:
+            # Plain jit / sharded mode: dispatch a dummy batch per shape
+            # from a daemon thread; jit's internal locking makes a
+            # concurrent serving call wait for (not repeat) the compile.
+            import threading
+
+            def run():
+                for n in lengths:
+                    try:
+                        jax.device_get(self._fn(
+                            jnp.zeros((batch, int(n)), jnp.float32)))
+                    except Exception as e:  # surfaces on the real call
+                        from ..utils.logging import get_logger
+
+                        get_logger("amt_saga_tpu.saga").warning(
+                            "warmup failed (%s)", e)
+                        return
+
+            threading.Thread(target=run, daemon=True,
+                             name="jit-warmup").start()
+
+    def startup_stats(self) -> dict:
+        """Per-shape startup cost breakdown (load_s / compile_s /
+        first_exec_s / source) when the AOT cache is active; {} otherwise."""
+        return dict(getattr(self._call, "stats", {}) or {})
+
     def host_gram(self) -> np.ndarray | None:
         """Host-side POWER-domain Gram of THIS transcriber's bank (for
         the joint gain refit) — consistent with a neural-bank tmpl
