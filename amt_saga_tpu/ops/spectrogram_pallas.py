@@ -82,10 +82,25 @@ def _bases(cfg: DSPConfig, nf_pad: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 @lru_cache(maxsize=4)
+def _used_freqs(cfg: DSPConfig) -> int:
+    """Highest DFT bin the log-frequency filterbank reads, + 1.
+
+    At the default config only bins 0..450 of 1025 carry nonzero
+    filterbank weight (fmax of the 88-pitch log grid is ~3.5 kHz);
+    every bin above contributes an EXACT zero to the output, so the
+    kernel computes only the used bins — 2.5x fewer FLOPs in the
+    dominant DFT matmuls, bit-identical output."""
+    fb = logf_filterbank(cfg)
+    nz = np.nonzero(np.abs(fb).sum(axis=1) > 0)[0]
+    return int(nz[-1]) + 1 if len(nz) else 1
+
+
+@lru_cache(maxsize=4)
 def _fb_padded(cfg: DSPConfig, nf_pad: int, nb_pad: int) -> np.ndarray:
     fb = logf_filterbank(cfg)                          # [n_freqs, n_bins]
     out = np.zeros((nf_pad, nb_pad), dtype=np.float32)
-    out[:fb.shape[0], :fb.shape[1]] = fb
+    k = min(fb.shape[0], nf_pad)  # rows >= _used_freqs are all zero
+    out[:k, :fb.shape[1]] = fb[:k]
     return out
 
 
@@ -162,7 +177,7 @@ def spectrogram_pallas(waves: jnp.ndarray, cfg: DSPConfig,
         waves = jnp.pad(waves, ((0, 0), (0, n_span - n)))
     rows = waves[:, :n_span].reshape(b, n_rows, hop)
 
-    nf_pad = _round_up(cfg.freq_bins, freq_block)
+    nf_pad = _round_up(min(cfg.freq_bins, _used_freqs(cfg)), freq_block)
     nb_pad = _round_up(cfg.n_bins, 128)
     cos, sin = _bases(cfg, nf_pad)
     fb = _fb_padded(cfg, nf_pad, nb_pad)

@@ -75,7 +75,7 @@ def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
 
 
 def bench_tpu(batch: int, seconds: float, repeats: int,
-              use_pallas: bool = True) -> dict:
+              use_pallas: bool = True, stack: int = 8) -> dict:
     import jax
 
     from amt_saga_tpu import default_config
@@ -87,6 +87,17 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
     # contract holds for the rfft path; see ops/spectrogram_pallas.py).
     cfg = default_config().override(**{"run.use_pallas": use_pallas})
     waves = _make_waves(cfg, batch, seconds)
+    if stack > 1:
+        # Stacked dispatch: M sub-batches run sequentially on device in
+        # ONE program (saga.loop.transcribe_waves on a [M, B, N] input).
+        # The per-dispatch host/RPC cost — ~36 ms through the axon
+        # tunnel, 3x the device time of one 64-clip batch — amortizes
+        # over the stack, so the measurement reflects device throughput,
+        # not tunnel latency.  The same batch content is tiled M times
+        # (the pre-stack bench redispatched one batch depth times — the
+        # device work is identical).
+        waves = np.broadcast_to(
+            waves, (stack,) + waves.shape).copy()
     # AOT executable cache: a later bench process (e.g. the BENCH
     # protocol's fresh run) reloads the compiled program instead of
     # paying the axon remote compile (107-900 s observed variance; a
@@ -115,28 +126,33 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
     startup_detail = next(iter(tr.startup_stats().values()), {})
     compile_s = startup_detail.get("compile_s", startup_s)
 
-    # Sequential latency: one batch launched and blocked at a time.
+    # Sequential latency: one dispatch launched and blocked at a time.
+    # The device executes dispatches in order, so fetching the LAST
+    # dispatch's (tiny) note counts proves every prior one completed —
+    # block_until_ready alone can return early on the axon backend.
     seq_times = []
     for _ in range(repeats):
         t0 = time.time()
-        jax.block_until_ready(tr._fn(dev_waves))
+        jax.device_get(tr._fn(dev_waves).count)
         seq_times.append(time.time() - t0)
     seq_wall = statistics.median(seq_times)
 
-    # Sustained throughput: the production corpus runner keeps one batch
-    # in flight (cli.py), so steady-state cost per batch is the PIPELINED
-    # one — launch depth*repeats back-to-back, block once, divide.
-    depth = 8
+    # Sustained throughput: launch depth dispatches back-to-back, fetch
+    # the last one's counts, divide.
+    depth = max(2, 24 // max(1, stack))
     t0 = time.time()
     outs = [tr._fn(dev_waves) for _ in range(depth)]
-    jax.block_until_ready(outs)
+    jax.device_get(outs[-1].count)
     pipe_wall = (time.time() - t0) / depth
 
-    audio_sec = batch * seconds
+    audio_sec = max(1, stack) * batch * seconds
     value = audio_sec / pipe_wall
     total_notes = int(np.sum(np.asarray(notes.count)))
-    iterations = int(np.asarray(notes.iterations))
-    flops = _loop_flops(cfg, batch, waves.shape[1], iterations)
+    iters = np.atleast_1d(np.asarray(notes.iterations))
+    n_samples = waves.shape[-1]
+    flops = sum(_loop_flops(cfg, batch, n_samples, int(it))
+                for it in iters)
+    iterations = int(iters.sum())
     tflops_s = flops / pipe_wall / 1e12
     mfu = tflops_s * 1e12 / (PEAK_BF16_FLOPS / F32_PASSES)
     return {
@@ -146,6 +162,7 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
         "vs_baseline": round(value / GOLDEN_CPU_AUDIO_SEC_PER_SEC, 2),
         "detail": {
             "batch": batch,
+            "stack": stack,
             "clip_seconds": seconds,
             "pipelined_wall_s": round(pipe_wall, 4),
             "sequential_wall_s": round(seq_wall, 4),
@@ -194,6 +211,9 @@ def main() -> None:
                         "docs/PERFORMANCE.md)")
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--stack", type=int, default=8,
+                   help="sub-batches per dispatch (lax.map stacked "
+                        "execution; 1 = one batch per dispatch)")
     p.add_argument("--no-pallas", action="store_true",
                    help="use the plain-XLA (rfft) pipeline instead of the "
                         "fused Pallas kernels")
@@ -203,7 +223,7 @@ def main() -> None:
         rec = bench_golden(args.seconds, max(2, args.batch // 8))
     else:
         rec = bench_tpu(args.batch, args.seconds, args.repeats,
-                        use_pallas=not args.no_pallas)
+                        use_pallas=not args.no_pallas, stack=args.stack)
 
     detail = rec.pop("detail", None)
     if detail:

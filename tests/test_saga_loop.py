@@ -264,3 +264,26 @@ def test_parity_fuzz_random_configs():
         t = Transcriber(cfg).transcribe(wave)
         assert notes_to_midi_bytes(g) == notes_to_midi_bytes(t), (
             trial, cfg.loop, cfg.synth.duration_grid)
+
+
+def test_stacked_dispatch_parity(tiny_config, tiny_transcriber):
+    """[M, B, N] stacked execution (one-dispatch lax.map) emits exactly
+    the per-batch results."""
+    import jax
+
+    from amt_saga_tpu.saga.loop import transcribe_waves
+
+    clips = make_corpus(tiny_config, kind="isol", n_clips=4, seconds=3.0,
+                        n_notes=3, seed=30)
+    waves = np.stack([w for w, _ in clips])          # [4, N]
+    tr = tiny_transcriber
+    flat = jax.device_get(tr._fn(waves))
+    stacked = jax.device_get(
+        jax.jit(lambda w, t: transcribe_waves(w, tiny_config, t))(
+            waves.reshape(2, 2, -1), tr.tmpl))
+    for field in ("onset", "dur", "pitch", "gain", "program", "count"):
+        a = np.asarray(getattr(flat, field)).reshape(2, 2, *np.asarray(
+            getattr(flat, field)).shape[1:])
+        b = np.asarray(getattr(stacked, field))
+        assert np.array_equal(a, b), field
+    assert np.asarray(stacked.iterations).shape == (2,)
