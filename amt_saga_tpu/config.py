@@ -149,6 +149,34 @@ class LoopConfig:
     # preserved.  See core.notes.refit_gains_power_host.
     refit_gains: bool = True
     refit_sweeps: int = 4
+    # Harmonic-phantom suppression: reject a candidate whose f0 sits on
+    # a low harmonic of a SIMULTANEOUS same-instrument note (+12 = 2nd,
+    # +19 = 3rd, +24 = 4th harmonic in semitones; onset within
+    # harmonic_shadow_radius frames) when its gain is below this
+    # fraction of that note's.  Mismatch energy at a harmonic appears
+    # exactly when its parent sounds — unlike a real harmonically-
+    # related note, whose onset is independent (a same-onset octave
+    # DOUBLING survives unless much weaker than its parent).  0
+    # disables.  0.3 measured: 4-voice precision 0.9558 -> 0.9672 at
+    # -0.8pt recall (F1 +0.15pt), mono/2-voice suites unchanged.
+    harmonic_shadow_frac: float = 0.3
+    harmonic_intervals: Tuple[int, ...] = (12, 19, 24)
+    harmonic_shadow_radius: int = 3
+    # OMP-style debias-then-resweep (second pass).  After the main
+    # greedy pass converges: jointly refit the gains ON DEVICE (power-
+    # domain coordinate descent, the f32 mirror of refit_gains_power_
+    # host), REBUILD the residual from the refit gains in one shot
+    # (clamped once — progressive clamping in the greedy pass loses
+    # energy that shadows later notes), and run up to this many extra
+    # loop iterations over the rebuilt residual.  0 disables — the
+    # DEFAULT, because on the pinned suites the rescan recovers no
+    # shadowed notes (the misses are onset/attribution errors, not
+    # over-subtraction shadows) while its rebuilt residual surfaces
+    # phantom low notes: measured 4-voice F1 0.9501 -> 0.9463 and
+    # multi-instrument FP bursts (docs/PERFORMANCE.md, round 3).
+    # Mirrored op-for-op in golden/pipeline.py (f64; decision
+    # quantization absorbs the f32/f64 drift, like everywhere else).
+    rescan_iterations: int = 0
     # Candidate scoring uses the closed form
     #   score = 2*g*<window, W> - g^2*||W||^2
     # which equals (energy reduction) - 1.0*(over-subtraction energy):

@@ -60,7 +60,7 @@ from ..config import Config
 from ..core.notes import (
     NoteSequence,
     note_arrays_to_sequence,
-    refit_gains_programs_host,
+    refit_gains_variants_host,
 )
 from ..synth.templates import (
     duration_grid_frames,
@@ -167,146 +167,224 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
     e0 = float(np.sum(np.square(res), dtype=np.float32))
     count = 0
     saturated = False
-    for _ in range(cap):
-        e_cur = float(np.sum(np.square(res), dtype=np.float32))
-        e_q = _q_scalar(e_cur)
-        sil_q = _q_scalar(loop.silence_rel * e0)
-        if e0 <= 0.0 or e_q <= sil_q:
-            break
 
-        # (a/b) coarse matched-filter score -> up to n_extract time-disjoint
-        # peaks (masked argmax, radius template_frames+1: windows of
-        # distinct peaks cannot overlap, so extracting them in one
-        # iteration equals sequential greedy extraction).
-        coarse = _coarse_scores(res, env, prof_flat, n_frames)   # [T, Q]
-        n_k = max(1, loop.n_extract)
-        radius = max(1, loop.peak_mask_radius)
-        m_raw = quantize_decisions_np(np.max(coarse, axis=1))    # [T]
-        # Only local maxima are eligible (see saga/loop.py: shoulders of
-        # masked stronger peaks must not become separate onsets).
-        left = np.concatenate([[-np.inf], m_raw[:-1]])
-        right = np.concatenate([m_raw[1:], [-np.inf]])
-        m_work = np.where((m_raw >= left) & (m_raw >= right),
-                          m_raw, -np.inf)
-        t_frames = np.arange(n_frames)
-        peaks: list[tuple[int, bool]] = []
-        for _i in range(n_k):
-            t_i = int(np.argmax(m_work))
-            peaks.append((t_i, bool(np.isfinite(m_work[t_i]))))
-            m_work = np.where(np.abs(t_frames - t_i) <= radius,
-                              -np.inf, m_work)
+    def greedy_pass(res: np.ndarray, iters: int) -> None:
+        """One greedy extraction pass over ``res`` (in place), appending
+        to the enclosing note arrays — the pass-1 loop and the rescan
+        pass (mirror of saga/loop.py) share this body."""
+        nonlocal count, saturated
+        for _ in range(iters):
+            e_cur = float(np.sum(np.square(res), dtype=np.float32))
+            e_q = _q_scalar(e_cur)
+            sil_q = _q_scalar(loop.silence_rel * e0)
+            if e0 <= 0.0 or e_q <= sil_q:
+                break
 
-        # (c) per peak: ALL (q, d, o) candidates, closed-form scores
-        # (C-order), windowed from the VIRTUAL residual — iteration-start
-        # residual minus the unclamped g*W of earlier same-iteration
-        # acceptances (the TPU path computes the same quantity as
-        # dots0 - sum g*gram via precomputed template overlaps; equal up
-        # to float rounding, absorbed by decision quantization).
-        n_o = len(loop.onset_offsets)
-        n_q = n_i * n_p
-        bank_mat = bank.reshape(n_q * n_d, -1)                   # [QD, M]
-        nrm_flat = np.maximum(norms.reshape(n_q * n_d), 1e-12)   # [QD]
-        any_acc = False
-        vres = res.copy()  # virtual residual: unclamped within-iteration
-        for t_star, valid in peaks:
-            if not valid:
-                continue
-            dots = np.zeros((n_o, n_q * n_d), dtype=np.float32)
-            t_cands = np.zeros(n_o, dtype=np.int32)
-            for oi, off in enumerate(loop.onset_offsets):
-                t_c = min(max(t_star + off, 0), n_frames - 1)
-                t_cands[oi] = t_c
-                window = vres[t_c:t_c + tmax].reshape(-1)        # [M]
-                dots[oi] = bank_mat @ window
-            g_all = np.maximum(dots / nrm_flat[None, :], 0.0)    # [O, QD]
-            s_all = (2.0 * g_all * dots
-                     - np.square(g_all) * nrm_flat[None, :])
-            # -> C-order (q, d, o)
-            g_qdo = np.transpose(g_all.reshape(n_o, n_q, n_d), (1, 2, 0))
-            s_qdo = quantize_decisions_np(
-                np.transpose(s_all.reshape(n_o, n_q, n_d), (1, 2, 0)))
+            # (a/b) coarse matched-filter score -> up to n_extract time-disjoint
+            # peaks (masked argmax, radius template_frames+1: windows of
+            # distinct peaks cannot overlap, so extracting them in one
+            # iteration equals sequential greedy extraction).
+            coarse = _coarse_scores(res, env, prof_flat, n_frames)   # [T, Q]
+            n_k = max(1, loop.n_extract)
+            radius = max(1, loop.peak_mask_radius)
+            m_raw = quantize_decisions_np(np.max(coarse, axis=1))    # [T]
+            # Only local maxima are eligible (see saga/loop.py: shoulders of
+            # masked stronger peaks must not become separate onsets).
+            left = np.concatenate([[-np.inf], m_raw[:-1]])
+            right = np.concatenate([m_raw[1:], [-np.inf]])
+            m_work = np.where((m_raw >= left) & (m_raw >= right),
+                              m_raw, -np.inf)
+            t_frames = np.arange(n_frames)
+            peaks: list[tuple[int, bool]] = []
+            for _i in range(n_k):
+                t_i = int(np.argmax(m_work))
+                peaks.append((t_i, bool(np.isfinite(m_work[t_i]))))
+                m_work = np.where(np.abs(t_frames - t_i) <= radius,
+                                  -np.inf, m_work)
 
-            best = int(np.argmax(s_qdo.reshape(-1)))
-            q, rem = divmod(best, n_d * n_o)
-            di, oi = divmod(rem, n_o)
-            g_best = float(g_qdo[q, di, oi])
-            s_best = float(s_qdo[q, di, oi])
-            g_q = _q_scalar(g_best)
-            thr_q = _q_scalar(loop.min_score_rel * e_cur)
-            if g_q < loop.min_gain or s_best < thr_q:
-                continue
-
-            qi, qp = q // n_p, q % n_p
-            t_best = int(t_cands[oi])
-
-            # Shadow suppression (mirror of saga/loop.py; against ALL
-            # notes so far, including earlier peaks this iteration).
-            if loop.shadow_gain_frac > 0:
-                shadow = False
-                for j in range(count):
-                    q_j = programs[j] * n_p + pitch_i[j]
-                    if (q_j == q
-                            and abs(t_best - int(onset_f[j])) <= tmax
-                            and g_q < _q_scalar(
-                                loop.shadow_gain_frac * gains[j])):
-                        shadow = True
-                        break
-                if shadow:
+            # (c) per peak: ALL (q, d, o) candidates, closed-form scores
+            # (C-order), windowed from the VIRTUAL residual — iteration-start
+            # residual minus the unclamped g*W of earlier same-iteration
+            # acceptances (the TPU path computes the same quantity as
+            # dots0 - sum g*gram via precomputed template overlaps; equal up
+            # to float rounding, absorbed by decision quantization).
+            n_o = len(loop.onset_offsets)
+            n_q = n_i * n_p
+            bank_mat = bank.reshape(n_q * n_d, -1)                   # [QD, M]
+            nrm_flat = np.maximum(norms.reshape(n_q * n_d), 1e-12)   # [QD]
+            any_acc = False
+            vres = res.copy()  # virtual residual: unclamped within-iteration
+            for t_star, valid in peaks:
+                if not valid:
                     continue
-            if count >= cap:
-                # Capacity gate LAST (mirror of saga/loop.py): the
-                # candidate passed every quality gate but the note array
-                # is full — flag the truncation, accept nothing.
-                saturated = True
-                continue
-            w = bank[qi, qp, di]
-            res[t_best:t_best + tmax] = np.maximum(
-                res[t_best:t_best + tmax] - g_best * w, 0.0)
-            vres[t_best:t_best + tmax] -= g_best * w  # unclamped
+                dots = np.zeros((n_o, n_q * n_d), dtype=np.float32)
+                t_cands = np.zeros(n_o, dtype=np.int32)
+                for oi, off in enumerate(loop.onset_offsets):
+                    t_c = min(max(t_star + off, 0), n_frames - 1)
+                    t_cands[oi] = t_c
+                    window = vres[t_c:t_c + tmax].reshape(-1)        # [M]
+                    dots[oi] = bank_mat @ window
+                g_all = np.maximum(dots / nrm_flat[None, :], 0.0)    # [O, QD]
+                s_all = (2.0 * g_all * dots
+                         - np.square(g_all) * nrm_flat[None, :])
+                # -> C-order (q, d, o)
+                g_qdo = np.transpose(g_all.reshape(n_o, n_q, n_d), (1, 2, 0))
+                s_qdo = quantize_decisions_np(
+                    np.transpose(s_all.reshape(n_o, n_q, n_d), (1, 2, 0)))
 
-            onset_f[count] = t_best
-            dur_f[count] = durs[di]
-            pitch_i[count] = qp
-            gains[count] = g_best
-            programs[count] = qi
-            d_idx[count] = di
-            # Quantized scores at ALL grid durations (winner's pitch and
-            # onset) for the host-side continuous duration fit (mirror of
-            # saga/loop.py sd; the shared f64 DurationRefiner keeps MIDI
-            # parity).
-            sd[count] = s_qdo[q, :, oi]
-            count += 1
-            any_acc = True
+                best = int(np.argmax(s_qdo.reshape(-1)))
+                q, rem = divmod(best, n_d * n_o)
+                di, oi = divmod(rem, n_o)
+                g_best = float(g_qdo[q, di, oi])
+                s_best = float(s_qdo[q, di, oi])
+                g_q = _q_scalar(g_best)
+                thr_q = _q_scalar(loop.min_score_rel * e_cur)
+                if g_q < loop.min_gain or s_best < thr_q:
+                    continue
 
-        if not any_acc:
-            break
+                qi, qp = q // n_p, q % n_p
+                t_best = int(t_cands[oi])
+
+                # Shadow suppression (mirror of saga/loop.py; against ALL
+                # notes so far, including earlier peaks this iteration).
+                if loop.shadow_gain_frac > 0:
+                    shadow = False
+                    for j in range(count):
+                        q_j = programs[j] * n_p + pitch_i[j]
+                        if (q_j == q
+                                and abs(t_best - int(onset_f[j])) <= tmax
+                                and g_q < _q_scalar(
+                                    loop.shadow_gain_frac * gains[j])):
+                            shadow = True
+                            break
+                    if shadow:
+                        continue
+                if loop.harmonic_shadow_frac > 0:
+                    # Harmonic-phantom suppression (mirror of
+                    # saga/loop.py; order pinned: after shadow, before
+                    # capacity).
+                    hshadow = False
+                    for j in range(count):
+                        if (programs[j] == qi
+                                and (qp - pitch_i[j])
+                                in loop.harmonic_intervals
+                                and abs(t_best - int(onset_f[j]))
+                                <= loop.harmonic_shadow_radius
+                                and g_q < _q_scalar(
+                                    loop.harmonic_shadow_frac
+                                    * gains[j])):
+                            hshadow = True
+                            break
+                    if hshadow:
+                        continue
+                if count >= cap:
+                    # Capacity gate LAST (mirror of saga/loop.py): the
+                    # candidate passed every quality gate but the note array
+                    # is full — flag the truncation, accept nothing.
+                    saturated = True
+                    continue
+                w = bank[qi, qp, di]
+                res[t_best:t_best + tmax] = np.maximum(
+                    res[t_best:t_best + tmax] - g_best * w, 0.0)
+                vres[t_best:t_best + tmax] -= g_best * w  # unclamped
+
+                onset_f[count] = t_best
+                dur_f[count] = durs[di]
+                pitch_i[count] = qp
+                gains[count] = g_best
+                programs[count] = qi
+                d_idx[count] = di
+                # Quantized scores at ALL grid durations (winner's pitch and
+                # onset) for the host-side continuous duration fit (mirror of
+                # saga/loop.py sd; the shared f64 DurationRefiner keeps MIDI
+                # parity).
+                sd[count] = s_qdo[q, :, oi]
+                count += 1
+                any_acc = True
+
+            if not any_acc:
+                break
+
+    greedy_pass(res, cap)
+
+    if loop.rescan_iterations > 0 and count > 0:
+        # OMP debias-then-resweep (mirror of saga/loop._rescan): joint
+        # power-domain gain refit (f64 — the device runs the same
+        # coordinate descent in f32; the refit gains are decision-
+        # quantized before the rebuild so both paths subtract
+        # identically-bucketed values), one-shot residual rebuild from
+        # the pristine spectrogram, then more greedy iterations.
+        from ..core.notes import refit_gains_host
+        from ..synth.templates import gram_from_bank
+
+        gram_pow = gram_from_bank(
+            np.square(bank).reshape(n_i * n_p * n_d, tmax, -1))
+        qd_inc = ((programs[:count] * n_p + pitch_i[:count]) * n_d
+                  + d_idx[:count]).astype(np.int64)
+        spec0_sq = np.square(spec0)
+        bank_flat = bank.reshape(n_i * n_p * n_d, tmax, -1)
+        d0 = np.zeros(count, dtype=np.float64)
+        for a in range(count):
+            t_a = int(onset_f[a])
+            d0[a] = float(
+                spec0_sq[t_a:t_a + tmax].reshape(-1).astype(np.float64)
+                @ np.square(bank_flat[qd_inc[a]]).reshape(-1)
+                .astype(np.float64))
+        h = refit_gains_host(
+            onset_f[:count], qd_inc, d0,
+            np.square(gains[:count].astype(np.float64)), count,
+            gram_pow, loop.refit_sweeps)
+        g_refit = quantize_decisions_np(
+            np.sqrt(np.maximum(h, 0.0)).astype(np.float32))
+        res2 = spec0.copy()
+        for a in range(count):
+            t_a = int(onset_f[a])
+            res2[t_a:t_a + tmax] -= g_refit[a] * bank_flat[qd_inc[a]]
+        res2 = np.maximum(res2, 0.0)
+        res = res2
+        greedy_pass(res, loop.rescan_iterations)
 
     emit_gains, emit_programs = gains, programs
+    emit_d_idx, emit_dur = d_idx, dur_f
+    refine_mask = None
     if loop.refit_gains:
-        # Power-domain joint gain re-projection + instrument
-        # re-selection (mirror of saga/loop.py): dot every instrument
-        # variant of each accepted atom with the squared PRISTINE
-        # spectrogram (quantized, like the device recording), then the
-        # shared host f64 variant-comparing coordinate descent; overlaps
-        # from the same host-computed squared-atom Gram the TPU path's
-        # host side uses, so parity holds bit-for-bit.
+        # Power-domain joint gain re-projection + instrument/duration
+        # re-selection (mirror of saga/loop.py): dot every variant
+        # (instrument x {-1,0,+1} duration neighbor) of each accepted
+        # atom with the squared PRISTINE spectrogram (quantized, like
+        # the device recording), then the shared host f64 variant-
+        # comparing coordinate descent; overlaps from the same host-
+        # computed squared-atom Gram the TPU path's host side uses, so
+        # parity holds bit-for-bit.
         from ..synth.templates import gram_from_bank
 
         spec0_pow = np.square(spec0)
         bank_pow = np.square(bank)
-        dot0 = np.zeros((cap, n_i), dtype=np.float32)
+        dot0 = np.zeros((cap, n_i * 3), dtype=np.float32)
         for a in range(count):
             t_a = int(onset_f[a])
             wv = spec0_pow[t_a:t_a + tmax].reshape(-1)
             for i in range(n_i):
-                dot0[a, i] = np.float32(
-                    wv @ bank_pow[i, pitch_i[a], d_idx[a]].reshape(-1))
+                for v, ddv in enumerate((-1, 0, 1)):
+                    dv = min(max(int(d_idx[a]) + ddv, 0), n_d - 1)
+                    dot0[a, i * 3 + v] = np.float32(
+                        wv @ bank_pow[i, pitch_i[a], dv].reshape(-1))
         dot0 = quantize_decisions_np(dot0)
         gram_pow = gram_from_bank(
             bank_pow.reshape(n_i * n_p * n_d, tmax, -1))
-        emit_gains, emit_programs = refit_gains_programs_host(
-            onset_f, pitch_i, d_idx, programs, dot0, gains, count,
-            gram_pow, n_p, n_d, loop.refit_sweeps)
+        emit_gains, emit_programs, emit_d_idx, changed = \
+            refit_gains_variants_host(
+                onset_f, pitch_i, d_idx, programs, dot0, gains, count,
+                gram_pow, n_p, n_d, loop.refit_sweeps,
+                duration_grid=synth.duration_grid)
+        if changed.any():
+            # Re-selected durations emit the corrected grid frames and
+            # skip the sd refiner (mirror of notes_batch_to_sequences).
+            emit_dur = dur_f.copy()
+            emit_dur[:count] = np.where(changed, durs[emit_d_idx[:count]],
+                                        emit_dur[:count])
+            refine_mask = np.ones(cap, dtype=bool)
+            refine_mask[:count] = ~changed
 
     # The continuous duration fit is defined by the ANALYTIC bank's
     # fine-duration renders; with an ``atoms`` override the recorded
@@ -315,10 +393,11 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
     refine = loop.refine_duration and atoms is None
     refiner = make_duration_refiner(synth, dsp) if refine else None
     seq = note_arrays_to_sequence(
-        onset_f, dur_f, pitch_i, emit_gains, emit_programs, count,
+        onset_f, emit_dur, pitch_i, emit_gains, emit_programs, count,
         hop=dsp.hop, sample_rate=dsp.sample_rate, pitch_min=synth.pitch_min,
-        d_idx=d_idx if refine else None, sd=sd if refine else None,
-        refiner=refiner, refine_programs=programs if refine else None)
+        d_idx=emit_d_idx if refine else None, sd=sd if refine else None,
+        refiner=refiner, refine_programs=programs if refine else None,
+        refine_mask=refine_mask)
     e_final = float(np.sum(np.square(res), dtype=np.float32))
     return GoldenResult(seq, onset_f[:count], dur_f[:count], pitch_i[:count],
                         gains[:count], programs[:count], count, e_final,

@@ -52,7 +52,7 @@ from ..config import Config
 from ..core.notes import (
     NoteSequence,
     note_arrays_to_sequence,
-    refit_gains_programs_host,
+    refit_gains_variants_host,
 )
 from ..dsp.cqt import logf_spectrogram
 from ..dsp.residual import energy as residual_energy
@@ -97,6 +97,10 @@ class TemplateArrays(NamedTuple):
     env: jnp.ndarray     # [Tmax]
     durs: jnp.ndarray    # [D] int32
     gram: jnp.ndarray    # [2*Tmax-1, QD, QD] template-overlap Gram
+    # Squared-atom (power-domain) Gram for the on-device joint gain
+    # refit of the rescan pass (LoopConfig.rescan_iterations); a [1,1,1]
+    # placeholder when the rescan is off.
+    gram_pow: jnp.ndarray  # [2*Tmax-1, QD, QD] | [1, 1, 1]
 
 
 def load_template_arrays(cfg: Config) -> TemplateArrays:
@@ -107,6 +111,14 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
     # Gram from the UNPADDED bank: zero F-padding columns contribute zero
     # to every overlap, so padded/unpadded banks share one cache entry.
     gram = gram_from_bank(bank.reshape(n_i * n_p * n_d, tmax, f))
+    if cfg.loop.rescan_iterations > 0:
+        # Power-domain Gram for the on-device rescan refit — the SAME
+        # squared-atom Gram the host emission refit uses (shared
+        # content-addressed disk cache inside gram_from_bank).
+        gram_pow = gram_from_bank(
+            np.square(bank).reshape(n_i * n_p * n_d, tmax, f))
+    else:
+        gram_pow = np.zeros((1, 1, 1), np.float32)
     if cfg.run.use_pallas and f % 128:
         # The Pallas path carries F padded to the 128-lane tiling (sliced
         # DMA alignment).  Zero columns contribute zero to every dot
@@ -122,6 +134,7 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
         env=jnp.asarray(onset_envelope(cfg.synth, cfg.dsp)),
         durs=jnp.asarray(duration_grid_frames(cfg.synth, cfg.dsp)),
         gram=jnp.asarray(gram),
+        gram_pow=jnp.asarray(gram_pow),
     )
 
 
@@ -137,14 +150,15 @@ class NotesBatch(NamedTuple):
     sd: jnp.ndarray       # [B, cap, D] float32 quantized scores at ALL
     #                       grid durations (winner's pitch/onset), for the
     #                       host-side continuous duration fit
-    dot0: jnp.ndarray     # [B, cap, I] float32 quantized <spec^2, W^2>
-    #                       of each note's SQUARED atom — for EVERY
-    #                       instrument variant of its (pitch, duration)
-    #                       — in the squared ORIGINAL spectrogram: the
-    #                       power-domain dots for the host-side joint
-    #                       gain refit + instrument re-selection
+    dot0: jnp.ndarray     # [B, cap, I*3] float32 quantized <spec^2,
+    #                       W^2> of each note's SQUARED atom — for every
+    #                       instrument x {-1,0,+1}-duration variant of
+    #                       its (pitch, duration) — in the squared
+    #                       ORIGINAL spectrogram: the power-domain dots
+    #                       for the host-side joint gain refit +
+    #                       instrument/duration re-selection
     #                       (LoopConfig.refit_gains; see core.notes
-    #                       .refit_gains_programs_host); zeros when off
+    #                       .refit_gains_variants_host); zeros when off
     count: jnp.ndarray    # [B] int32
     residual_energy: jnp.ndarray  # [B] float32
     # Sanitizer state (SURVEY.md §5): a lane whose residual energy or
@@ -386,6 +400,27 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
                         loop.shadow_gain_frac * notes_i.gain))
             want = want & ~jnp.any(prev & same_q & near & weak, axis=1)
 
+        if loop.harmonic_shadow_frac > 0:
+            # Harmonic-phantom suppression (see LoopConfig): candidate
+            # pitch on a low harmonic of a concurrent same-instrument
+            # stronger note, with gain below the fraction -> mismatch
+            # energy, not a note.  Order pinned: after shadow, before
+            # capacity (golden mirrors).
+            slot = jnp.arange(cap)[None, :]
+            prev = slot < notes_i.count[:, None]
+            same_prog = notes_i.program == (q_best // n_p)[:, None]
+            ivl = (q_best % n_p)[:, None] - notes_i.pitch      # [B, C]
+            harm = jnp.zeros_like(same_prog)
+            for iv in loop.harmonic_intervals:
+                harm = harm | (ivl == iv)
+            near = (jnp.abs(t_best[:, None] - notes_i.onset)
+                    <= loop.harmonic_shadow_radius)
+            hweak = (quantize_decisions(g_best)[:, None]
+                     < quantize_decisions(
+                         loop.harmonic_shadow_frac * notes_i.gain))
+            want = want & ~jnp.any(
+                prev & same_prog & harm & near & hweak, axis=1)
+
         # Capacity gate LAST: a candidate that passes every quality gate
         # but finds the note array full marks the lane saturated — the
         # host warns instead of silently truncating.
@@ -469,7 +504,8 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
         program=jnp.zeros((b, cap), jnp.int32),
         d_idx=jnp.zeros((b, cap), jnp.int32),
         sd=jnp.zeros((b, cap, len(cfg.synth.duration_grid)), jnp.float32),
-        dot0=jnp.zeros((b, cap, cfg.synth.n_instruments), jnp.float32),
+        dot0=jnp.zeros((b, cap, cfg.synth.n_instruments * 3),
+                       jnp.float32),
         count=jnp.zeros((b,), jnp.int32),
         residual_energy=e0,
         poison=jnp.zeros((b,), bool),
@@ -496,6 +532,11 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
                    score_fn=score_fn)
     out = jax.lax.while_loop(
         lambda c: (c.it < lim) & jnp.any(~c.done), body, carry0)
+    if cfg.loop.rescan_iterations > 0 and max_iters is None:
+        # Second pass (debias-then-resweep); skipped on the
+        # transcribe_partial path, which exists to sample MID-loop
+        # states for classifier training.
+        out = _rescan(out, res, cfg, tmpl, body)
     if cfg.loop.refit_gains:
         # Inputs for the host-side joint gain re-projection
         # (core.notes.refit_gains_host): each accepted note's atom dotted
@@ -508,17 +549,18 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
 
 def _original_spec_dots(spec_padded: jnp.ndarray, notes: NotesBatch,
                         cfg: Config, tmpl: TemplateArrays) -> jnp.ndarray:
-    """[B, cap, I] quantized POWER-domain dots <spec^2, W^2> for every
-    note slot x instrument variant (garbage beyond ``count`` — the host
-    refit only reads the first ``count`` entries).  Squared because
-    overlapping magnitudes add in quadrature; all I variants of the
-    note's (pitch, duration) atom are recorded so the host refit can
-    also RE-SELECT the instrument inside the joint fit (see
-    core.notes.refit_gains_programs_host).
+    """[B, cap, I*3] quantized POWER-domain dots <spec^2, W^2> for every
+    note slot x variant (garbage beyond ``count`` — the host refit only
+    reads the first ``count`` entries).  Squared because overlapping
+    magnitudes add in quadrature; the variants are every instrument x
+    the {-1, 0, +1} duration-grid neighbors of the note's choice
+    (clipped at the edges), so the host refit can RE-SELECT instrument
+    AND duration inside the joint fit (see
+    core.notes.refit_gains_variants_host).
 
     One while_loop step per USED slot (bounded by the batch's max note
-    count, not the static capacity): I x [B, Tmax, F] atom gathers + one
-    window gather + elementwise dots.  Runs ONCE per batch after the
+    count, not the static capacity): I*3 x [B, Tmax, F] atom gathers +
+    one window gather + elementwise dots.  Runs ONCE per batch after the
     while_loop (not per iteration).
     """
     tmax = cfg.synth.template_frames
@@ -529,23 +571,119 @@ def _original_spec_dots(spec_padded: jnp.ndarray, notes: NotesBatch,
     bank_flat = tmpl.bank.reshape(n_q * n_d, tmax, -1)
     n_used = jnp.max(notes.count)
 
+    dd = jnp.asarray([-1, 0, 1], jnp.int32)
+
     def slot(state):
         a, acc = state
         win2 = jnp.square(jax.vmap(
             lambda r, t: residual_section(r, t, tmax))(
                 spec_padded, notes.onset[:, a]))         # [B, Tmax, F]
-        qd_all = ((jnp.arange(n_i)[None, :] * n_p
-                   + notes.pitch[:, a, None]) * n_d
-                  + notes.d_idx[:, a, None])             # [B, I]
-        atoms = bank_flat[qd_all]                        # [B, I, Tmax, F]
+        d_var = jnp.clip(notes.d_idx[:, a, None] + dd[None, :],
+                         0, n_d - 1)                     # [B, 3]
+        qd_all = ((jnp.arange(n_i)[None, :, None] * n_p
+                   + notes.pitch[:, a, None, None]) * n_d
+                  + d_var[:, None, :]).reshape(-1, n_i * 3)  # [B, I*3]
+        atoms = bank_flat[qd_all]                      # [B, I*3, Tmax, F]
         d = jnp.sum(jnp.square(atoms) * win2[:, None], axis=(2, 3))
         return a + 1, acc.at[:, a, :].set(d)
 
     _, dots = jax.lax.while_loop(
         lambda s: s[0] < n_used, slot,
         (jnp.zeros((), jnp.int32),
-         jnp.zeros((notes.onset.shape[0], cap, n_i), jnp.float32)))
+         jnp.zeros((notes.onset.shape[0], cap, n_i * 3), jnp.float32)))
     return quantize_decisions(dots)
+
+
+def _rescan(out: _Carry, spec0_padded: jnp.ndarray, cfg: Config,
+            tmpl: TemplateArrays, body) -> _Carry:
+    """OMP debias-then-resweep (LoopConfig.rescan_iterations).
+
+    The greedy pass clamps the residual after EVERY subtraction, so a
+    note extracted early absorbs overlapping neighbors' energy and the
+    accumulated clamping shadows notes that should still be found.
+    Debias: (1) jointly refit the accepted gains on device — power-
+    domain coordinate descent over the squared-atom Gram, the f32
+    mirror of core.notes.refit_gains_power_host (the emission refit
+    itself stays on the host in f64); (2) rebuild the residual from the
+    pristine spectrogram minus ALL refit atoms, clamped ONCE; (3) run
+    up to rescan_iterations more iterations of the same loop body over
+    the rebuilt residual, seeded with the existing notes (shadow
+    suppression and capacity continue to apply).  Mirrored op-for-op in
+    golden/pipeline.py; the refit gains are decision-quantized before
+    the rebuild so both paths subtract identically-bucketed values.
+    """
+    loop = cfg.loop
+    tmax = cfg.synth.template_frames
+    n_q, n_d = tmpl.norms.shape
+    n_p = cfg.synth.n_pitches
+    notes = out.notes
+    b, cap = notes.onset.shape
+    bank_flat = tmpl.bank.reshape(n_q * n_d, tmax, -1)
+    n_used = jnp.max(notes.count)
+    slot_live = (jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
+                 < notes.count[:, None])                      # [B, cap]
+    qd = ((notes.program * n_p + notes.pitch) * n_d
+          + notes.d_idx)                                      # [B, cap]
+    qd = jnp.where(slot_live, qd, 0)
+
+    # (1a) incumbent power dots <spec0^2, W_a^2> per used slot.
+    spec0_sq = jnp.square(spec0_padded)
+
+    def pow_dot_slot(a, acc):
+        win2 = jax.vmap(lambda r, t: residual_section(r, t, tmax))(
+            spec0_sq, notes.onset[:, a])                      # [B,Tmax,F]
+        atoms = bank_flat[qd[:, a]]                           # [B,Tmax,F]
+        d = jnp.sum(jnp.square(atoms) * win2, axis=(1, 2))
+        return acc.at[:, a].set(d)
+
+    d0 = jax.lax.fori_loop(0, n_used, pow_dot_slot,
+                           jnp.zeros((b, cap), jnp.float32))
+
+    # (1b) pairwise squared-atom overlaps via the power Gram.
+    dt = notes.onset[:, None, :] - notes.onset[:, :, None]    # [B,C,C]
+    k_idx = jnp.clip(dt + (tmax - 1), 0, 2 * tmax - 2)
+    g_mat = tmpl.gram_pow[k_idx, qd[:, :, None], qd[:, None, :]]
+    pair_live = slot_live[:, :, None] & slot_live[:, None, :]
+    g_mat = jnp.where((jnp.abs(dt) < tmax) & pair_live, g_mat, 0.0)
+    g_aa = jnp.maximum(tmpl.gram_pow[tmax - 1, qd, qd], 1e-12)
+
+    # (1c) Gauss-Seidel sweeps on the squared gains (slot order — the
+    # same cyclic order as the host refit).
+    h0 = jnp.where(slot_live, jnp.square(notes.gain), 0.0)
+
+    def note_step(a, h):
+        s_a = (jnp.sum(g_mat[:, a, :] * h, axis=-1)
+               - g_mat[:, a, a] * h[:, a])
+        g_new = jnp.maximum(0.0, (d0[:, a] - s_a) / g_aa[:, a])
+        return h.at[:, a].set(jnp.where(slot_live[:, a], g_new, h[:, a]))
+
+    h = jax.lax.fori_loop(
+        0, loop.refit_sweeps,
+        lambda _, hh: jax.lax.fori_loop(0, n_used, note_step, hh), h0)
+    g_refit = quantize_decisions(jnp.sqrt(h))                 # [B, cap]
+
+    # (2) one-shot rebuild: pristine spec minus ALL refit atoms
+    # (unclamped accumulation), clamped once at the end.
+    def sub_slot(a, acc):
+        w = bank_flat[qd[:, a]]                               # [B,Tmax,F]
+
+        def lane(acc_b, t, w_b, g):
+            win = jax.lax.dynamic_slice(
+                acc_b, (t, 0), (tmax, acc_b.shape[1]))
+            return jax.lax.dynamic_update_slice(
+                acc_b, win - g * w_b, (t, 0))
+
+        g_eff = jnp.where(slot_live[:, a], g_refit[:, a], 0.0)
+        return jax.vmap(lane)(acc, notes.onset[:, a], w, g_eff)
+
+    res2 = jnp.maximum(
+        jax.lax.fori_loop(0, n_used, sub_slot, spec0_padded), 0.0)
+
+    # (3) resweep: same body, existing notes seeded, poison respected.
+    lim2 = out.it + loop.rescan_iterations
+    carry2 = _Carry(res2, notes, notes.poison, out.e0, out.it)
+    return jax.lax.while_loop(
+        lambda c: (c.it < lim2) & jnp.any(~c.done), body, carry2)
 
 
 def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
@@ -795,22 +933,39 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             continue
         gains_b = np.asarray(notes.gain[b])
         progs_b = np.asarray(notes.program[b])
+        didx_b = np.asarray(notes.d_idx[b])
+        dur_b = np.asarray(notes.dur[b])
+        refine_mask = None
         if refit:
-            gains_b, progs_b = refit_gains_programs_host(
+            gains_b, progs_b, didx_b, changed = refit_gains_variants_host(
                 np.asarray(notes.onset[b]), np.asarray(notes.pitch[b]),
                 np.asarray(notes.d_idx[b]), progs_b,
                 np.asarray(notes.dot0[b]), gains_b,
                 int(notes.count[b]), gram, n_p, n_d,
-                cfg.loop.refit_sweeps)
+                cfg.loop.refit_sweeps,
+                duration_grid=cfg.synth.duration_grid)
+            if changed.any():
+                # Re-selected durations: emit the corrected grid frames;
+                # the sd-based refiner is skipped for those notes (their
+                # sd was recorded under the mis-ranking).
+                grid_frames = duration_grid_frames(cfg.synth, cfg.dsp)
+                n_ch = len(changed)
+                dur_b = dur_b.copy()
+                dur_b[:n_ch] = np.where(changed,
+                                        grid_frames[didx_b[:n_ch]],
+                                        dur_b[:n_ch])
+                refine_mask = np.ones(len(dur_b), dtype=bool)
+                refine_mask[:n_ch] = ~changed
         out.append(note_arrays_to_sequence(
-            np.asarray(notes.onset[b]), np.asarray(notes.dur[b]),
+            np.asarray(notes.onset[b]), dur_b,
             np.asarray(notes.pitch[b]), gains_b,
             progs_b, int(notes.count[b]),
             hop=cfg.dsp.hop, sample_rate=cfg.dsp.sample_rate,
             pitch_min=cfg.synth.pitch_min,
-            d_idx=np.asarray(notes.d_idx[b]) if refine else None,
+            d_idx=didx_b if refine else None,
             sd=np.asarray(notes.sd[b]) if refine else None,
             refiner=refiner,
             refine_programs=(np.asarray(notes.program[b])
-                             if refine else None)))
+                             if refine else None),
+            refine_mask=refine_mask))
     return out

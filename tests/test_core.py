@@ -219,3 +219,74 @@ def test_duration_refiner_recovers_offgrid(tiny_config):
     # Degenerate inputs refuse to refine rather than guess.
     assert ref(0, 0, 0, np.zeros(len(grid), np.float32)) is None
     assert ref(0, 0, 0, np.full(len(grid), np.nan, np.float32)) is None
+
+
+def test_duration_reselection_in_joint_refit():
+    """refit_gains_variants_host stage 2 (round-3): an over-long
+    duration choice whose energy the joint fit attributes to a
+    neighboring note is corrected by one grid step; on a sparse grid
+    (step ratio > 1.6) re-selection is gated off."""
+    import numpy as np
+
+    from amt_saga_tpu.core.notes import refit_gains_variants_host
+
+    # Two atoms: qd 0 = "short", qd 1 = "long" (same pitch, durations
+    # 0: 0.5s, 1: 0.75s), plus a neighbor note at another pitch whose
+    # atom overlaps the long variant's tail.  Gram built by hand.
+    n_p, n_d, tmax = 2, 2, 4
+    nqd = n_p * n_d
+    gram = np.zeros((2 * tmax - 1, nqd, nqd), np.float32)
+    for qd in range(nqd):
+        gram[tmax - 1, qd, qd] = 1.0
+    # long variant of pitch 0 (qd=1) overlaps pitch 1's atom (qd=2)
+    # when the neighbor starts 2 frames later.
+    gram[tmax - 1 + 2, 1, 2] = 0.6
+    gram[tmax - 1 - 2, 2, 1] = 0.6
+
+    onset = np.array([0, 2], np.int32)
+    pitches = np.array([0, 1], np.int32)
+    d_idx = np.array([1, 0], np.int32)     # note 0 chose LONG (wrongly)
+    programs = np.zeros(2, np.int32)
+    gains = np.array([1.0, 1.0], np.float32)
+    # Power dots vs the pristine spec: note 0's SHORT variant fits 1.0;
+    # its LONG variant "sees" extra energy that belongs to note 1.
+    # dot0 layout [cap, I*3] = objectives at (d-1, d, d+1).
+    dot0 = np.array([
+        [1.0, 1.3, 1.3],   # note 0 variants d=0(short),1(long),1(clip)
+        [0.0, 1.6, 1.6],   # note 1 variants d=0 (clipped at low edge)
+    ], np.float32)
+    g, p, d, changed = refit_gains_variants_host(
+        onset, pitches, d_idx, programs, dot0, gains, 2, gram,
+        n_p, n_d, sweeps=4, duration_grid=(0.5, 0.75))
+    assert d[0] == 0 and changed[0]        # corrected long -> short
+    assert d[1] == 0 and not changed[1]
+    # Sparse grid: the same correction is gated off (ratio 2 > 1.6).
+    g2, p2, d2, ch2 = refit_gains_variants_host(
+        onset, pitches, d_idx, programs, dot0, gains, 2, gram,
+        n_p, n_d, sweeps=4, duration_grid=(0.5, 1.0))
+    assert d2[0] == 1 and not ch2.any()
+
+
+def test_harmonic_phantom_gate_golden(tiny_config):
+    """A weak simultaneous note one octave above a strong note is
+    suppressed by loop.harmonic_shadow_frac; an independent-onset octave
+    note survives."""
+    import dataclasses
+
+    import numpy as np
+
+    from amt_saga_tpu.core.notes import NoteSequence
+    from amt_saga_tpu.golden.pipeline import transcribe_golden
+    from amt_saga_tpu.runtime.fixtures import render_notes
+
+    cfg = dataclasses.replace(
+        tiny_config, loop=dataclasses.replace(
+            tiny_config.loop, harmonic_shadow_frac=0.3))
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref = NoteSequence()
+    ref.add(10 * spf, 0.5, 60, 100, 0)
+    ref.add(60 * spf, 0.5, 72, 90, 0)  # octave, INDEPENDENT onset
+    wave = render_notes(ref, cfg, int(4.0 * cfg.dsp.sample_rate))
+    seq = transcribe_golden(wave, cfg).sequence
+    pitches = sorted(n.pitch for n in seq)
+    assert 60 in pitches and 72 in pitches  # real octave note survives
