@@ -162,6 +162,19 @@ class LoopConfig:
     harmonic_shadow_frac: float = 0.3
     harmonic_intervals: Tuple[int, ...] = (12, 19, 24)
     harmonic_shadow_radius: int = 3
+    # Instrument context vote (multi-instrument): a note whose top-2
+    # instrument objectives are near-tied in the joint refit (see
+    # core.notes.INSTRUMENT_AMBIGUITY — e.g. high pitches whose 1-2
+    # in-band harmonics carry no rolloff information) takes the
+    # majority instrument of the UNambiguous notes within this window.
+    # DEFAULT OFF: it presumes voice continuity (instruments play
+    # register-separated contiguous phrases); on the pinned fixtures,
+    # whose voices have no register structure, it biases ambiguous
+    # notes toward the most active instrument (measured config-5
+    # instrument-F1 0.859 -> 0.812).  The real fix for the ambiguity is
+    # SPECTRAL: extend dsp.n_bins so high notes keep >= 2 in-band
+    # harmonics (0.859 -> 0.919 at n_bins=288; see docs).
+    instrument_context_seconds: float = 0.0
     # OMP-style debias-then-resweep (second pass).  After the main
     # greedy pass converges: jointly refit the gains ON DEVICE (power-
     # domain coordinate descent, the f32 mirror of refit_gains_power_
@@ -245,6 +258,16 @@ class RunConfig:
     model_parallel: int = 1
     use_pallas: bool = False  # swap Pallas kernels in for the jnp paths
     classifier: str = "heuristic"  # "heuristic" | "cnn"
+    # Emitted-velocity source (CNN mode only; "gain" elsewhere):
+    #   gain  - the joint-refit template gain through gain_to_velocity
+    #           (exact on clean content; the default).
+    #   head  - the classifier's velocity-regression head at the note's
+    #           (onset, pitch) cell.
+    #   blend - gain, except notes overlapping another note in time
+    #           (within one template extent) average the two estimates:
+    #           overlap is where the gain is ambiguous (shared energy)
+    #           and where the head's spectral-shape evidence helps.
+    velocity_source: str = "gain"  # "gain" | "head" | "blend"
     # Template bank source: "analytic" = damped-harmonic renders
     # (synth/templates.py); "neural" = the SING-style decoder's generated
     # bank (models/synth_decoder.py, trained with `train-synth`, loaded

@@ -120,6 +120,7 @@ def note_arrays_to_sequence(
     refiner=None,
     refine_programs: Sequence[int] | None = None,
     refine_mask: Sequence[bool] | None = None,
+    velocity_override: Sequence[int] | None = None,
 ) -> NoteSequence:
     """Convert device-side note arrays to a host NoteSequence.
 
@@ -161,6 +162,10 @@ def note_arrays_to_sequence(
                 # frame boundary before they can move the emitted tick.
                 dur = float(max(1, round(r / spf))) * spf
         vel = gain_to_velocity(float(gains[i]))
+        if velocity_override is not None and int(velocity_override[i]) > 0:
+            # CNN velocity head / blend (RunConfig.velocity_source);
+            # 0 = no override for this note.
+            vel = int(velocity_override[i])
         seq.add(onset, dur, int(pitches[i]) + pitch_min, vel,
                 int(programs[i]))
     return seq
@@ -354,6 +359,12 @@ def refit_gains_programs_host(
 # sub-1% either way).
 DURATION_RESELECT_MAX_STEP = 1.6
 
+# Stage-3 instrument context vote: a note is timbre-AMBIGUOUS when its
+# runner-up instrument's joint-fit objective reaches this fraction of
+# the winner's (near-identical atoms — e.g. high pitches with one or
+# two harmonics under fmax carry no rolloff information).
+INSTRUMENT_AMBIGUITY = 0.98
+
 
 def refit_gains_variants_host(
     onset_frames: Sequence[int],
@@ -368,6 +379,7 @@ def refit_gains_variants_host(
     n_durations: int,
     sweeps: int = 4,
     duration_grid: Sequence[float] | None = None,
+    context_frames: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Joint power-domain refit with instrument AND duration re-selection.
 
@@ -470,6 +482,54 @@ def refit_gains_variants_host(
                          1e-12)
         allowed = ratio <= DURATION_RESELECT_MAX_STEP
     descend(qd_var2, d_var2, i_var2, d0_2, allowed=allowed)
+
+    if context_frames > 0 and n_i > 1:
+        # Stage 3: context vote for AMBIGUOUS instruments.  At high
+        # pitches few harmonics sit below fmax and the instrument
+        # variants' atoms are near-identical — the per-note objective
+        # carries no timbre information and the choice is noise.  A
+        # note whose runner-up instrument objective is within
+        # INSTRUMENT_AMBIGUITY of the winner's is reassigned to the
+        # majority instrument of the UNambiguous notes within
+        # ``context_frames`` (instruments play contiguous phrases);
+        # ties keep the joint-fit choice.  Deterministic f64, shared by
+        # both paths: parity preserved.
+        obj_i = np.zeros((n, n_i), dtype=np.float64)
+        for a in range(n):
+            qd_a = (np.arange(n_i, dtype=np.int64) * n_pitches + p[a]) \
+                * n_durations + dsel[a]
+            qb = (prog * n_pitches + p) * n_durations + dsel
+            rows = gram_pow[k[a][None, :], qd_a[:, None],
+                            qb[None, :]].astype(np.float64)
+            rows = np.where(in_band[a][None, :], rows, 0.0)
+            gaa = np.maximum(gram_pow[tmax - 1, qd_a, qd_a].astype(
+                np.float64), 1e-12)
+            s = rows @ h - rows[:, a] * h[a]
+            # dsel is within one step of d_orig by construction.
+            d0_i = d0_all[a][np.arange(n_i) * 3
+                             + int(dsel[a] - d_orig[a]) + 1]
+            g = np.maximum(0.0, (d0_i - s) / gaa)
+            obj_i[a] = g * g * gaa
+        top = np.max(obj_i, axis=1)
+        second = np.partition(obj_i, -2, axis=1)[:, -2] if n_i > 1 else 0
+        ambiguous = (top > 0) & (
+            _quantize_decisions_f32(np.float64(second))
+            >= _quantize_decisions_f32(INSTRUMENT_AMBIGUITY * top))
+        for a in range(n):
+            if not ambiguous[a]:
+                continue
+            votes = np.zeros(n_i, dtype=np.int64)
+            for b2 in range(n):
+                if b2 == a or ambiguous[b2]:
+                    continue
+                if abs(int(t[a]) - int(t[b2])) <= context_frames:
+                    votes[prog[b2]] += 1
+            if votes.max() > 0:
+                best = int(np.argmax(votes))          # first-max
+                if votes[best] > votes[prog[a]] or (
+                        votes[best] == votes[prog[a]]
+                        and best == prog[a]):
+                    prog[a] = best
 
     out_g[:n] = np.sqrt(np.maximum(h, 0.0))
     out_p[:n] = prog

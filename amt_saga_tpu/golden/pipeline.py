@@ -376,7 +376,10 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
             refit_gains_variants_host(
                 onset_f, pitch_i, d_idx, programs, dot0, gains, count,
                 gram_pow, n_p, n_d, loop.refit_sweeps,
-                duration_grid=synth.duration_grid)
+                duration_grid=synth.duration_grid,
+                context_frames=round(
+                    loop.instrument_context_seconds
+                    * dsp.sample_rate / dsp.hop))
         if changed.any():
             # Re-selected durations emit the corrected grid frames and
             # skip the sd refiner (mirror of notes_batch_to_sequences).

@@ -144,10 +144,24 @@ def make_cnn_score_fn(cfg: Config, params: Any):
                               precision=matmul_precision(cfg))
         return mf * gate
 
+    def velocity_fn(spec: jnp.ndarray, onset: jnp.ndarray,
+                    q: jnp.ndarray) -> jnp.ndarray:
+        """Velocity-head predictions for accepted notes: [B, cap] in
+        [0, 1].  ``spec`` is the UNPADDED [B, T, n_bins] spectrogram;
+        runs ONCE per batch after the loop (RunConfig.velocity_source
+        'head'/'blend' consume it at emission)."""
+        out = model.apply({"params": params}, spec)
+        vel = out["velocity"]                          # [B, T, Q]
+        t_c = jnp.clip(onset, 0, vel.shape[1] - 1)
+        return jnp.take_along_axis(
+            jnp.take_along_axis(vel, t_c[:, :, None], axis=1),
+            q[:, :, None], axis=2)[..., 0]
+
     # transcribe_spectrograms hoists the loop-invariant band matrix out of
     # the while_loop and passes it in (same treatment as the heuristic —
     # rebuilding it per iteration was the round-1 profile's largest item).
     score_fn.needs_band = True
+    score_fn.velocity_fn = velocity_fn
     return score_fn
 
 

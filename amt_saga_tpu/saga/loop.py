@@ -51,6 +51,7 @@ import numpy as np
 from ..config import Config
 from ..core.notes import (
     NoteSequence,
+    gain_to_velocity,
     note_arrays_to_sequence,
     refit_gains_variants_host,
 )
@@ -159,6 +160,10 @@ class NotesBatch(NamedTuple):
     #                       instrument/duration re-selection
     #                       (LoopConfig.refit_gains; see core.notes
     #                       .refit_gains_variants_host); zeros when off
+    # Velocity-head predictions at each note's (onset, q) cell, in
+    # [0, 1] — recorded once post-loop in CNN mode for the emission-side
+    # velocity blend (RunConfig.velocity_source); zeros otherwise.
+    vel_pred: jnp.ndarray  # [B, cap] float32
     count: jnp.ndarray    # [B] int32
     residual_energy: jnp.ndarray  # [B] float32
     # Sanitizer state (SURVEY.md §5): a lane whose residual energy or
@@ -506,6 +511,7 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
         sd=jnp.zeros((b, cap, len(cfg.synth.duration_grid)), jnp.float32),
         dot0=jnp.zeros((b, cap, cfg.synth.n_instruments * 3),
                        jnp.float32),
+        vel_pred=jnp.zeros((b, cap), jnp.float32),
         count=jnp.zeros((b,), jnp.int32),
         residual_energy=e0,
         poison=jnp.zeros((b,), bool),
@@ -692,7 +698,16 @@ def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,
                             ) -> NotesBatch:
     """[B, T, F] linear log-freq spectrograms -> NotesBatch (jittable)."""
     out = _run_loop(spec, cfg, tmpl, score_fn, None)
-    return out.notes._replace(iterations=out.it)
+    notes = out.notes
+    vfn = getattr(score_fn, "velocity_fn", None)
+    if vfn is not None and cfg.run.velocity_source != "gain":
+        # CNN mode: record the velocity head at each accepted note's
+        # (onset, q) cell — one model pass over the ORIGINAL spectrogram
+        # post-loop (RunConfig.velocity_source consumes it at emission).
+        q = notes.program * cfg.synth.n_pitches + notes.pitch
+        notes = notes._replace(vel_pred=vfn(
+            spec[:, :, :cfg.dsp.n_bins], notes.onset, q))
+    return notes._replace(iterations=out.it)
 
 
 def transcribe_partial(spec: jnp.ndarray, cfg: Config,
@@ -943,7 +958,10 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                 np.asarray(notes.dot0[b]), gains_b,
                 int(notes.count[b]), gram, n_p, n_d,
                 cfg.loop.refit_sweeps,
-                duration_grid=cfg.synth.duration_grid)
+                duration_grid=cfg.synth.duration_grid,
+                context_frames=round(
+                    cfg.loop.instrument_context_seconds
+                    * cfg.dsp.sample_rate / cfg.dsp.hop))
             if changed.any():
                 # Re-selected durations: emit the corrected grid frames;
                 # the sd-based refiner is skipped for those notes (their
@@ -956,6 +974,31 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                                         dur_b[:n_ch])
                 refine_mask = np.ones(len(dur_b), dtype=bool)
                 refine_mask[:n_ch] = ~changed
+        vel_override = None
+        if cfg.run.velocity_source != "gain":
+            vp = np.asarray(notes.vel_pred[b], dtype=np.float64)
+            if np.any(vp > 0):
+                # Velocity head consumed at emission (round-2 verdict
+                # #6): "head" replaces the gain-derived velocity;
+                # "blend" averages the two ONLY for notes overlapping
+                # another note in time (shared energy makes the gain
+                # ambiguous; isolated notes keep the exact gain).
+                n_cnt = int(notes.count[b])
+                onset_b = np.asarray(notes.onset[b][:n_cnt])
+                v_head = np.clip(np.round(vp * 127.0), 1, 127)
+                v_gain = np.array([gain_to_velocity(float(g))
+                                   for g in gains_b])
+                tmax_f = cfg.synth.template_frames
+                vel_override = np.zeros(len(gains_b), dtype=np.int64)
+                for a in range(n_cnt):
+                    overlap = np.any(
+                        np.abs(onset_b - onset_b[a])[np.arange(n_cnt)
+                                                     != a] <= tmax_f)
+                    if cfg.run.velocity_source == "head":
+                        vel_override[a] = v_head[a]
+                    elif overlap:  # "blend"
+                        vel_override[a] = int(np.clip(round(
+                            0.5 * (v_gain[a] + v_head[a])), 1, 127))
         out.append(note_arrays_to_sequence(
             np.asarray(notes.onset[b]), dur_b,
             np.asarray(notes.pitch[b]), gains_b,
@@ -967,5 +1010,6 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             refiner=refiner,
             refine_programs=(np.asarray(notes.program[b])
                              if refine else None),
-            refine_mask=refine_mask))
+            refine_mask=refine_mask,
+            velocity_override=vel_override))
     return out

@@ -75,7 +75,8 @@ def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
 
 
 def bench_tpu(batch: int, seconds: float, repeats: int,
-              use_pallas: bool = True, stack: int = 8) -> dict:
+              use_pallas: bool = True, stack: int = 8,
+              classifier: str = "heuristic") -> dict:
     import jax
 
     from amt_saga_tpu import default_config
@@ -85,7 +86,8 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
     # fastest mode; decision-identical MIDI vs the golden oracle on clean
     # fixtures (K1 deviates ~1e-4 relative from rfft — the exact-parity
     # contract holds for the rfft path; see ops/spectrogram_pallas.py).
-    cfg = default_config().override(**{"run.use_pallas": use_pallas})
+    cfg = default_config().override(**{"run.use_pallas": use_pallas,
+                                       "run.classifier": classifier})
     waves = _make_waves(cfg, batch, seconds)
     if stack > 1:
         # Stacked dispatch: M sub-batches run sequentially on device in
@@ -110,7 +112,15 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
     aot_dir = (None if os.environ.get("AMT_NO_BENCH_AOT") else
                os.path.join(os.path.expanduser("~"), ".cache",
                             "amt_saga_tpu", "aot_bench"))
-    tr = Transcriber(cfg, aot_dir=aot_dir)
+    if classifier == "cnn":
+        # CNN mode loads the shipped checkpoint through the CLI's
+        # factory (same path a user takes).
+        from amt_saga_tpu.cli import _make_transcriber
+
+        tr = _make_transcriber(
+            cfg.override(**{"run.aot_cache": aot_dir or ""}))
+    else:
+        tr = Transcriber(cfg, aot_dir=aot_dir)
     dev_waves = jax.device_put(waves)
 
     # Warmup must FETCH the result: on the axon backend
@@ -163,6 +173,7 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
         "detail": {
             "batch": batch,
             "stack": stack,
+            "classifier": classifier,
             "clip_seconds": seconds,
             "pipelined_wall_s": round(pipe_wall, 4),
             "sequential_wall_s": round(seq_wall, 4),
@@ -211,6 +222,10 @@ def main() -> None:
                         "docs/PERFORMANCE.md)")
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--classifier", default="heuristic",
+                   choices=["heuristic", "cnn"],
+                   help="score function: matched-filter heuristic or the "
+                        "trained CNN gate (shipped checkpoint)")
     p.add_argument("--stack", type=int, default=8,
                    help="sub-batches per dispatch (lax.map stacked "
                         "execution; 1 = one batch per dispatch)")
@@ -223,7 +238,8 @@ def main() -> None:
         rec = bench_golden(args.seconds, max(2, args.batch // 8))
     else:
         rec = bench_tpu(args.batch, args.seconds, args.repeats,
-                        use_pallas=not args.no_pallas, stack=args.stack)
+                        use_pallas=not args.no_pallas, stack=args.stack,
+                        classifier=args.classifier)
 
     detail = rec.pop("detail", None)
     if detail:

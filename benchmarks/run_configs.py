@@ -96,9 +96,18 @@ def main() -> None:
                     "ref_notes": r.n_ref})
 
     # Config 5: multi-instrument with per-instrument templates.
+    # dsp.n_bins=294 extends the log-frequency span to the nyquist
+    # (~7.9 kHz vs the default 3.5 kHz): instrument timbre here is the
+    # harmonic ROLLOFF, and a high note whose 2nd harmonic falls above
+    # the filterbank has exactly one in-band partial — zero rolloff
+    # information, attribution at chance.  Keeping >= 2 in-band
+    # harmonics across the pitch range lifted instrument-criterion F1
+    # 0.859 -> 0.923 (round 3); this is the recommended multi-
+    # instrument configuration.
     cfg5 = default_config().override(**{
         "synth.n_instruments": 3,
         "synth.instrument_rolloffs": [0.5, 1.25, 2.5],
+        "dsp.n_bins": 294,
     })
     tr5 = Transcriber(cfg5)
     pairs5 = []
