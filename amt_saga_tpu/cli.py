@@ -68,49 +68,62 @@ def _load_neural_tmpl(cfg: Config):
     return neural_template_arrays(cfg, trained)
 
 
+def _load_cnn_params(cfg: Config):
+    """Resolve + load the newest classifier checkpoint: AMT_CHECKPOINT,
+    then train.checkpoint_dir, then the checkpoint shipped with the repo
+    (trained on synthetic fixtures + loop states, default config)."""
+    ckpt = os.environ.get("AMT_CHECKPOINT") or os.path.join(
+        cfg.train.checkpoint_dir)
+    from .models.train import load_checkpoint
+
+    def _steps_under(d):
+        # Numeric sort: lexicographic ranks step_999 above step_3000.
+        return sorted(
+            glob.glob(os.path.join(d, "step_*")),
+            key=lambda p: int(os.path.basename(p).rsplit("_", 1)[1]))
+
+    steps = _steps_under(ckpt)
+    if not steps:
+        shipped = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "checkpoints", "default")
+        steps = _steps_under(shipped)
+    if not steps:
+        raise SystemExit(
+            f"run.classifier={cfg.run.classifier} but no checkpoint "
+            f"under {ckpt!r} (train first, or set AMT_CHECKPOINT)")
+    params = load_checkpoint(cfg, steps[-1])
+    log.info("using CNN classifier from %s", steps[-1])
+    return params
+
+
 def _make_transcriber(cfg: Config, multi_device: bool = False):
     """Build the Transcriber; with ``multi_device`` (the corpus runner,
     whose batches are always exactly run.batch_size) shard over ALL
     visible chips via an auto mesh consuming run.model_parallel."""
     from .saga.loop import Transcriber
 
-    if cfg.run.classifier not in ("heuristic", "cnn"):
+    if cfg.run.classifier not in ("heuristic", "cnn", "cnn_dense"):
         raise SystemExit(
             f"unknown run.classifier {cfg.run.classifier!r} "
-            "(expected 'heuristic' or 'cnn')")
+            "(expected 'heuristic', 'cnn' or 'cnn_dense')")
     if cfg.run.synth not in ("analytic", "neural"):
         raise SystemExit(
             f"unknown run.synth {cfg.run.synth!r} "
             "(expected 'analytic' or 'neural')")
+    if cfg.run.classifier == "cnn_dense":
+        # Standalone dense CNN: bank-free — no templates, no SAGA loop
+        # (models/dense_decoder.py).  The fallback when the synthesizer
+        # cannot be trusted to match the instrument.
+        from .models.dense_decoder import DenseTranscriber
+
+        return DenseTranscriber(cfg, _load_cnn_params(cfg))
     tmpl = _load_neural_tmpl(cfg) if cfg.run.synth == "neural" else None
     score_fn = None
     if cfg.run.classifier == "cnn":
-        ckpt = os.environ.get("AMT_CHECKPOINT") or os.path.join(
-            cfg.train.checkpoint_dir)
         from .models.classifier import make_cnn_score_fn
-        from .models.train import load_checkpoint
 
-        def _steps_under(d):
-            # Numeric sort: lexicographic ranks step_999 above step_3000.
-            return sorted(
-                glob.glob(os.path.join(d, "step_*")),
-                key=lambda p: int(os.path.basename(p).rsplit("_", 1)[1]))
-
-        steps = _steps_under(ckpt)
-        if not steps:
-            # Fall back to the checkpoint shipped with the repo (trained
-            # on synthetic fixtures + loop states, default config).
-            shipped = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "checkpoints", "default")
-            steps = _steps_under(shipped)
-        if not steps:
-            raise SystemExit(
-                f"run.classifier=cnn but no checkpoint under {ckpt!r} "
-                "(train first, or set AMT_CHECKPOINT)")
-        params = load_checkpoint(cfg, steps[-1])
-        log.info("using CNN classifier from %s", steps[-1])
-        score_fn = make_cnn_score_fn(cfg, params)
+        score_fn = make_cnn_score_fn(cfg, _load_cnn_params(cfg))
     kw = {}
     if tmpl is not None:
         kw["tmpl"] = tmpl
@@ -384,6 +397,7 @@ def cmd_train(args) -> int:
     train(cfg, steps=args.steps, kind=args.kind, corpus_dir=args.corpus,
           corpus_format=args.corpus_format, corpus_split=args.split,
           noise=args.noise, loop_state_p=args.loop_states,
+          cache_batches=args.cache_batches,
           metrics=MetricsWriter(args.metrics))
     return 0
 
@@ -648,8 +662,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("train", help="train the CNN classifier")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--kind", default="mus",
-                   choices=["isol", "mus", "long", "multi"],
-                   help="synthetic fixture kind (ignored with --corpus)")
+                   choices=["isol", "mus", "long", "multi", "mix"],
+                   help="synthetic fixture kind (ignored with --corpus; "
+                        "mix = 3:1 mus/isol)")
     p.add_argument("--corpus",
                    help="train on an on-disk corpus tree "
                         "instead of synthetic fixtures")
@@ -664,6 +679,11 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="loop_states", metavar="P",
                    help="fraction of batches drawn from the loop's own "
                         "mid-transcription residual states")
+    p.add_argument("--cache-batches", type=int, default=0,
+                   dest="cache_batches", metavar="N",
+                   help="epoch-cached pool: pre-generate N distinct "
+                        "batches and cycle them reshuffled (host "
+                        "generation is the bottleneck on 1 core)")
     p.add_argument("--metrics", help="metrics JSONL path (default stderr)")
     _add_common(p)
     p.set_defaults(fn=cmd_train)

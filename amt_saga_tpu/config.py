@@ -223,6 +223,12 @@ class ModelConfig:
     # 0.03 scores 0.9408 vs the heuristic's 0.8915; floor 0.25 trades 1.4
     # clean points for +0.3 under noise, floor 0.5 halves the noise edge.
     gate_floor: float = 0.4
+    # Standalone dense decode (run.classifier="cnn_dense",
+    # models/dense_decoder.py — the bank-free fallback): emission
+    # threshold on P(onset)*P(presence) and the temporal NMS radius in
+    # frames (labels carry soft ±1-frame neighbors, so radius >= 1).
+    dense_threshold: float = 0.5
+    dense_peak_radius: int = 2
     dtype: str = "float32"  # compute dtype for the conv tower
 
 
@@ -235,6 +241,11 @@ class TrainConfig:
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 100
+    # Positive-class weight of the onset/presence BCE.  64 suits the
+    # GATE use (recall-heavy scores that multiply the matched filter);
+    # the standalone dense decoder wants calibrated peaks — 8 measured
+    # +9pt dense F1 at matched thresholds (docs/PERFORMANCE.md round 3).
+    pos_weight: float = 64.0
 
 
 @dataclass(frozen=True)

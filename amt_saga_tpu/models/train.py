@@ -30,7 +30,6 @@ from .classifier import build_classifier, init_params
 
 log = get_logger(__name__)
 
-POS_WEIGHT = 64.0  # onsets are ~1/(T*Q) sparse; upweight positives
 
 
 class TrainState(NamedTuple):
@@ -57,11 +56,12 @@ def loss_fn(params: Any, batch: dict[str, jnp.ndarray], cfg: Config,
     out = model.apply({"params": params}, batch["spec"], train=True,
                       rngs={"dropout": rng})
 
-    # Onset/pitch BCE with positive weighting.
+    # Onset/pitch BCE with positive weighting (TrainConfig.pos_weight).
+    pw = cfg.train.pos_weight
     logits = out["onset_pitch"]
     labels = batch["onset_pitch"]
     bce = optax.sigmoid_binary_cross_entropy(logits, labels)
-    w = 1.0 + (POS_WEIGHT - 1.0) * labels
+    w = 1.0 + (pw - 1.0) * labels
     l_onset = jnp.sum(bce * w) / jnp.sum(w)
 
     # Duration CE at labeled frames.
@@ -75,7 +75,7 @@ def loss_fn(params: Any, batch: dict[str, jnp.ndarray], cfg: Config,
     # Presence BCE.
     pres = batch["presence"]
     bce_p = optax.sigmoid_binary_cross_entropy(out["presence"], pres)
-    w_p = 1.0 + (POS_WEIGHT - 1.0) * pres
+    w_p = 1.0 + (pw - 1.0) * pres
     l_pres = jnp.sum(bce_p * w_p) / jnp.sum(w_p)
 
     # Velocity regression (MSE at hard onset cells only — the soft
@@ -113,7 +113,7 @@ def _batch_dict(eb: ExampleBatch) -> dict[str, np.ndarray]:
 
 def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
                    seed: int = 0, noise: float = 0.0, prefetch: int = 0,
-                   loop_state_p: float = 0.0
+                   loop_state_p: float = 0.0, cache_batches: int = 0
                    ) -> Iterator[dict[str, jnp.ndarray]]:
     """Training batches; with ``prefetch`` > 0, host-side generation
     overlaps device compute via a background thread (the host has one
@@ -128,6 +128,17 @@ def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
     uniformly from [0, noise], so one run covers the clean regime (the
     learned gate must not suppress real peaks there) through the noisy
     one (where suppression is the whole point).
+
+    ``kind="mix"`` alternates mus/isol batches (3:1) — the standalone
+    dense decoder must fire on sparse monophonic content too, which a
+    pure 3-voice diet under-represents.
+
+    ``cache_batches``: epoch-cached pool — generate this many distinct
+    batches, then CYCLE them with a fresh shuffle per epoch.  At ~3 s of
+    single-core host generation per batch, an uncached 6000-step run
+    would be generation-bound for hours; a 300-batch pool (4800 distinct
+    clips) converges the same on this synthetic domain at 1/20 the wall
+    clock.  0 = generate every batch fresh (round-2 behavior).
     """
     sampler = None
     if loop_state_p > 0.0:
@@ -138,17 +149,27 @@ def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
     def gen():
         i = seed
         rng = np.random.default_rng(seed + 17)
+        pool: list[dict[str, np.ndarray]] = []
         while True:
+            if cache_batches > 0 and len(pool) >= cache_batches:
+                for j in rng.permutation(len(pool)):
+                    yield pool[j]
+                continue
             noise_i = float(rng.uniform(0.0, noise)) if noise > 0 else 0.0
+            kind_i = kind if kind != "mix" else (
+                "isol" if i % 4 == 3 else "mus")
             if sampler is not None and rng.random() < loop_state_p:
                 eb = sampler.batch(
                     batch_size=cfg.train.batch_size, seconds=seconds,
-                    seed=i, kind=kind, noise=noise_i)
+                    seed=i, kind=kind_i, noise=noise_i)
             else:
                 eb = make_example_batch(
                     cfg, batch_size=cfg.train.batch_size, seconds=seconds,
-                    seed=i, kind=kind, noise=noise_i)
-            yield _batch_dict(eb)
+                    seed=i, kind=kind_i, noise=noise_i)
+            d = _batch_dict(eb)
+            if cache_batches > 0:
+                pool.append(d)
+            yield d
             i += 1
 
     if prefetch > 0:
@@ -225,6 +246,7 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
           kind: str = "mus", noise: float = 0.0,
           corpus_dir: str | None = None, corpus_format: str = "paired",
           corpus_split: str | None = None, loop_state_p: float = 0.0,
+          cache_batches: int = 0,
           metrics: MetricsWriter | None = None,
           checkpoint: bool = True) -> TrainState:
     """Run the training loop; returns final state.
@@ -262,7 +284,8 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
     else:
         it = batch_iterator(cfg, seconds=seconds, kind=kind,
                             seed=cfg.train.seed, noise=noise, prefetch=2,
-                            loop_state_p=loop_state_p)
+                            loop_state_p=loop_state_p,
+                            cache_batches=cache_batches)
     mw = metrics or MetricsWriter()
     every = max(1, cfg.train.checkpoint_every)
     for i in range(steps):
