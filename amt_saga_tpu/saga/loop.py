@@ -41,7 +41,7 @@ Structure of one loop iteration (all lanes in lockstep, done lanes no-op):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -270,6 +270,61 @@ def heuristic_scores(res: jnp.ndarray, tmpl: TemplateArrays,
 ScoreFn = Callable[[jnp.ndarray, TemplateArrays, int], jnp.ndarray]
 
 
+@lru_cache(maxsize=8)
+def _duration_groups(cfg: Config) -> tuple:
+    """Contiguous duration-grid groups ((d_lo, d_hi, ext), ...) for the
+    candidate-dots matmul.
+
+    A 0.125 s atom occupies ~13 of the default 80 template frames; the
+    tail is EXACT zeros (synth.templates.bank_frame_extents), so dotting
+    it against the full window wastes >80% of that column's MXU work.
+    Grouping durations by extent and running one matmul per group against
+    the window truncated to the group's extent drops ~40% of the padded
+    FLOPs at the default grid — bit-identical dots, since dropped terms
+    are exact zeros (adding 0.0 never changes an f32 partial sum).
+
+    The partition minimizes sum(ext_g * pad128(n_q * group_size)) over
+    all contiguous partitions into <= 3 groups (the 128-lane pad makes
+    many small groups counterproductive).  Only the analytic bank has
+    certified extents — the neural bank's learned atoms have no exact
+    zeros, so ``run.synth != "analytic"`` gets one full-extent group.
+    """
+    from ..synth.templates import bank_frame_extents
+
+    n_d = len(cfg.synth.duration_grid)
+    tmax = cfg.synth.template_frames
+    if cfg.run.synth != "analytic":
+        return ((0, n_d, tmax),)
+    exts = bank_frame_extents(cfg.synth, cfg.dsp)
+    n_q = cfg.synth.n_instruments * cfg.synth.n_pitches
+
+    def cost(parts):
+        return sum(max(exts[lo:hi]) *
+                   (-(-(n_q * (hi - lo)) // 128) * 128)
+                   for lo, hi in parts)
+
+    best = [(0, n_d)]
+    for i in range(1, n_d):
+        two = [(0, i), (i, n_d)]
+        if cost(two) < cost(best):
+            best = two
+        for j in range(i + 1, n_d):
+            three = [(0, i), (i, j), (j, n_d)]
+            if cost(three) < cost(best):
+                best = three
+    return tuple((lo, hi, min(max(exts[lo:hi]), tmax)) for lo, hi in best)
+
+
+def _group_bank_mats(cfg: Config, tmpl: TemplateArrays) -> tuple:
+    """Per-group flattened bank matrices [n_q*(d_hi-d_lo), ext*F] —
+    precomputed OUTSIDE the while_loop (see _run_loop) so the slices are
+    materialized once, not re-sliced every iteration."""
+    n_q = tmpl.norms.shape[0]
+    return tuple(
+        tmpl.bank[:, lo:hi, :ext, :].reshape(n_q * (hi - lo), -1)
+        for lo, hi, ext in _duration_groups(cfg))
+
+
 def _append_row(row: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray,
                 acc: jnp.ndarray) -> jnp.ndarray:
     """Masked append at position idx of a [cap] row."""
@@ -285,7 +340,8 @@ def _append_vec(rows: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray,
 
 
 def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
-               n_frames: int, score_fn: ScoreFn) -> _Carry:
+               n_frames: int, score_fn: ScoreFn,
+               bank_mats: tuple | None = None) -> _Carry:
     loop = cfg.loop
     tmax = cfg.synth.template_frames
     n_q, n_d = tmpl.norms.shape
@@ -341,7 +397,6 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     # explicit virtual residual.
     n_p = cfg.synth.n_pitches
     cap = notes.onset.shape[1]
-    bank_mat = tmpl.bank.reshape(n_q * n_d, -1)               # [QD, M]
     nrm_flat = jnp.maximum(tmpl.norms.reshape(n_q * n_d), 1e-12)
     thr = quantize_decisions(loop.min_score_rel * e_cur)      # [B]
 
@@ -353,9 +408,22 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
 
     windows = jax.vmap(lane_windows)(
         res, t_cand.reshape(b, n_k * n_o))       # [B, K*O, Tmax, F]
+    # Duration-grouped dots (see _duration_groups): one matmul per
+    # extent group against the window truncated to that group's frames —
+    # the dropped template tails are exact zeros, so each dot is
+    # bit-identical to the full-window product.
+    groups = _duration_groups(cfg)
+    mats = (_group_bank_mats(cfg, tmpl) if bank_mats is None
+            else bank_mats)
     with jax.named_scope("saga_candidate_scoring"):
-        dots0 = jnp.dot(windows.reshape(b * n_k * n_o, -1), bank_mat.T,
-                        precision=hi, preferred_element_type=jnp.float32)
+        parts = []
+        for (lo, hi_d, ext), mat in zip(groups, mats):
+            w = windows[:, :, :ext, :].reshape(b * n_k * n_o, -1)
+            p = jnp.dot(w, mat.T, precision=hi,
+                        preferred_element_type=jnp.float32)
+            parts.append(p.reshape(b, n_k, n_o, n_q, hi_d - lo))
+        dots0 = jnp.concatenate(parts, axis=-1) if len(parts) > 1 \
+            else parts[0]
     dots0 = dots0.reshape(b, n_k, n_o, n_q * n_d)             # [B,K,O,QD]
 
     # Sanitizer (SURVEY.md §5): a non-finite residual energy or candidate
@@ -535,7 +603,8 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
 
     lim = cap if max_iters is None else jnp.minimum(cap, max_iters)
     body = partial(_loop_body, cfg=cfg, tmpl=tmpl, n_frames=n_frames,
-                   score_fn=score_fn)
+                   score_fn=score_fn,
+                   bank_mats=_group_bank_mats(cfg, tmpl))
     out = jax.lax.while_loop(
         lambda c: (c.it < lim) & jnp.any(~c.done), body, carry0)
     if cfg.loop.rescan_iterations > 0 and max_iters is None:

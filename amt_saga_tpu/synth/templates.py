@@ -125,6 +125,26 @@ def template_bank(synth: SynthConfig, dsp: DSPConfig) -> np.ndarray:
 
 
 @lru_cache(maxsize=4)
+def bank_frame_extents(synth: SynthConfig, dsp: DSPConfig) -> tuple:
+    """Per-duration template extent: the number of leading frames of
+    the [Tmax, F] patch that contain every nonzero value, over all
+    (instrument, pitch) atoms of that duration.
+
+    ``note_waveform`` truncates a note at ``dur + 4*release_seconds``
+    samples, so a 0.125 s atom occupies ~13 of the default 80 frames and
+    the rest are EXACT zeros — the candidate-dots matmul can skip them
+    (see saga.loop._duration_groups); exact zeros contribute exact zeros
+    to an f32 accumulation, so truncated dots are bit-identical.
+    """
+    bank = template_bank(synth, dsp)
+    exts = []
+    for d in range(bank.shape[2]):
+        nz = np.nonzero(np.abs(bank[:, :, d]).sum(axis=(0, 1, 3)))[0]
+        exts.append(int(nz[-1]) + 1 if len(nz) else 1)
+    return tuple(exts)
+
+
+@lru_cache(maxsize=4)
 def template_sq_norms(synth: SynthConfig, dsp: DSPConfig) -> np.ndarray:
     """[I, P, D] squared L2 norms of each template patch."""
     bank = template_bank(synth, dsp)

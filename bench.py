@@ -53,10 +53,16 @@ def _loop_flops(cfg, batch: int, n_samples: int, iterations: int) -> float:
     q = synth.n_instruments * synth.n_pitches
     n_d = len(synth.duration_grid)
     qd = q * n_d
-    m = synth.template_frames * f
     k, o = max(1, loop.n_extract), len(loop.onset_offsets)
     coarse = 2.0 * batch * tp * f * q + 2.0 * t * tp * batch * q
-    dots = 2.0 * batch * k * o * m * qd
+    # Duration-grouped candidate dots (saga.loop._duration_groups):
+    # each group dots the window truncated to its extent — the skipped
+    # template tails are exact zeros, i.e. NOT useful work, so the MFU
+    # numerator counts only the grouped products.
+    from amt_saga_tpu.saga.loop import _duration_groups
+
+    dots = sum(2.0 * batch * k * o * (ext * f) * (q * (hi - lo))
+               for lo, hi, ext in _duration_groups(cfg))
     spec = 2.0 * batch * t * dsp.n_fft * (dsp.n_fft // 2 + 1) * 2 \
         + 2.0 * batch * t * (dsp.n_fft // 2 + 1) * dsp.n_bins
     return iterations * (coarse + dots) + spec

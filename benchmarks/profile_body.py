@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from amt_saga_tpu import default_config
-from amt_saga_tpu.core.notes import NotesBatch
 from amt_saga_tpu.saga import loop as L
+from amt_saga_tpu.saga.loop import NotesBatch
 
 
 def build_waves(cfg, batch: int, seconds: float) -> jnp.ndarray:
@@ -102,10 +102,14 @@ def run(cfg, waves, chain: int, repeats: int = 5) -> dict:
 
 def main():
     batch, seconds, chain = 64, 10.0, 24
-    base = default_config()
+    # Mirror the bench configuration: the production fast path runs the
+    # Pallas kernels (bench.py sets run.use_pallas=True; the repo-wide
+    # default stays False for maximum-compatibility CPU/golden runs).
+    base = default_config().override(**{"run.use_pallas": True})
     waves = build_waves(base, batch, seconds)
     variants = [
         ("default", base),
+        ("dots_full", base),
         ("gates_off", base.override(**{"loop.shadow_gain_frac": 0.0,
                                        "loop.harmonic_shadow_frac": 0.0})),
         ("offsets_1", base.override(**{"loop.onset_offsets": (0,)})),
@@ -115,7 +119,15 @@ def main():
     ]
     out = {}
     zero = {}
+    real_groups = L._duration_groups
     for name, cfg in variants:
+        # A/B the duration-grouped dots matmul: "dots_full" restores the
+        # single full-extent matmul (what _duration_groups returns for
+        # the neural bank).
+        L._duration_groups = (
+            (lambda c: ((0, len(c.synth.duration_grid),
+                         c.synth.template_frames),))
+            if name == "dots_full" else real_groups)
         pallas = cfg.run.use_pallas
         if pallas not in zero:
             zero[pallas] = run(cfg, waves, 0)
