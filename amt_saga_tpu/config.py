@@ -227,7 +227,11 @@ class ModelConfig:
     # models/dense_decoder.py — the bank-free fallback): emission
     # threshold on P(onset)*P(presence) and the temporal NMS radius in
     # frames (labels carry soft ±1-frame neighbors, so radius >= 1).
-    dense_threshold: float = 0.5
+    # 0.9 is the measured optimum for the shipped pos_weight=64
+    # checkpoint (benchmarks/eval_dense.py sweep: mean fixture F1 0.62
+    # vs 0.33 at 0.5) — recall-weighted training pushes onset
+    # probabilities high, so the calibrated cut sits near the top.
+    dense_threshold: float = 0.9
     dense_peak_radius: int = 2
     dtype: str = "float32"  # compute dtype for the conv tower
 
@@ -241,10 +245,12 @@ class TrainConfig:
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 100
-    # Positive-class weight of the onset/presence BCE.  64 suits the
-    # GATE use (recall-heavy scores that multiply the matched filter);
-    # the standalone dense decoder wants calibrated peaks — 8 measured
-    # +9pt dense F1 at matched thresholds (docs/PERFORMANCE.md round 3).
+    # Positive-class weight of the onset/presence BCE.  Onsets are
+    # ~1/(T*Q) sparse; 64 wins for BOTH the gate use and the standalone
+    # dense decode — a full pos_weight=8 run measured 24 pts WORSE mean
+    # dense F1 at its own best threshold (0.38 vs 0.62; the low weight
+    # starves recall faster than it buys precision), despite looking
+    # better early in training (benchmarks/eval_dense.py sweeps).
     pos_weight: float = 64.0
 
 

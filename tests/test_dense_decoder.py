@@ -95,9 +95,12 @@ def test_dense_transcriber_learns_fixture(tiny_config):
     cfg = tiny_config.override(**{"train.batch_size": 4,
                                   "train.learning_rate": 1e-3,
                                   "train.steps": 300,
-                                  # dense recipe (docs/PERFORMANCE.md):
-                                  # calibrated peaks need a LOW positive
-                                  # weight + a high emission threshold
+                                  # SHORT-run recipe only: at 300 steps a
+                                  # low positive weight converges faster.
+                                  # At full scale pos_weight=64 wins by
+                                  # 24 pts mean F1 (eval_dense sweeps,
+                                  # docs/PERFORMANCE.md round 3) and is
+                                  # the production default.
                                   "train.pos_weight": 8.0,
                                   "model.dense_threshold": 0.8})
     state = train(cfg, steps=300, kind="isol", seconds=3.0,
