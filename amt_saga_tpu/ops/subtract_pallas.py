@@ -62,6 +62,90 @@ def _kernel(t_ref, res_hbm, w_ref, g_ref, out_hbm, removed_ref,
     dma_out.wait()
 
 
+def _kernel_multi(t_ref, res_hbm, w_ref, g_ref, out_hbm,
+                  window, wbuf, sem_in, sem_out,
+                  *, tmax: int, wlen: int, n_k: int):
+    """K sequential clamped window subtractions per lane, one launch.
+
+    Bit-identical to n_k chained ``subtract_pallas`` calls: each k's
+    span is DMA'd AFTER the previous k's write-back completes, so
+    overlapping windows within a lane see the clamped intermediate
+    exactly as the chained kernels would.  All spans are read from the
+    ALIASED output ref: on TPU it is literally the input buffer, and in
+    interpret mode (CPU tests) the aliased output starts as a copy of
+    the input — reading the input ref there would see stale rows for
+    overlapping windows.
+    """
+    del res_hbm  # aliased with out_hbm; all access goes through out
+    b = pl.program_id(0)
+    for k in range(n_k):
+        t0 = t_ref[b, k]
+        t0a = (t0 // ALIGN) * ALIGN
+        off = t0 - t0a
+
+        dma_in = pltpu.make_async_copy(
+            out_hbm.at[b, pl.ds(t0a, wlen), :], window, sem_in)
+        dma_in.start()
+
+        wbuf[:] = jnp.zeros_like(wbuf)
+        for j in range(ALIGN):
+            @pl.when(off == j)
+            def _(j=j, k=k):
+                wbuf[j:j + tmax, :] = w_ref[0, k]
+
+        dma_in.wait()
+        window[:] = jnp.maximum(window[:] - g_ref[b, k] * wbuf[:], 0.0)
+
+        dma_out = pltpu.make_async_copy(
+            window, out_hbm.at[b, pl.ds(t0a, wlen), :], sem_out)
+        dma_out.start()
+        dma_out.wait()
+
+
+def subtract_multi_pallas(res: jnp.ndarray, w: jnp.ndarray,
+                          g: jnp.ndarray, t0: jnp.ndarray) -> jnp.ndarray:
+    """In-place clamped subtraction of K windows per lane, in k order.
+
+    res: [B, Tp, F] (donated; >= 8 rows of slack); w: [B, K, Tmax, F];
+    g: [B, K] gains (0 = masked no-op); t0: [B, K] onset frames.
+    Returns the new residual.  Replaces K chained ``subtract_pallas``
+    launches with ONE kernel — the deferred-subtract loop restructure
+    (see saga.loop._loop_body) moves the subtractions off the
+    selection-critical chain, and this kernel collapses their launch +
+    bank-gather overhead.
+    """
+    b, tp, f = res.shape
+    n_k, tmax = w.shape[1], w.shape[2]
+    wlen = tmax + ALIGN
+    if tp < wlen:
+        raise ValueError(f"residual too short: {tp} < {wlen}")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # res
+            pl.BlockSpec((1, n_k, tmax, f), lambda bb, *_: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),           # w
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # g
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),         # res out
+        scratch_shapes=[
+            pltpu.VMEM((wlen, f), jnp.float32),
+            pltpu.VMEM((wlen, f), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_kernel_multi, tmax=tmax, wlen=wlen, n_k=n_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(res.shape, res.dtype),
+        input_output_aliases={1: 0},  # res (after scalar prefetch) -> out
+        interpret=jax.default_backend() == "cpu",
+    )(t0.astype(jnp.int32), res, w, g.astype(jnp.float32))
+
+
 def subtract_pallas(res: jnp.ndarray, w: jnp.ndarray, g: jnp.ndarray,
                     t0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched in-place clamped subtraction.

@@ -325,20 +325,6 @@ def _group_bank_mats(cfg: Config, tmpl: TemplateArrays) -> tuple:
         for lo, hi, ext in _duration_groups(cfg))
 
 
-def _append_row(row: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray,
-                acc: jnp.ndarray) -> jnp.ndarray:
-    """Masked append at position idx of a [cap] row."""
-    cur = row[idx]
-    return row.at[idx].set(jnp.where(acc, val.astype(row.dtype), cur))
-
-
-def _append_vec(rows: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray,
-                acc: jnp.ndarray) -> jnp.ndarray:
-    """Masked append of a [k] vector at position idx of [cap, k] rows."""
-    cur = rows[idx]
-    return rows.at[idx].set(jnp.where(acc, val.astype(rows.dtype), cur))
-
-
 def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
                n_frames: int, score_fn: ScoreFn,
                bank_mats: tuple | None = None) -> _Carry:
@@ -435,123 +421,186 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     poison = notes.poison | (~lane_finite & ~carry.done)
     active = active & lane_finite
 
-    def extract_i(i, state):
-        res_i, notes_i, dots_i, any_acc = state
-        dots = dots_i[:, i]                                   # [B, O, QD]
-        g_all = jnp.maximum(dots / nrm_flat[None, None, :], 0.0)
-        s_all = (2.0 * g_all * dots
-                 - jnp.square(g_all) * nrm_flat[None, None, :])
-        # -> [B, Q*D*O] in golden's C-order (q, d, o)
-        g_flat = jnp.transpose(
-            g_all.reshape(b, n_o, n_q, n_d), (0, 2, 3, 1)).reshape(b, -1)
-        s_flat = quantize_decisions(jnp.transpose(
-            s_all.reshape(b, n_o, n_q, n_d), (0, 2, 3, 1))).reshape(b, -1)
+    # Deferred-subtract selection (round-3 restructure): within one
+    # iteration the residual is never READ after the coarse/windows
+    # stage — greedy selection rides the Gram-updated dots — so the K
+    # subtractions and the K note-appends move OFF the selection-
+    # critical chain.  The chain below keeps only what feeds the next
+    # argmax (gates + Gram update); winners are held in registers and
+    # appended/subtracted in ONE batched tail.  Bit-identical to the
+    # per-step form: same arithmetic in the same order, gates compare
+    # the same sets (pre-iteration notes + accepted pending winners),
+    # the tail subtracts in k order with per-window clamp.  The profile
+    # motivating this: ~0.38 ms of op-launch latency per chained
+    # extract step (benchmarks/profile_body.py, round 3).
+    count0 = notes.count
+    slot = jnp.arange(cap)[None, :]
+    prev = slot < count0[:, None]                             # [B, C]
+    q_notes = notes.program * n_p + notes.pitch               # [B, C]
 
-        best = jnp.argmax(s_flat, axis=1)                     # [B]
-        g_best = jnp.take_along_axis(g_flat, best[:, None], 1)[:, 0]
-        s_best = jnp.take_along_axis(s_flat, best[:, None], 1)[:, 0]
-        q_best = best // (n_d * n_o)
-        d_best = (best // n_o) % n_d
-        o_best = best % n_o
-        t_best = jnp.take_along_axis(t_cand[:, i], o_best[:, None],
-                                     1)[:, 0]
+    dots_i = dots0
+    acc_cum = jnp.zeros((b,), jnp.int32)
+    any_acc = jnp.zeros((b,), bool)
+    sat = notes.saturated
+    win_t, win_q, win_d, win_g, win_acc, win_sd = [], [], [], [], [], []
 
-        want = (active & valid[:, i]
-                & (quantize_decisions(g_best) >= loop.min_gain)
-                & (s_best >= thr))
+    with jax.named_scope("saga_select"):
+        for i in range(n_k):
+            dots = dots_i[:, i]                               # [B, O, QD]
+            g_all = jnp.maximum(dots / nrm_flat[None, None, :], 0.0)
+            s_all = (2.0 * g_all * dots
+                     - jnp.square(g_all) * nrm_flat[None, None, :])
+            # -> [B, Q*D*O] in golden's C-order (q, d, o)
+            g_flat = jnp.transpose(
+                g_all.reshape(b, n_o, n_q, n_d),
+                (0, 2, 3, 1)).reshape(b, -1)
+            s_flat = quantize_decisions(jnp.transpose(
+                s_all.reshape(b, n_o, n_q, n_d),
+                (0, 2, 3, 1))).reshape(b, -1)
 
-        if loop.shadow_gain_frac > 0:
-            # Shadow suppression (see LoopConfig) against ALL notes
-            # extracted so far, including earlier peaks this iteration.
-            slot = jnp.arange(cap)[None, :]
-            prev = slot < notes_i.count[:, None]              # [B, C]
-            q_j = (notes_i.program * n_p + notes_i.pitch)
-            same_q = q_best[:, None] == q_j                   # [B, C]
-            near = jnp.abs(t_best[:, None] - notes_i.onset) <= tmax
-            weak = (quantize_decisions(g_best)[:, None]
-                    < quantize_decisions(
-                        loop.shadow_gain_frac * notes_i.gain))
-            want = want & ~jnp.any(prev & same_q & near & weak, axis=1)
+            best = jnp.argmax(s_flat, axis=1)                 # [B]
+            g_best = jnp.take_along_axis(g_flat, best[:, None], 1)[:, 0]
+            s_best = jnp.take_along_axis(s_flat, best[:, None], 1)[:, 0]
+            q_best = best // (n_d * n_o)
+            d_best = (best // n_o) % n_d
+            o_best = best % n_o
+            t_best = jnp.take_along_axis(t_cand[:, i], o_best[:, None],
+                                         1)[:, 0]
 
-        if loop.harmonic_shadow_frac > 0:
-            # Harmonic-phantom suppression (see LoopConfig): candidate
-            # pitch on a low harmonic of a concurrent same-instrument
-            # stronger note, with gain below the fraction -> mismatch
-            # energy, not a note.  Order pinned: after shadow, before
-            # capacity (golden mirrors).
-            slot = jnp.arange(cap)[None, :]
-            prev = slot < notes_i.count[:, None]
-            same_prog = notes_i.program == (q_best // n_p)[:, None]
-            ivl = (q_best % n_p)[:, None] - notes_i.pitch      # [B, C]
-            harm = jnp.zeros_like(same_prog)
-            for iv in loop.harmonic_intervals:
-                harm = harm | (ivl == iv)
-            near = (jnp.abs(t_best[:, None] - notes_i.onset)
-                    <= loop.harmonic_shadow_radius)
-            hweak = (quantize_decisions(g_best)[:, None]
-                     < quantize_decisions(
-                         loop.harmonic_shadow_frac * notes_i.gain))
-            want = want & ~jnp.any(
-                prev & same_prog & harm & near & hweak, axis=1)
+            gq = quantize_decisions(g_best)
+            want = (active & valid[:, i]
+                    & (gq >= loop.min_gain)
+                    & (s_best >= thr))
 
-        # Capacity gate LAST: a candidate that passes every quality gate
-        # but finds the note array full marks the lane saturated — the
-        # host warns instead of silently truncating.
-        under_cap = notes_i.count < cap
-        acc = want & under_cap
-        sat_new = notes_i.saturated | (want & ~under_cap)
+            if loop.shadow_gain_frac > 0:
+                # Shadow suppression (see LoopConfig) against ALL notes
+                # extracted so far: committed ones via the [B, C]
+                # arrays, this iteration's accepted winners via the
+                # pending registers.
+                near = jnp.abs(t_best[:, None] - notes.onset) <= tmax
+                weak = gq[:, None] < quantize_decisions(
+                    loop.shadow_gain_frac * notes.gain)
+                hit = jnp.any(prev & (q_best[:, None] == q_notes)
+                              & near & weak, axis=1)
+                for j in range(i):
+                    hit = hit | (win_acc[j] & (q_best == win_q[j])
+                                 & (jnp.abs(t_best - win_t[j]) <= tmax)
+                                 & (gq < quantize_decisions(
+                                     loop.shadow_gain_frac * win_g[j])))
+                want = want & ~hit
 
-        w = tmpl.bank[q_best, d_best]                         # [B, Tmax, F]
-        gain_eff = jnp.where(acc, g_best, 0.0)
-        if cfg.run.use_pallas:
-            from ..ops.subtract_pallas import subtract_pallas
+            if loop.harmonic_shadow_frac > 0:
+                # Harmonic-phantom suppression (see LoopConfig): pitch
+                # on a low harmonic of a concurrent same-instrument
+                # stronger note, gain below the fraction -> mismatch
+                # energy, not a note.  Order pinned: after shadow,
+                # before capacity (golden mirrors).
+                same_prog = notes.program == (q_best // n_p)[:, None]
+                ivl = (q_best % n_p)[:, None] - notes.pitch    # [B, C]
+                harm = jnp.zeros_like(same_prog)
+                for iv in loop.harmonic_intervals:
+                    harm = harm | (ivl == iv)
+                near = (jnp.abs(t_best[:, None] - notes.onset)
+                        <= loop.harmonic_shadow_radius)
+                hweak = gq[:, None] < quantize_decisions(
+                    loop.harmonic_shadow_frac * notes.gain)
+                hit = jnp.any(prev & same_prog & harm & near & hweak,
+                              axis=1)
+                for j in range(i):
+                    ivl_j = q_best % n_p - win_q[j] % n_p
+                    harm_j = jnp.zeros_like(hit)
+                    for iv in loop.harmonic_intervals:
+                        harm_j = harm_j | (ivl_j == iv)
+                    hit = hit | (win_acc[j]
+                                 & ((q_best // n_p) == (win_q[j] // n_p))
+                                 & harm_j
+                                 & (jnp.abs(t_best - win_t[j])
+                                    <= loop.harmonic_shadow_radius)
+                                 & (gq < quantize_decisions(
+                                     loop.harmonic_shadow_frac
+                                     * win_g[j])))
+                want = want & ~hit
 
-            res_i, _ = subtract_pallas(res_i, w, gain_eff, t_best)
-        else:
-            res_i = jax.vmap(residual_subtract)(res_i, w, gain_eff, t_best)
-        # Winner's quantized scores at ALL duration-grid indices (same
-        # pitch/onset candidate), recorded for the HOST-side continuous
-        # duration fit (f64 rank-1 cross-correlation estimator, shared
-        # with the golden path; see synth.templates.DurationRefiner).
-        dd = jax.lax.broadcasted_iota(jnp.int32, (b, n_d), 1)
-        j_all = q_best[:, None] * (n_d * n_o) + dd * n_o + o_best[:, None]
-        sd_val = jnp.take_along_axis(s_flat, j_all, axis=1)   # [B, D]
+            # Capacity gate LAST: a candidate that passes every quality
+            # gate but finds the note array full marks the lane
+            # saturated — the host warns instead of silently truncating.
+            under_cap = (count0 + acc_cum) < cap
+            acc = want & under_cap
+            sat = sat | (want & ~under_cap)
+            acc_cum = acc_cum + acc.astype(jnp.int32)
+            any_acc = any_acc | acc
 
-        idx = notes_i.count
-        app = jax.vmap(_append_row)
-        notes_i = notes_i._replace(
-            onset=app(notes_i.onset, idx, t_best, acc),
-            dur=app(notes_i.dur, idx, tmpl.durs[d_best], acc),
-            pitch=app(notes_i.pitch, idx, q_best % n_p, acc),
-            gain=app(notes_i.gain, idx, g_best, acc),
-            program=app(notes_i.program, idx, q_best // n_p, acc),
-            d_idx=app(notes_i.d_idx, idx, d_best, acc),
-            sd=jax.vmap(_append_vec)(notes_i.sd, idx, sd_val, acc),
-            count=notes_i.count + acc.astype(jnp.int32),
-            saturated=sat_new,
-        )
-        if n_k > 1:
-            # Gram update: keep every candidate dot exact w.r.t. the
-            # virtual residual after subtracting gain_eff * W_[q,d]_best
-            # at t_best.  Rows for processed peaks are updated too (they
-            # are never re-read) — no masking needed.
-            qd_best = q_best * n_d + d_best                   # [B]
-            dt = t_cand - t_best[:, None, None]               # [B, K, O]
-            k_idx = jnp.clip(dt + (tmax - 1), 0, 2 * tmax - 2)
-            gv = tmpl.gram[k_idx, qd_best[:, None, None], :]  # [B,K,O,QD]
-            upd = jnp.where((jnp.abs(dt) < tmax)[..., None], gv, 0.0)
-            dots_i = dots_i - gain_eff[:, None, None, None] * upd
-        return res_i, notes_i, dots_i, any_acc | acc
+            # Winner's quantized scores at ALL duration-grid indices
+            # (same pitch/onset candidate), recorded for the HOST-side
+            # continuous duration fit (f64 rank-1 cross-correlation
+            # estimator, shared with the golden path; see
+            # synth.templates.DurationRefiner).
+            dd = jax.lax.broadcasted_iota(jnp.int32, (b, n_d), 1)
+            j_all = (q_best[:, None] * (n_d * n_o) + dd * n_o
+                     + o_best[:, None])
+            sd_val = jnp.take_along_axis(s_flat, j_all, axis=1)
+
+            win_t.append(t_best)
+            win_q.append(q_best)
+            win_d.append(d_best)
+            win_g.append(g_best)
+            win_acc.append(acc)
+            win_sd.append(sd_val)
+
+            if i + 1 < n_k:
+                # Gram update: keep every candidate dot exact w.r.t.
+                # the virtual residual after subtracting
+                # gain_eff * W_[q,d]_best at t_best.  Skipped on the
+                # last step — the updated dots are never re-read.
+                gain_eff = jnp.where(acc, g_best, 0.0)
+                qd_best = q_best * n_d + d_best               # [B]
+                dt = t_cand - t_best[:, None, None]           # [B, K, O]
+                k_idx = jnp.clip(dt + (tmax - 1), 0, 2 * tmax - 2)
+                gv = tmpl.gram[k_idx, qd_best[:, None, None], :]
+                upd = jnp.where((jnp.abs(dt) < tmax)[..., None], gv, 0.0)
+                dots_i = dots_i - gain_eff[:, None, None, None] * upd
 
     with jax.named_scope("saga_subtract_append"):
-        # unroll: the K extractions are data-dependent (greedy), but
-        # unrolled straight-line code lets XLA overlap step i+1's
-        # gathers with step i's compute and fuse across the step
-        # boundary — the sequential fori dispatch was ~0.24 ms of the
-        # 0.92 ms iteration in the round-2 trace.
-        res_new, notes_new, _, any_acc = jax.lax.fori_loop(
-            0, n_k, extract_i,
-            (res, notes, dots0, jnp.zeros((b,), bool)), unroll=True)
+        t_st = jnp.stack(win_t, axis=1)                       # [B, K]
+        q_st = jnp.stack(win_q, axis=1)
+        d_st = jnp.stack(win_d, axis=1)
+        g_st = jnp.stack(win_g, axis=1)
+        acc_st = jnp.stack(win_acc, axis=1)
+        sd_st = jnp.stack(win_sd, axis=1)                     # [B, K, D]
+
+        acc_i32 = acc_st.astype(jnp.int32)
+        idx = count0[:, None] + jnp.cumsum(acc_i32, axis=1) - acc_i32
+        idx_eff = jnp.where(acc_st, idx, cap)   # OOB -> dropped update
+        barr = jnp.arange(b)[:, None]
+
+        def put(arr, val):
+            return arr.at[barr, idx_eff].set(val.astype(arr.dtype),
+                                             mode="drop")
+
+        notes_new = notes._replace(
+            onset=put(notes.onset, t_st),
+            dur=put(notes.dur, tmpl.durs[d_st]),
+            pitch=put(notes.pitch, q_st % n_p),
+            gain=put(notes.gain, g_st),
+            program=put(notes.program, q_st // n_p),
+            d_idx=put(notes.d_idx, d_st),
+            sd=notes.sd.at[barr, idx_eff].set(
+                sd_st.astype(notes.sd.dtype), mode="drop"),
+            count=count0 + acc_cum,
+            saturated=sat,
+        )
+
+        gain_eff_st = jnp.where(acc_st, g_st, 0.0)
+        w_st = tmpl.bank[q_st, d_st]                      # [B, K, Tmax, F]
+        if cfg.run.use_pallas:
+            from ..ops.subtract_pallas import subtract_multi_pallas
+
+            res_new = subtract_multi_pallas(res, w_st, gain_eff_st, t_st)
+        else:
+            res_new = res
+            for k in range(n_k):
+                res_new = jax.vmap(residual_subtract)(
+                    res_new, w_st[:, k], gain_eff_st[:, k], t_st[:, k])
     notes_new = notes_new._replace(
         residual_energy=residual_energy(res_new), poison=poison)
     return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,

@@ -71,6 +71,34 @@ def test_k2_matches_reference():
     np.testing.assert_array_equal(np.asarray(new)[1], np.asarray(res)[1])
 
 
+def test_k2_multi_matches_chained_singles():
+    """One multi-window launch must equal K chained single-window calls
+    bit-for-bit — including lanes whose windows OVERLAP (k order + per-
+    window clamp are the semantics the loop's golden mirror pins)."""
+    from amt_saga_tpu.ops.subtract_pallas import subtract_multi_pallas
+
+    rng = np.random.default_rng(2)
+    b, tp, f, tmax, k = 3, 48, 128, 8, 3
+    res = jnp.asarray(np.abs(rng.standard_normal((b, tp, f))
+                             ).astype(np.float32))
+    w = jnp.asarray(np.abs(rng.standard_normal((b, k, tmax, f))
+                           ).astype(np.float32))
+    g = jnp.asarray(np.array([[0.7, 1.1, 0.0],
+                              [0.0, 0.0, 0.0],
+                              [2.0, 0.5, 0.9]], np.float32))
+    # lane 0: overlapping windows (3, 5, 9); lane 2: disjoint-ish
+    t0 = jnp.asarray(np.array([[3, 5, 9], [0, 1, 2], [0, 17, 31]],
+                              np.int32))
+    multi = subtract_multi_pallas(res, w, g, t0)
+    chained = res
+    for kk in range(k):
+        chained, _ = subtract_pallas(chained, w[:, kk], g[:, kk],
+                                     t0[:, kk])
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(chained))
+    # all-masked lane untouched
+    np.testing.assert_array_equal(np.asarray(multi)[1], np.asarray(res)[1])
+
+
 def test_use_pallas_pipeline_end_to_end(tiny_config):
     cfg = tiny_config.override(**{"run.use_pallas": True})
     wave, ref = make_clip(cfg, kind="isol", seconds=4.0, n_notes=3, seed=0)
