@@ -154,12 +154,17 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
     seq_wall = statistics.median(seq_times)
 
     # Sustained throughput: launch depth dispatches back-to-back, fetch
-    # the last one's counts, divide.
+    # the last one's counts, divide.  MEDIAN of repeated measurements:
+    # a single depth-3 sample showed +-5% run-to-run spread on the axon
+    # backend, larger than the effects being measured.
     depth = max(2, 24 // max(1, stack))
-    t0 = time.time()
-    outs = [tr._fn(dev_waves) for _ in range(depth)]
-    jax.device_get(outs[-1].count)
-    pipe_wall = (time.time() - t0) / depth
+    pipe_walls = []
+    for _ in range(max(3, repeats)):
+        t0 = time.time()
+        outs = [tr._fn(dev_waves) for _ in range(depth)]
+        jax.device_get(outs[-1].count)
+        pipe_walls.append((time.time() - t0) / depth)
+    pipe_wall = statistics.median(pipe_walls)
 
     audio_sec = max(1, stack) * batch * seconds
     value = audio_sec / pipe_wall
