@@ -109,25 +109,45 @@ def _kernel(rows_hbm, cos_ref, sin_ref, fb_ref, out_ref,
     b = pl.program_id(0)
     t = pl.program_id(1)
     f = pl.program_id(2)
+    n_t = pl.num_programs(1)
 
-    # DMA the span of rows covering this frame block (rounded up to the
-    # 8-sublane tiling Mosaic requires for sliced copies).  Only on the
-    # FIRST frequency step: the f axis is the innermost (sequential)
+    # Double-buffered span DMA (rounded up to the 8-sublane tiling
+    # Mosaic requires for sliced copies).  Handled on the FIRST
+    # frequency step only — the f axis is the innermost (sequential)
     # grid dimension, so the scratch span persists across the remaining
-    # f steps of the same (b, t) block.
+    # f steps of the same (b, t) block.  The buffer parity follows the
+    # GLOBAL block index b*n_t + t (plain t%2 would break at every b
+    # transition with odd n_t): this block's span was started by the
+    # previous block (the very first block starts its own), and the
+    # next block's copy is started before this block's matmuls run,
+    # hiding the DMA setup latency behind the compute.
+    slot = jax.lax.rem(b * n_t + t, 2)
+
+    def _copy(bb, tt, sl):
+        return pltpu.make_async_copy(
+            rows_hbm.at[bb, pl.ds(tt * tb, span_rows), :],
+            span.at[sl], sem.at[sl])
+
+    @pl.when((f == 0) & (b == 0) & (t == 0))
+    def _():
+        _copy(b, t, slot).start()
+
     @pl.when(f == 0)
     def _():
-        dma = pltpu.make_async_copy(
-            rows_hbm.at[b, pl.ds(t * tb, span_rows), :], span, sem)
-        dma.start()
-        dma.wait()
+        _copy(b, t, slot).wait()
+        nb = jnp.where(t + 1 < n_t, b, b + 1)
+        nt = jnp.where(t + 1 < n_t, t + 1, 0)
+
+        @pl.when(nb < pl.num_programs(0))
+        def _():
+            _copy(nb, nt, 1 - slot).start()
 
     # Windowed DFT as R statically-shifted matmuls on the MXU.
     hi = jax.lax.Precision.HIGHEST
     acc_c = jnp.zeros((tb, cos_ref.shape[2]), jnp.float32)
     acc_s = jnp.zeros((tb, cos_ref.shape[2]), jnp.float32)
     for i in range(r):
-        rows = span[i:i + tb, :]
+        rows = span[slot, i:i + tb, :]
         acc_c += jnp.dot(rows, cos_ref[i], precision=hi,
                          preferred_element_type=jnp.float32)
         acc_s += jnp.dot(rows, sin_ref[i], precision=hi,
@@ -199,8 +219,8 @@ def spectrogram_pallas(waves: jnp.ndarray, cfg: DSPConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_grid, nb_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((span_rows, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, span_rows, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         # CPU backend (tests) runs the kernel in interpreter mode.
         interpret=jax.default_backend() == "cpu",

@@ -68,6 +68,20 @@ def _loop_flops(cfg, batch: int, n_samples: int, iterations: int) -> float:
     return iterations * (coarse + dots) + spec
 
 
+def _flux_density(wave: np.ndarray, sr: int) -> float:
+    """Onsets-per-second estimate: rectified energy-flux peak count on
+    ~32 ms windows — the in-memory mirror of
+    ``dsp.audio.estimate_onset_density`` (which reads straight off a
+    WAV), used to density-sort the stacked bench corpus exactly as the
+    corpus runner sorts a real one."""
+    hop = max(1, int(0.032 * sr))
+    n = (len(wave) // hop) * hop
+    e = np.square(wave[:n].reshape(-1, hop).astype(np.float64)).sum(axis=1)
+    flux = np.maximum(np.diff(e), 0.0)
+    thr = flux.mean() + flux.std()
+    return float((flux > thr).sum()) / (len(wave) / sr)
+
+
 def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
     from amt_saga_tpu.runtime.fixtures import make_clip
 
@@ -101,11 +115,17 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
         # The per-dispatch host/RPC cost — ~36 ms through the axon
         # tunnel, 3x the device time of one 64-clip batch — amortizes
         # over the stack, so the measurement reflects device throughput,
-        # not tunnel latency.  The same batch content is tiled M times
-        # (the pre-stack bench redispatched one batch depth times — the
-        # device work is identical).
-        waves = np.broadcast_to(
-            waves, (stack,) + waves.shape).copy()
+        # not tunnel latency.  Sub-batches hold DISTINCT clips ordered
+        # by the same signal-derived onset-density estimate the corpus
+        # runner sorts by (cli.py / dsp.audio.estimate_onset_density):
+        # the batched while_loop runs max-over-lanes iterations, so
+        # homogeneous sub-batches are how the framework actually runs a
+        # corpus — sparse sub-batches finish in fewer iterations instead
+        # of every sub-batch paying the densest clip's trip count.
+        waves = _make_waves(cfg, stack * batch, seconds)
+        dens = np.argsort([_flux_density(w, cfg.dsp.sample_rate)
+                           for w in waves], kind="stable")
+        waves = waves[dens].reshape(stack, batch, -1)
     # AOT executable cache: a later bench process (e.g. the BENCH
     # protocol's fresh run) reloads the compiled program instead of
     # paying the axon remote compile (107-900 s observed variance; a
