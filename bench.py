@@ -248,7 +248,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--golden", action="store_true",
                    help="measure the golden CPU denominator instead")
-    p.add_argument("--batch", type=int, default=64,
+    # 96 is the measured optimum with density-sorted stacks (854x vs
+    # 834x at 64, 523x at 128 pre-sorting — iterations grow with batch).
+    p.add_argument("--batch", type=int, default=96,
                    help="batch size (64 = measured per-chip optimum, "
                         "docs/PERFORMANCE.md)")
     p.add_argument("--seconds", type=float, default=10.0)
