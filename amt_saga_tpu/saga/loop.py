@@ -697,27 +697,45 @@ def _original_spec_dots(spec_padded: jnp.ndarray, notes: NotesBatch,
     n_used = jnp.max(notes.count)
 
     dd = jnp.asarray([-1, 0, 1], jnp.int32)
-    # NOTE (round 3): a 4-slots-per-step chunked variant measured ~5%
-    # SLOWER end-to-end — XLA fuses the single-slot gather directly into
-    # the multiply-reduce, while the chunked form materialized the
-    # [B, 4, I*3, Tmax, F] atoms tensor in HBM.  Kept single-slot.
+    # Squared inputs hoisted OUT of the loop: squaring inside the body
+    # applies to the gathered window/atoms, which XLA cannot hoist.
+    spec2 = jnp.square(spec_padded)                     # [B, Tp, F]
+    bank2 = jnp.square(bank_flat)                       # [QD, Tmax, F]
 
-    def slot(state):
-        a, acc = state
-        win2 = jnp.square(jax.vmap(
-            lambda r, t: residual_section(r, t, tmax))(
-                spec_padded, notes.onset[:, a]))         # [B, Tmax, F]
+    # CHUNK independent single-slot computations per while step: the
+    # slots have no data dependency on each other, so unrolling them
+    # inside one step lets XLA overlap their gathers — amortizing the
+    # ~0.1 ms/step of serialized dispatch this stage measured when it
+    # ran one slot per step (on dense sorted sub-batches, n_used ~40,
+    # this stage was ~25% of the whole wall).  A batched [B, chunk, ...]
+    # gather form measured ~5% SLOWER (it materialized the atoms tensor
+    # instead of fusing gather -> multiply-reduce) — replicating the
+    # fused single-slot program is the shape XLA compiles well.  Slots
+    # in the round-up tail compute garbage, which the contract permits
+    # (the host refit reads only the first ``count`` entries).
+    chunk = 8 if cap % 8 == 0 else 1
+
+    def one(a, acc):
+        win2 = jax.vmap(
+            lambda r2, t: residual_section(r2, t, tmax))(
+                spec2, notes.onset[:, a])                # [B, Tmax, F]
         d_var = jnp.clip(notes.d_idx[:, a, None] + dd[None, :],
                          0, n_d - 1)                     # [B, 3]
         qd_all = ((jnp.arange(n_i)[None, :, None] * n_p
                    + notes.pitch[:, a, None, None]) * n_d
                   + d_var[:, None, :]).reshape(-1, n_i * 3)  # [B, I*3]
-        atoms = bank_flat[qd_all]                      # [B, I*3, Tmax, F]
-        d = jnp.sum(jnp.square(atoms) * win2[:, None], axis=(2, 3))
-        return a + 1, acc.at[:, a, :].set(d)
+        atoms2 = bank2[qd_all]                         # [B, I*3, Tmax, F]
+        d = jnp.sum(atoms2 * win2[:, None], axis=(2, 3))
+        return acc.at[:, a, :].set(d)
+
+    def step(state):
+        a, acc = state
+        for j in range(chunk):
+            acc = one(a + j, acc)
+        return a + chunk, acc
 
     _, dots = jax.lax.while_loop(
-        lambda s: s[0] < n_used, slot,
+        lambda s: s[0] < n_used, step,
         (jnp.zeros((), jnp.int32),
          jnp.zeros((b, cap, n_i * 3), jnp.float32)))
     return quantize_decisions(dots)
