@@ -274,6 +274,13 @@ class RunConfig:
     model_axis: str = "model"
     model_parallel: int = 1
     use_pallas: bool = False  # swap Pallas kernels in for the jnp paths
+    # Fused selection-chain kernel (ops/select_pallas.py): runs the K
+    # greedy Gram-updated winner-selection steps of each loop iteration
+    # in ONE kernel launch instead of ~30 small XLA ops per step (the
+    # ~0.25 ms/step op-launch tail measured in benchmarks/
+    # profile_body.py).  Only consulted when use_pallas is on; decision-
+    # identical to the XLA chain (tests/test_select_pallas.py).
+    pallas_select: bool = False
     classifier: str = "heuristic"  # "heuristic" | "cnn"
     # Emitted-velocity source (CNN mode only; "gain" elsewhere):
     #   gain  - the joint-refit template gain through gain_to_velocity

@@ -346,6 +346,14 @@ def neural_template_arrays(cfg: Config, trained: dict,
         pad = 128 - f % 128
         flat = np.pad(flat, ((0, 0), (0, 0), (0, 0), (0, pad)))
         prof = np.pad(prof, ((0, 0), (0, pad)))
+    gram_t = None
+    if cfg.run.use_pallas and cfg.run.pallas_select:
+        from ..ops.select_pallas import gram_transpose
+
+        n_qd = n_i * n_p * n_d
+        gram_t = jnp.asarray(gram_transpose(
+            np.asarray(gram), cfg.synth.template_frames,
+            n_qd + (-n_qd) % 128))
 
     return TemplateArrays(
         bank=jnp.asarray(flat),
@@ -355,4 +363,5 @@ def neural_template_arrays(cfg: Config, trained: dict,
         durs=jnp.asarray(duration_grid_frames(cfg.synth, cfg.dsp)),
         gram=jnp.asarray(gram),
         gram_pow=jnp.asarray(gram_pow),
+        gram_t=gram_t,
     )

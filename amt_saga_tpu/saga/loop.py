@@ -102,6 +102,10 @@ class TemplateArrays(NamedTuple):
     # refit of the rescan pass (LoopConfig.rescan_iterations); a [1,1,1]
     # placeholder when the rescan is off.
     gram_pow: jnp.ndarray  # [2*Tmax-1, QD, QD] | [1, 1, 1]
+    # Winner-major transposed Gram for the fused selection kernel
+    # (ops/select_pallas.py): [QD, 2*Tmax, QDpad] with a zero sentinel
+    # row at dt index 2*Tmax-1.  None unless run.use_pallas.
+    gram_t: jnp.ndarray | None = None
 
 
 def load_template_arrays(cfg: Config) -> TemplateArrays:
@@ -127,6 +131,14 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
         pad = 128 - f % 128
         bank = np.pad(bank, ((0, 0), (0, 0), (0, 0), (0, pad)))
         prof = np.pad(prof, ((0, 0), (0, pad)))
+    gram_t = None
+    if cfg.run.use_pallas and cfg.run.pallas_select:
+        from ..ops.select_pallas import gram_transpose
+
+        n_qd = n_i * n_p * n_d
+        gram_t = jnp.asarray(gram_transpose(
+            np.asarray(gram), cfg.synth.template_frames,
+            n_qd + (-n_qd) % 128))
     return TemplateArrays(
         bank=jnp.asarray(bank),
         norms=jnp.asarray(
@@ -136,6 +148,7 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
         durs=jnp.asarray(duration_grid_frames(cfg.synth, cfg.dsp)),
         gram=jnp.asarray(gram),
         gram_pow=jnp.asarray(gram_pow),
+        gram_t=gram_t,
     )
 
 
@@ -383,7 +396,6 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     # explicit virtual residual.
     n_p = cfg.synth.n_pitches
     cap = notes.onset.shape[1]
-    nrm_flat = jnp.maximum(tmpl.norms.reshape(n_q * n_d), 1e-12)
     thr = quantize_decisions(loop.min_score_rel * e_cur)      # [B]
 
     t_cand = jnp.clip(t_sel[:, :, None] + offsets[None, None, :], 0,
@@ -425,7 +437,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     # iteration the residual is never READ after the coarse/windows
     # stage — greedy selection rides the Gram-updated dots — so the K
     # subtractions and the K note-appends move OFF the selection-
-    # critical chain.  The chain below keeps only what feeds the next
+    # critical chain.  The chain keeps only what feeds the next
     # argmax (gates + Gram update); winners are held in registers and
     # appended/subtracted in ONE batched tail.  Bit-identical to the
     # per-step form: same arithmetic in the same order, gates compare
@@ -433,6 +445,82 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     # the tail subtracts in k order with per-window clamp.  The profile
     # motivating this: ~0.38 ms of op-launch latency per chained
     # extract step (benchmarks/profile_body.py, round 3).
+    with jax.named_scope("saga_select"):
+        if cfg.run.use_pallas and cfg.run.pallas_select:
+            from ..ops.select_pallas import select_chain_pallas
+
+            (t_st, q_st, d_st, g_st, acc_st, sd_st, acc_cum, sat,
+             any_acc) = select_chain_pallas(
+                dots0, t_cand, valid, active, thr, notes, cfg, tmpl)
+        else:
+            (t_st, q_st, d_st, g_st, acc_st, sd_st, acc_cum, sat,
+             any_acc) = _select_chain_xla(
+                dots0, t_cand, valid, active, thr, notes, cfg, tmpl)
+    count0 = notes.count
+
+    with jax.named_scope("saga_subtract_append"):
+        acc_i32 = acc_st.astype(jnp.int32)
+        idx = count0[:, None] + jnp.cumsum(acc_i32, axis=1) - acc_i32
+        idx_eff = jnp.where(acc_st, idx, cap)   # OOB -> dropped update
+        barr = jnp.arange(b)[:, None]
+
+        def put(arr, val):
+            return arr.at[barr, idx_eff].set(val.astype(arr.dtype),
+                                             mode="drop")
+
+        notes_new = notes._replace(
+            onset=put(notes.onset, t_st),
+            dur=put(notes.dur, tmpl.durs[d_st]),
+            pitch=put(notes.pitch, q_st % n_p),
+            gain=put(notes.gain, g_st),
+            program=put(notes.program, q_st // n_p),
+            d_idx=put(notes.d_idx, d_st),
+            sd=notes.sd.at[barr, idx_eff].set(
+                sd_st.astype(notes.sd.dtype), mode="drop"),
+            count=count0 + acc_cum,
+            saturated=sat,
+        )
+
+        gain_eff_st = jnp.where(acc_st, g_st, 0.0)
+        w_st = tmpl.bank[q_st, d_st]                      # [B, K, Tmax, F]
+        if cfg.run.use_pallas:
+            from ..ops.subtract_pallas import subtract_multi_pallas
+
+            res_new = subtract_multi_pallas(res, w_st, gain_eff_st, t_st)
+        else:
+            res_new = res
+            for k in range(n_k):
+                res_new = jax.vmap(residual_subtract)(
+                    res_new, w_st[:, k], gain_eff_st[:, k], t_st[:, k])
+    notes_new = notes_new._replace(
+        residual_energy=residual_energy(res_new), poison=poison)
+    return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,
+                  carry.it + 1)
+
+
+def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
+                      valid: jnp.ndarray, active: jnp.ndarray,
+                      thr: jnp.ndarray, notes: NotesBatch, cfg: Config,
+                      tmpl: TemplateArrays) -> tuple:
+    """Greedy K-step winner selection over Gram-updated candidate dots.
+
+    Pure function of (dots0 [B,K,O,QD], t_cand [B,K,O], valid [B,K],
+    active [B], thr [B], pre-iteration notes).  Returns
+    ``(t_st, q_st, d_st, g_st [B,K], acc_st [B,K] bool, sd_st [B,K,D],
+    acc_cum [B] i32, sat [B] bool, any_acc [B] bool)``.  The Pallas
+    fast path (ops.select_pallas) must match this bit-for-bit — it is
+    the contract the kernel's parity tests pin against.
+    """
+    loop = cfg.loop
+    tmax = cfg.synth.template_frames
+    n_q, n_d = tmpl.norms.shape
+    n_o = len(loop.onset_offsets)
+    n_p = cfg.synth.n_pitches
+    b = dots0.shape[0]
+    n_k = max(1, loop.n_extract)
+    cap = notes.onset.shape[1]
+    nrm_flat = jnp.maximum(tmpl.norms.reshape(n_q * n_d), 1e-12)
+
     count0 = notes.count
     slot = jnp.arange(cap)[None, :]
     prev = slot < count0[:, None]                             # [B, C]
@@ -444,7 +532,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     sat = notes.saturated
     win_t, win_q, win_d, win_g, win_acc, win_sd = [], [], [], [], [], []
 
-    with jax.named_scope("saga_select"):
+    with jax.named_scope("select_steps"):
         for i in range(n_k):
             dots = dots_i[:, i]                               # [B, O, QD]
             g_all = jnp.maximum(dots / nrm_flat[None, None, :], 0.0)
@@ -560,51 +648,10 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
                 upd = jnp.where((jnp.abs(dt) < tmax)[..., None], gv, 0.0)
                 dots_i = dots_i - gain_eff[:, None, None, None] * upd
 
-    with jax.named_scope("saga_subtract_append"):
-        t_st = jnp.stack(win_t, axis=1)                       # [B, K]
-        q_st = jnp.stack(win_q, axis=1)
-        d_st = jnp.stack(win_d, axis=1)
-        g_st = jnp.stack(win_g, axis=1)
-        acc_st = jnp.stack(win_acc, axis=1)
-        sd_st = jnp.stack(win_sd, axis=1)                     # [B, K, D]
-
-        acc_i32 = acc_st.astype(jnp.int32)
-        idx = count0[:, None] + jnp.cumsum(acc_i32, axis=1) - acc_i32
-        idx_eff = jnp.where(acc_st, idx, cap)   # OOB -> dropped update
-        barr = jnp.arange(b)[:, None]
-
-        def put(arr, val):
-            return arr.at[barr, idx_eff].set(val.astype(arr.dtype),
-                                             mode="drop")
-
-        notes_new = notes._replace(
-            onset=put(notes.onset, t_st),
-            dur=put(notes.dur, tmpl.durs[d_st]),
-            pitch=put(notes.pitch, q_st % n_p),
-            gain=put(notes.gain, g_st),
-            program=put(notes.program, q_st // n_p),
-            d_idx=put(notes.d_idx, d_st),
-            sd=notes.sd.at[barr, idx_eff].set(
-                sd_st.astype(notes.sd.dtype), mode="drop"),
-            count=count0 + acc_cum,
-            saturated=sat,
-        )
-
-        gain_eff_st = jnp.where(acc_st, g_st, 0.0)
-        w_st = tmpl.bank[q_st, d_st]                      # [B, K, Tmax, F]
-        if cfg.run.use_pallas:
-            from ..ops.subtract_pallas import subtract_multi_pallas
-
-            res_new = subtract_multi_pallas(res, w_st, gain_eff_st, t_st)
-        else:
-            res_new = res
-            for k in range(n_k):
-                res_new = jax.vmap(residual_subtract)(
-                    res_new, w_st[:, k], gain_eff_st[:, k], t_st[:, k])
-    notes_new = notes_new._replace(
-        residual_energy=residual_energy(res_new), poison=poison)
-    return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,
-                  carry.it + 1)
+    return (jnp.stack(win_t, axis=1), jnp.stack(win_q, axis=1),
+            jnp.stack(win_d, axis=1), jnp.stack(win_g, axis=1),
+            jnp.stack(win_acc, axis=1), jnp.stack(win_sd, axis=1),
+            acc_cum, sat, any_acc)
 
 
 def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
