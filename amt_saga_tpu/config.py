@@ -92,11 +92,45 @@ class LoopConfig:
     # Minimum score (energy reduction) relative to current residual energy.
     min_score_rel: float = 1e-4
     # Shadow suppression: reject a candidate whose (instrument, pitch)
-    # matches an already-extracted note within one template extent when its
-    # gain is below this fraction of that note's gain — such candidates are
+    # matches an already-extracted note nearby in time when its gain is
+    # below this fraction of that note's gain — such candidates are
     # leftovers of imperfect polyphonic subtraction, not new notes.
     # 0 disables.
     shadow_gain_frac: float = 0.25
+    # Shape of the suppression window around the earlier note:
+    #   template - one full template extent both sides (default).
+    #   duration - [onset - lead, onset + dur + tail]: residue of the
+    #              subtraction can only live where the subtracted atom
+    #              had energy, so a re-struck same pitch AFTER the note
+    #              ended is a legitimate onset.  Measured (round 3,
+    #              golden sweeps): no recall gain on the pinned suites
+    #              and -0.4pt 4-voice precision (the narrower window
+    #              admits subtraction-residue FPs), so the blanket
+    #              window stays the default; "duration" pairs with the
+    #              refractory gate for repeated-note material.
+    shadow_window: str = "template"  # "duration" | "template"
+    shadow_lead_frames: int = 4
+    shadow_tail_frames: int = 12
+    # Onset-refractory duration gating: greedy matching pursuit on a
+    # RE-STRUCK pitch prefers one long atom spanning all the strikes
+    # (it explains more energy than the first strike alone), which
+    # swallows every re-onset — measured R=0.71 on a repeated-note
+    # etude with P=0.96.  With this on, a candidate's duration may not
+    # cross a later coarse-score local maximum of the same (instrument,
+    # pitch) column whose quantized height reaches this fraction of the
+    # candidate onset's own coarse score (the shortest grid duration is
+    # always allowed).  "Local maximum" requires a strict rise in time
+    # AND a pitch-axis local max within the instrument block (a
+    # neighbor pitch's onset leaks into this column and would chop held
+    # notes otherwise).  0 disables.  Decisions compare quantized
+    # values; golden mirrors op-for-op.
+    # DEFAULT 0 (off), by measurement (round 3, golden sweeps): at 0.3
+    # the repeated-note etude gains +4.6 F1 (R 0.711 -> 0.815) but
+    # 4-voice MUS loses 2.4pt precision (held notes in dense mixtures
+    # get split at beating-induced coarse rises) — enable for
+    # repeated-note-dense material (piano etudes), keep off for
+    # sustained polyphony.
+    onset_refractory_frac: float = 0.0
     # Notes extracted per loop iteration: up to n_extract coarse-score
     # peaks (local maxima, masked argmax) are extracted SEQUENTIALLY
     # within the iteration — greedy matching pursuit against the

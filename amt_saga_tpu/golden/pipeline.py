@@ -202,6 +202,38 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                 m_work = np.where(np.abs(t_frames - t_i) <= radius,
                                   -np.inf, m_work)
 
+            if loop.onset_refractory_frac > 0:
+                # Onset-refractory duration gate inputs (mirror of
+                # saga/loop._refractory_mask): per-column quantized
+                # coarse scores + local-max map, shared by every peak
+                # this iteration.
+                cq_coarse = quantize_decisions_np(coarse)        # [T, Q]
+                cleft = np.concatenate(
+                    [np.full((1, cq_coarse.shape[1]), -np.inf,
+                             np.float32), cq_coarse[:-1]])
+                cright = np.concatenate(
+                    [cq_coarse[1:],
+                     np.full((1, cq_coarse.shape[1]), -np.inf,
+                             np.float32)])
+                # Strict rise (mirror of saga/loop._refractory_mask):
+                # quantized decays are flat steps, not new onsets.
+                is_peak_q = (cq_coarse > cleft) & (cq_coarse >= cright)
+                # Pitch-axis local max within the instrument block
+                # (mirror — kills neighbor-pitch onset cross-talk).
+                n_inst = int(synth.n_instruments)
+                n_pp = cq_coarse.shape[1] // n_inst
+                cq4 = cq_coarse.reshape(-1, n_inst, n_pp)
+                pleft = np.concatenate(
+                    [np.full(cq4[..., :1].shape, -np.inf, np.float32),
+                     cq4[..., :-1]], axis=2)
+                pright = np.concatenate(
+                    [cq4[..., 1:],
+                     np.full(cq4[..., :1].shape, -np.inf, np.float32)],
+                    axis=2)
+                is_peak_q &= ((cq4 >= pleft) & (cq4 >= pright)).reshape(
+                    cq_coarse.shape)
+                far_t = n_frames + tmax
+
             # (c) per peak: ALL (q, d, o) candidates, closed-form scores
             # (C-order), windowed from the VIRTUAL residual — iteration-start
             # residual minus the unclamped g*W of earlier same-iteration
@@ -232,7 +264,29 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                 s_qdo = quantize_decisions_np(
                     np.transpose(s_all.reshape(n_o, n_q, n_d), (1, 2, 0)))
 
-                best = int(np.argmax(s_qdo.reshape(-1)))
+                if loop.onset_refractory_frac > 0:
+                    # Disallowed durations never win; s_qdo itself stays
+                    # unmasked (s_best/sd record raw scores — mirror of
+                    # saga/loop._select_chain_xla).
+                    s_sel = s_qdo.copy()
+                    for oi2 in range(n_o):
+                        t_c = int(t_cands[oi2])
+                        v0 = cq_coarse[t_c]                      # [Q]
+                        thrv = quantize_decisions_np(
+                            loop.onset_refractory_frac * v0)
+                        cond = ((t_frames > t_c + radius)[:, None]
+                                & is_peak_q
+                                & (cq_coarse >= thrv[None, :]))
+                        next_t = np.where(cond, t_frames[:, None],
+                                          far_t).min(axis=0)     # [Q]
+                        gap = next_t - t_c
+                        allowed_qd = durs[None, :] <= gap[:, None]
+                        allowed_qd[:, 0] = True
+                        s_sel[:, :, oi2] = np.where(
+                            allowed_qd, s_qdo[:, :, oi2], -np.inf)
+                else:
+                    s_sel = s_qdo
+                best = int(np.argmax(s_sel.reshape(-1)))
                 q, rem = divmod(best, n_d * n_o)
                 di, oi = divmod(rem, n_o)
                 g_best = float(g_qdo[q, di, oi])
@@ -251,8 +305,19 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                     shadow = False
                     for j in range(count):
                         q_j = programs[j] * n_p + pitch_i[j]
-                        if (q_j == q
-                                and abs(t_best - int(onset_f[j])) <= tmax
+                        if loop.shadow_window == "duration":
+                            # Duration-aware window (mirror of
+                            # saga/loop.py — see LoopConfig).
+                            near_j = (
+                                t_best >= int(onset_f[j])
+                                - loop.shadow_lead_frames
+                                and t_best <= int(onset_f[j])
+                                + int(dur_f[j])
+                                + loop.shadow_tail_frames)
+                        else:
+                            near_j = abs(t_best
+                                         - int(onset_f[j])) <= tmax
+                        if (q_j == q and near_j
                                 and g_q < _q_scalar(
                                     loop.shadow_gain_frac * gains[j])):
                             shadow = True

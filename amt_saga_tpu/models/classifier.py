@@ -46,6 +46,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config, ModelConfig
 
@@ -140,9 +141,18 @@ def make_cnn_score_fn(cfg: Config, params: Any):
         out = model.apply({"params": params}, x[:, :, :cfg.dsp.n_bins])
         gate_logits = out["onset_pitch"] + out["presence"][..., None]
         gate = floor + (1.0 - floor) * jax.nn.sigmoid(gate_logits)
+        # Normalize by the zero-init gate value COMPUTED WITH THE SAME
+        # f32 ops, so an untrained model's gate is elementwise x/x == 1.0
+        # and `mf * 1.0` is bit-identical to the heuristic map.  A plain
+        # 0.7 multiplier would shift quantization boundaries in the
+        # coarse-RATIO decisions (the onset-refractory gate) — argmax
+        # decisions are scale-invariant, quantized ratio compares are
+        # only invariant under power-of-2 or exact-unit scaling.
+        gate0 = np.float32(floor) + ((np.float32(1.0) - np.float32(floor))
+                                     * np.float32(0.5))
         mf = heuristic_scores(res, tmpl, n_frames, band=band,
                               precision=matmul_precision(cfg))
-        return mf * gate
+        return mf * (gate / gate0)
 
     def velocity_fn(spec: jnp.ndarray, onset: jnp.ndarray,
                     q: jnp.ndarray) -> jnp.ndarray:

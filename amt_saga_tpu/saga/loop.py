@@ -445,8 +445,13 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     # the tail subtracts in k order with per-window clamp.  The profile
     # motivating this: ~0.38 ms of op-launch latency per chained
     # extract step (benchmarks/profile_body.py, round 3).
+    allowed = (None if loop.onset_refractory_frac <= 0 else
+               _refractory_mask(coarse, t_cand, cfg, tmpl))
     with jax.named_scope("saga_select"):
-        if cfg.run.use_pallas and cfg.run.pallas_select:
+        # The opt-in fused kernel does not consume the refractory mask;
+        # the XLA chain (the faster path in production anyway — see
+        # docs/PERFORMANCE.md round-3 negative result) handles it.
+        if cfg.run.use_pallas and cfg.run.pallas_select and allowed is None:
             from ..ops.select_pallas import select_chain_pallas
 
             (t_st, q_st, d_st, g_st, acc_st, sd_st, acc_cum, sat,
@@ -455,7 +460,8 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
         else:
             (t_st, q_st, d_st, g_st, acc_st, sd_st, acc_cum, sat,
              any_acc) = _select_chain_xla(
-                dots0, t_cand, valid, active, thr, notes, cfg, tmpl)
+                dots0, t_cand, valid, active, thr, notes, cfg, tmpl,
+                allowed=allowed)
     count0 = notes.count
 
     with jax.named_scope("saga_subtract_append"):
@@ -498,10 +504,94 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
                   carry.it + 1)
 
 
+def _refractory_mask(coarse: jnp.ndarray, t_cand: jnp.ndarray,
+                     cfg: Config, tmpl: TemplateArrays) -> jnp.ndarray:
+    """Onset-refractory duration gate (LoopConfig.onset_refractory_frac).
+
+    For every candidate (peak-slot, offset, pitch) find the next coarse
+    local maximum of the same column whose QUANTIZED height reaches
+    ``frac`` of the candidate onset's own coarse value; durations whose
+    atom would span it are disallowed (shortest grid duration always
+    allowed).  All comparisons quantized -> decision-stable across
+    backends; golden.pipeline mirrors op-for-op.
+
+    coarse [B, T, Q]; t_cand [B, K, O] -> allowed [B, K, O, Q*D] bool.
+
+    Cost note: only peaks within the LONGEST grid duration of the
+    candidate can disallow anything (``durs <= gap`` is vacuously true
+    past it), so the scan gathers a static [W]-frame window per
+    candidate instead of broadcasting against the full time axis —
+    decision-identical, ~T/W× less traffic inside the while body.
+    """
+    loop = cfg.loop
+    b, n_frames, n_q = coarse.shape
+    n_d = tmpl.norms.shape[1]
+    ko = t_cand.shape[1] * t_cand.shape[2]
+    tc = t_cand.reshape(b, ko)
+
+    cq = quantize_decisions(coarse)
+    left = jnp.pad(cq[:, :-1], ((0, 0), (1, 0), (0, 0)),
+                   constant_values=-np.inf)
+    right = jnp.pad(cq[:, 1:], ((0, 0), (0, 1), (0, 0)),
+                    constant_values=-np.inf)
+    # STRICT rise into the maximum: quantization turns smooth decays
+    # into flat steps, and a >= test would mark every step point a
+    # "new onset" and shred sustained notes.  A true re-strike rises.
+    is_peak = (cq > left) & (cq >= right)
+    # ... and must be a PITCH-axis local max within its instrument
+    # block: a neighbor pitch's onset leaks into this column through
+    # the overlapping log-f bins (measured: a semitone neighbor's
+    # onset chopped a held note to its own onset and spawned ghost
+    # re-extractions — the round-3 off-grid regression), but the leak
+    # peaks at the TRUE pitch, so the cross-talk column is never the
+    # local max across pitch.
+    n_i = int(cfg.synth.n_instruments)
+    n_p = n_q // n_i
+    cq4 = cq.reshape(b, n_frames, n_i, n_p)
+    pleft = jnp.pad(cq4[..., :-1], ((0, 0), (0, 0), (0, 0), (1, 0)),
+                    constant_values=-np.inf)
+    pright = jnp.pad(cq4[..., 1:], ((0, 0), (0, 0), (0, 0), (0, 1)),
+                     constant_values=-np.inf)
+    is_pmax = ((cq4 >= pleft) & (cq4 >= pright)).reshape(
+        b, n_frames, n_q)
+    is_peak = is_peak & is_pmax
+
+    v0 = jnp.take_along_axis(
+        cq, jnp.broadcast_to(tc[:, :, None], (b, ko, n_q)),
+        axis=1)                                            # [B, KO, Q]
+    thrv = quantize_decisions(loop.onset_refractory_frac * v0)
+
+    sep = max(1, loop.peak_mask_radius)
+    w_hi = int(np.max(duration_grid_frames(cfg.synth, cfg.dsp)))
+    offs = jnp.arange(sep + 1, w_hi + 1, dtype=jnp.int32)  # [W]
+    n_w = int(offs.shape[0])
+    far = jnp.int32(w_hi + 1)                # > every grid duration
+    if n_w == 0:
+        gap = jnp.full((b, ko, n_q), far, jnp.int32)
+    else:
+        idx = tc[:, :, None] + offs[None, None, :]         # [B, KO, W]
+        in_rng = (idx < n_frames).reshape(b, ko * n_w)
+        idx_f = jnp.clip(idx, 0, n_frames - 1).reshape(b, ko * n_w)
+        gat = lambda x: jnp.take_along_axis(
+            x, jnp.broadcast_to(idx_f[:, :, None],
+                                (b, ko * n_w, n_q)), axis=1
+        ).reshape(b, ko, n_w, n_q)
+        cond = (in_rng.reshape(b, ko, n_w)[..., None]
+                & gat(is_peak)
+                & (gat(cq) >= thrv[:, :, None, :]))        # [B,KO,W,Q]
+        gap = jnp.min(jnp.where(cond, offs[None, None, :, None], far),
+                      axis=2)                              # [B, KO, Q]
+    allowed = tmpl.durs[None, None, None, :] <= gap[..., None]
+    allowed = allowed.at[..., 0].set(True)       # [B, KO, Q, D]
+    return allowed.reshape(b, t_cand.shape[1], t_cand.shape[2],
+                           n_q * n_d)
+
+
 def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
                       valid: jnp.ndarray, active: jnp.ndarray,
                       thr: jnp.ndarray, notes: NotesBatch, cfg: Config,
-                      tmpl: TemplateArrays) -> tuple:
+                      tmpl: TemplateArrays,
+                      allowed: jnp.ndarray | None = None) -> tuple:
     """Greedy K-step winner selection over Gram-updated candidate dots.
 
     Pure function of (dots0 [B,K,O,QD], t_cand [B,K,O], valid [B,K],
@@ -531,6 +621,7 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
     any_acc = jnp.zeros((b,), bool)
     sat = notes.saturated
     win_t, win_q, win_d, win_g, win_acc, win_sd = [], [], [], [], [], []
+    win_dur = []  # winner duration in frames (duration-aware shadow)
 
     with jax.named_scope("select_steps"):
         for i in range(n_k):
@@ -546,7 +637,17 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
                 s_all.reshape(b, n_o, n_q, n_d),
                 (0, 2, 3, 1))).reshape(b, -1)
 
-            best = jnp.argmax(s_flat, axis=1)                 # [B]
+            if allowed is not None:
+                # Refractory-disallowed durations never win; the
+                # recorded sd curve (below) stays unmasked so the
+                # host-side continuous fit sees the raw scores.
+                a_flat = jnp.transpose(
+                    allowed[:, i].reshape(b, n_o, n_q, n_d),
+                    (0, 2, 3, 1)).reshape(b, -1)
+                s_sel = jnp.where(a_flat, s_flat, -jnp.inf)
+            else:
+                s_sel = s_flat
+            best = jnp.argmax(s_sel, axis=1)                  # [B]
             g_best = jnp.take_along_axis(g_flat, best[:, None], 1)[:, 0]
             s_best = jnp.take_along_axis(s_flat, best[:, None], 1)[:, 0]
             q_best = best // (n_d * n_o)
@@ -564,15 +665,33 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
                 # Shadow suppression (see LoopConfig) against ALL notes
                 # extracted so far: committed ones via the [B, C]
                 # arrays, this iteration's accepted winners via the
-                # pending registers.
-                near = jnp.abs(t_best[:, None] - notes.onset) <= tmax
+                # pending registers.  LoopConfig.shadow_window picks
+                # the blanket template-extent window (default) or the
+                # duration-aware one (residue lives where the
+                # subtracted atom had energy — pairs with the
+                # refractory gate for repeated-note material).
+                if loop.shadow_window == "duration":
+                    near = ((t_best[:, None]
+                             >= notes.onset - loop.shadow_lead_frames)
+                            & (t_best[:, None]
+                               <= notes.onset + notes.dur
+                               + loop.shadow_tail_frames))
+                else:
+                    near = jnp.abs(t_best[:, None] - notes.onset) <= tmax
                 weak = gq[:, None] < quantize_decisions(
                     loop.shadow_gain_frac * notes.gain)
                 hit = jnp.any(prev & (q_best[:, None] == q_notes)
                               & near & weak, axis=1)
                 for j in range(i):
+                    if loop.shadow_window == "duration":
+                        near_j = ((t_best
+                                   >= win_t[j] - loop.shadow_lead_frames)
+                                  & (t_best <= win_t[j] + win_dur[j]
+                                     + loop.shadow_tail_frames))
+                    else:
+                        near_j = jnp.abs(t_best - win_t[j]) <= tmax
                     hit = hit | (win_acc[j] & (q_best == win_q[j])
-                                 & (jnp.abs(t_best - win_t[j]) <= tmax)
+                                 & near_j
                                  & (gq < quantize_decisions(
                                      loop.shadow_gain_frac * win_g[j])))
                 want = want & ~hit
@@ -634,6 +753,7 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
             win_g.append(g_best)
             win_acc.append(acc)
             win_sd.append(sd_val)
+            win_dur.append(tmpl.durs[d_best])
 
             if i + 1 < n_k:
                 # Gram update: keep every candidate dot exact w.r.t.

@@ -256,6 +256,8 @@ def test_parity_fuzz_random_configs():
                     [-2, -1, 0, 1, 2], size=3, replace=False))),
                 refine_duration=bool(rng.integers(0, 2)),
                 refit_gains=bool(rng.integers(0, 2)),
+                shadow_window=str(rng.choice(["duration", "template"])),
+                onset_refractory_frac=float(rng.choice([0.0, 0.5])),
             ))
         kind = "multi" if n_i > 1 else "mus"
         wave, _ = make_clip(cfg, kind=kind, seconds=4.0,
@@ -287,3 +289,38 @@ def test_stacked_dispatch_parity(tiny_config, tiny_transcriber):
         b = np.asarray(getattr(stacked, field))
         assert np.array_equal(a, b), field
     assert np.asarray(stacked.iterations).shape == (2,)
+
+
+def test_restruck_pitch_recovered(tiny_config, tiny_transcriber):
+    """Soft re-strikes of a pitch right after a loud strike: the
+    OPT-IN repeated-note configuration (duration-aware shadow window +
+    onset-refractory duration gate, see LoopConfig.onset_refractory_frac
+    for why it is not the default) must emit them as separate notes,
+    where the default greedy pursuit prefers one long atom spanning
+    all the strikes."""
+    from amt_saga_tpu.core.notes import NoteSequence
+    from amt_saga_tpu.runtime.fixtures import render_notes
+
+    ref = NoteSequence()
+    t = 0.3
+    for pitch, vels in [(52, (110, 45, 40)), (64, (100, 50, 44)),
+                        (71, (105, 42, 48))]:
+        for v in vels:
+            ref.add(t, 0.28, pitch, v, 0)
+            t += 0.42
+        t += 0.3
+    wave = render_notes(ref, tiny_config,
+                        int(5.5 * tiny_config.dsp.sample_rate))
+    cfg_rep = tiny_config.override(**{
+        "loop.shadow_window": "duration",
+        "loop.onset_refractory_frac": 0.35})
+    res = note_f1(Transcriber(cfg_rep).transcribe(wave), ref)
+    assert res.recall >= 0.85, (res.recall, res.precision, res.n_pred)
+    assert res.precision >= 0.85, (res.recall, res.precision)
+
+    # The default config is the ablation: greedy pursuit swallows
+    # re-strikes into one long atom (this is the measured tradeoff
+    # documented in LoopConfig — if the default ever catches up, the
+    # refractory knob can be retired).
+    res_def = note_f1(tiny_transcriber.transcribe(wave), ref)
+    assert res.recall >= res_def.recall, (res.recall, res_def.recall)
