@@ -96,18 +96,22 @@ def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
 
 def bench_tpu(batch: int, seconds: float, repeats: int,
               use_pallas: bool = True, stack: int = 8,
-              classifier: str = "heuristic") -> dict:
+              classifier: str = "heuristic",
+              select_kernel: bool = False) -> dict:
     import jax
 
     from amt_saga_tpu import default_config
     from amt_saga_tpu.saga.loop import Transcriber
 
-    # The fused Pallas kernels (K1 spectrogram, K2 subtract) are the
-    # fastest mode; decision-identical MIDI vs the golden oracle on clean
-    # fixtures (K1 deviates ~1e-4 relative from rfft — the exact-parity
-    # contract holds for the rfft path; see ops/spectrogram_pallas.py).
-    cfg = default_config().override(**{"run.use_pallas": use_pallas,
-                                       "run.classifier": classifier})
+    # The fused Pallas kernels (K1 spectrogram, K2 subtract, K-select
+    # chain) are the fastest mode; decision-identical MIDI vs the golden
+    # oracle on clean fixtures (K1 deviates ~1e-4 relative from rfft —
+    # the exact-parity contract holds for the rfft path; see
+    # ops/spectrogram_pallas.py).
+    cfg = default_config().override(**{
+        "run.use_pallas": use_pallas,
+        "run.pallas_select": use_pallas and select_kernel,
+        "run.classifier": classifier})
     waves = _make_waves(cfg, batch, seconds)
     if stack > 1:
         # Stacked dispatch: M sub-batches run sequentially on device in
@@ -265,6 +269,14 @@ def main() -> None:
     p.add_argument("--no-pallas", action="store_true",
                    help="use the plain-XLA (rfft) pipeline instead of the "
                         "fused Pallas kernels")
+    p.add_argument("--select-kernel", action="store_true",
+                   help="swap in the fused select kernel "
+                        "(ops/select_pallas.py).  Off by default: the "
+                        "kernel measures ~4%% slower at batch 64 and "
+                        "~27%% at batch 96 than the XLA selection chain "
+                        "inside the while_loop (the chain's op-launch "
+                        "tail was already removed by the deferred-"
+                        "subtract restructure; see docs/PERFORMANCE.md)")
     args = p.parse_args()
 
     if args.golden:
@@ -272,7 +284,8 @@ def main() -> None:
     else:
         rec = bench_tpu(args.batch, args.seconds, args.repeats,
                         use_pallas=not args.no_pallas, stack=args.stack,
-                        classifier=args.classifier)
+                        classifier=args.classifier,
+                        select_kernel=args.select_kernel)
 
     detail = rec.pop("detail", None)
     if detail:

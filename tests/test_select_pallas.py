@@ -147,10 +147,15 @@ def test_select_chain_parity_quantized_ties(pallas_cfg, pallas_tmpl):
 def test_pallas_select_end_to_end_matches_xla_chain(tiny_config):
     """Full transcription on fixture audio: the kernel-selected loop
     must emit exactly the same notes as the XLA selection chain."""
+    # Refractory gating off: the loop routes around the kernel when the
+    # gate is on (the kernel does not consume the duration mask), which
+    # would make this comparison vacuous.
     cfg_on = tiny_config.override(**{"run.use_pallas": True,
-                                     "run.pallas_select": True})
+                                     "run.pallas_select": True,
+                                     "loop.onset_refractory_frac": 0.0})
     cfg_off = tiny_config.override(**{"run.use_pallas": True,
-                                      "run.pallas_select": False})
+                                      "run.pallas_select": False,
+                                      "loop.onset_refractory_frac": 0.0})
     waves = []
     for seed in range(3):
         wave, _ = make_clip(tiny_config, kind="mus", seconds=3.0,
@@ -161,3 +166,19 @@ def test_pallas_select_end_to_end_matches_xla_chain(tiny_config):
     seqs_off = Transcriber(cfg_off).transcribe_batch(waves)
     for a, b in zip(seqs_on, seqs_off):
         assert a.notes == b.notes
+
+
+def test_select_chain_parity_template_window(tiny_config):
+    """Legacy blanket shadow window (shadow_window='template'): the
+    kernel's other branch must also match the XLA chain."""
+    from amt_saga_tpu.saga.loop import load_template_arrays
+
+    cfg = tiny_config.override(**{"run.use_pallas": True,
+                                  "run.pallas_select": True,
+                                  "loop.shadow_window": "template"})
+    tmpl = load_template_arrays(cfg)
+    rng = np.random.default_rng(9)
+    args = _random_state(cfg, tmpl, 8, rng)
+    ref = _select_chain_xla(*args, cfg, tmpl)
+    out = select_chain_pallas(*args, cfg, tmpl)
+    _assert_tuple_equal(out, ref)
