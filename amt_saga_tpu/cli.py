@@ -336,6 +336,15 @@ def cmd_transcribe_corpus(args) -> int:
     # first batch (round-2 verdict item #2).
     tr.warmup(bs, sorted(by_bucket))
 
+    # Host copies of the fed batches, for the emission onset snap
+    # (saga/snap.py needs the original waves; fetching them back off
+    # the device would cost a ~60 MB transfer per batch on the axon
+    # tunnel).  The pipeline is one batch deep, so this holds at most
+    # prefetch-depth+1 entries.
+    import collections
+
+    host_q: collections.deque = collections.deque()
+
     def gen_batches():
         for chunk, blen in plan:
             batch = np.stack([
@@ -345,6 +354,7 @@ def cmd_transcribe_corpus(args) -> int:
                 batch = np.concatenate([
                     batch,
                     np.zeros((bs - len(batch), blen), np.float32)])
+            host_q.append(batch)
             yield batch
 
     import jax
@@ -364,7 +374,7 @@ def cmd_transcribe_corpus(args) -> int:
         # the device runs batch i, and JAX's async dispatch lets batch
         # i+1's device work start while the host converts/writes batch
         # i's MIDI (one-deep pipeline of un-fetched device results).
-        def finish(paths, notes, dev, t0, blen):
+        def finish(paths, notes, dev, t0, blen, host_batch):
             # Device OOM surfaces when the result is fetched; fall back to
             # the blocking halved-batch path for just that batch.
             sat = 0
@@ -374,7 +384,8 @@ def cmd_transcribe_corpus(args) -> int:
                           [:len(paths)].sum())
                 seqs = notes_batch_to_sequences(
                     host_notes, cfg, gram=tr.host_gram(),
-                    refiner=tr.duration_refiner())
+                    refiner=tr.duration_refiner(),
+                    snap_waves=host_batch if tr.snaps_onsets() else None)
             except jax.errors.JaxRuntimeError:
                 seqs = with_oom_retry(tr.transcribe_batch, dev)
             postprocess(paths, seqs[:len(paths)])
@@ -393,7 +404,8 @@ def cmd_transcribe_corpus(args) -> int:
             notes = tr._fn(dev_batch)  # async dispatch, no block
             if pending is not None:
                 finish(*pending)
-            pending = (batch_paths, notes, dev_batch, t0, blen)
+            pending = (batch_paths, notes, dev_batch, t0, blen,
+                       host_q.popleft())
         if pending is not None:
             finish(*pending)
     return 0

@@ -131,6 +131,27 @@ class LoopConfig:
     # repeated-note-dense material (piano etudes), keep off for
     # sustained polyphony.
     onset_refractory_frac: float = 0.0
+    # Emission-side onset snap (saga/snap.py): repair onsets fired
+    # 2..onset_snap_frames coarse frames EARLY by a harmonically-related
+    # neighbor's onset (the dominant residual 4-voice error mode), by
+    # re-reading the ORIGINAL spectrogram's fundamental-region trace —
+    # the pitch-unique bins — and comparing it against the note's OWN
+    # expected fundamental energy (gain x template fundamental).  Pure
+    # host NumPy on (emitted notes, wave), identical in the golden and
+    # TPU paths (parity-preserving by construction); every guard
+    # failure keeps the note untouched.  Measured (round 3): 4-voice
+    # F1 0.9497 -> 0.9597, all other pinned suites unchanged.
+    # 0 disables.
+    onset_snap_frames: int = 8
+    # Guard threshold: snap only when the fundamental trace at the
+    # detected onset is below this fraction of the note's expected
+    # fundamental energy (a sounding note sits at ~1.0x expectation;
+    # masker leak into the pitch-unique bins sits far below).
+    onset_snap_active_ratio: float = 0.35
+    # The snapped onset is the first forward frame whose fundamental
+    # trace reaches this fraction of the expected energy, plus the
+    # STFT-overlap lead correction (n_fft//hop - 2 frames).
+    onset_snap_rise_frac: float = 0.5
     # Notes extracted per loop iteration: up to n_extract coarse-score
     # peaks (local maxima, masked argmax) are extracted SEQUENTIALLY
     # within the iteration — greedy matching pursuit against the

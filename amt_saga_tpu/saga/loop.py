@@ -1183,11 +1183,21 @@ class Transcriber:
             return None
         return make_duration_refiner(self.cfg.synth, self.cfg.dsp)
 
+    def snaps_onsets(self) -> bool:
+        """Emission onset snap active for this transcriber?  Mirrors
+        duration_refiner: the snap reads the ANALYTIC harmonic model
+        (integer-multiple partials), so a template-bank override keeps
+        it off."""
+        return (self.cfg.loop.onset_snap_frames > 0
+                and not self._tmpl_overridden)
+
     def transcribe_batch(self, waves: np.ndarray) -> list[NoteSequence]:
+        waves = np.asarray(waves)
         notes = jax.device_get(self._fn(jnp.asarray(waves)))
-        return notes_batch_to_sequences(notes, self.cfg,
-                                        gram=self.host_gram(),
-                                        refiner=self.duration_refiner())
+        return notes_batch_to_sequences(
+            notes, self.cfg, gram=self.host_gram(),
+            refiner=self.duration_refiner(),
+            snap_waves=waves if self.snaps_onsets() else None)
 
     def transcribe(self, wave: np.ndarray) -> NoteSequence:
         return self.transcribe_batch(np.asarray(wave)[None])[0]
@@ -1217,7 +1227,9 @@ _AUTO_REFINER = object()  # sentinel: build the analytic-bank refiner
 
 def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                              gram: np.ndarray | None = None,
-                             refiner=_AUTO_REFINER) -> list[NoteSequence]:
+                             refiner=_AUTO_REFINER,
+                             snap_waves: np.ndarray | None = None
+                             ) -> list[NoteSequence]:
     if refiner is _AUTO_REFINER:
         refiner = (make_duration_refiner(cfg.synth, cfg.dsp)
                    if cfg.loop.refine_duration else None)
@@ -1307,7 +1319,7 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                     elif overlap:  # "blend"
                         vel_override[a] = int(np.clip(round(
                             0.5 * (v_gain[a] + v_head[a])), 1, 127))
-        out.append(note_arrays_to_sequence(
+        seq = note_arrays_to_sequence(
             np.asarray(notes.onset[b]), dur_b,
             np.asarray(notes.pitch[b]), gains_b,
             progs_b, int(notes.count[b]),
@@ -1319,5 +1331,10 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             refine_programs=(np.asarray(notes.program[b])
                              if refine else None),
             refine_mask=refine_mask,
-            velocity_override=vel_override))
+            velocity_override=vel_override)
+        if snap_waves is not None and cfg.loop.onset_snap_frames > 0:
+            from .snap import snap_onsets
+
+            seq, _ = snap_onsets(seq, snap_waves[b], cfg)
+        out.append(seq)
     return out

@@ -1,0 +1,211 @@
+"""Emission-side onset snap: repair gross early onsets from the note's
+own pitch-unique spectral evidence (SURVEY.md C9/L3 emission stage; no
+reference file:line possible — empty mount, SURVEY §0).
+
+Greedy matching pursuit fires a note's coarse peak EARLY in dense
+mixtures when a harmonically-related neighbor onsets first: the octave
+above a long note lights up half the note's harmonic profile, so one
+long atom starting at the NEIGHBOR's onset explains more energy than
+the correctly-placed atom (measured on the pinned 4-voice suite:
+onsets 3-8 coarse frames early, each such error costing an FN plus
+usually a paired FP — the dominant remaining error mode).
+
+The candidate-offset grid cannot reach these (they exceed the offset
+span), and re-fitting against the winner's recorded scores cannot see
+them (the scores were recorded AT the wrong onset).  What can: the
+original spectrogram's FUNDAMENTAL region — the +-1/3-semitone bins
+around the note's own f0, which no other pitch reaches except a
+semitone neighbor (FFT-mainlobe leak, low pitches only) or an exact
+subharmonic.  The test is absolute, not relative: the note's refit
+gain says exactly how much fundamental energy it must contribute when
+sounding (gain x template fundamental magnitude), so "was the pitch
+already sounding at the detected onset?" is answered by comparing the
+observed fundamental trace against the note's OWN expected level —
+immune to louder events later in the window (which sank the
+window-normalized formulation: 8 false snaps on the pinned suites vs
+0 for this rule, docs/PERFORMANCE.md round 3).
+
+Parity: this runs as a pure float32/float64 NumPy function of
+(emitted notes, wave) — the identical code on identical inputs in the
+golden oracle and the TPU host-emission path — so bit-for-bit MIDI
+parity is preserved by construction.  Every guard failure keeps the
+original note; the snap only ever moves an onset FORWARD by
+[min_snap, onset_snap_frames] whole frames and shortens the duration
+by the same amount (the fitted extent's END already tracked the true
+energy; only the start was wrong).
+
+Guards (all must pass; measured on the pinned suites, where this rule
+fires on exactly the genuine gross-early onsets and no others):
+
+1. fundamental evidence at the detected onset is well below the
+   note's own expected level: e1[t0] < onset_snap_active_ratio *
+   gain * T_fund  (a sounding note sits at ~1.0x its expectation;
+   a masker's leak into the pitch-unique bins sits far below);
+2. the expected-level crossing lands [min_snap, onset_snap_frames]
+   frames forward — one-frame moves are sub-tolerance noise and stay
+   untouched — and inside the note's fitted extent;
+3. no other emitted note of the same pitch onsets inside the snap
+   window (its strike would be the rise we'd wrongly snap onto);
+4. the fundamental region exists in-band and the template puts real
+   energy there (band-limited instruments fail closed);
+5. the analytic-bank harmonic model applies (skipped entirely under a
+   template-bank override, mirroring Transcriber.duration_refiner).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..core.notes import Note, NoteSequence
+from ..dsp.cqt import logf_filterbank
+from ..dsp.stft import hann_window
+
+__all__ = ["snap_onsets", "snap_spectrogram"]
+
+
+def snap_spectrogram(wave: np.ndarray, cfg: Config) -> np.ndarray:
+    """[T, n_bins] magnitude log-f spectrogram of the ORIGINAL wave.
+
+    Vectorized (stride-tricks framing + batched rfft) but numerically
+    identical to golden.dsp_np.spectrogram_np: the same float32 window
+    multiply per element and the same pocketfft transform per frame —
+    both emission paths call THIS function, so parity needs only
+    determinism, which elementwise float32 ops and per-row rfft give.
+    """
+    dsp = cfg.dsp
+    w = np.asarray(wave, dtype=np.float32)
+    n = w.shape[-1]
+    t_raw = dsp.raw_num_frames(n)
+    if t_raw <= 0:
+        return np.zeros((0, dsp.n_bins), dtype=np.float32)
+    frames = np.lib.stride_tricks.sliding_window_view(
+        w, dsp.n_fft)[::dsp.hop][:t_raw]
+    frames = frames * hann_window(dsp.n_fft)[None, :]
+    mag = np.abs(np.fft.rfft(frames, n=dsp.n_fft, axis=-1)).astype(
+        np.float32)
+    return (mag @ logf_filterbank(dsp)).astype(np.float32)
+
+
+def _fundamental_region(pitch: int, cfg: Config) -> tuple[int, int] | None:
+    """(lo_bin, hi_bin) slice (inclusive-exclusive) of +-1 filterbank bin
+    around the fundamental of ``pitch`` — the pitch-unique evidence bins
+    (only a +-1/3-semitone neighbor or an exact-subharmonic partial can
+    put energy there)."""
+    dsp = cfg.dsp
+    f0 = 440.0 * 2.0 ** ((pitch - 69.0) / 12.0)  # midi_to_hz
+    if f0 > 0.475 * dsp.sample_rate:
+        return None
+    c = int(round(np.log2(f0 / dsp.fmin) * dsp.bins_per_octave))
+    if not (1 <= c < dsp.n_bins - 1):
+        return None
+    return c - 1, c + 2
+
+
+def _fundamental_strengths(cfg: Config) -> np.ndarray:
+    """[n_instruments, n_pitches] template fundamental-region magnitude
+    at the onset frame, per unit gain: the yardstick 'how much energy
+    THIS note puts in its own fundamental bins when it is sounding'.
+    Duration-independent (the envelope is shared until the note ends),
+    so the shortest grid atom serves."""
+    from ..synth.templates import template_bank, template_lead
+
+    key = (cfg.synth, cfg.dsp)
+    hit = _FUND_MEMO.get(key)
+    if hit is None:
+        bank = template_bank(cfg.synth, cfg.dsp)   # [I, P, D, Tmax, F]
+        lead = template_lead(cfg.dsp)
+        n_i, n_p = bank.shape[0], bank.shape[1]
+        hit = np.zeros((n_i, n_p), dtype=np.float64)
+        for p in range(n_p):
+            reg = _fundamental_region(cfg.synth.pitch_min + p, cfg)
+            if reg is None:
+                continue
+            hit[:, p] = bank[:, p, 0, lead, reg[0]:reg[1]].sum(axis=-1)
+        _FUND_MEMO.clear()
+        _FUND_MEMO[key] = hit
+    return hit
+
+
+_FUND_MEMO: dict = {}
+
+
+def snap_onsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
+                spec: np.ndarray | None = None
+                ) -> tuple[NoteSequence, int]:
+    """Return (sequence with gross early onsets snapped forward, count).
+
+    ``spec`` optionally reuses a precomputed snap_spectrogram(wave, cfg)
+    (the corpus runner shares one per lane).
+    """
+    loop, dsp = cfg.loop, cfg.dsp
+    W = int(loop.onset_snap_frames)
+    if W <= 0 or len(seq) == 0:
+        return seq, 0
+    if spec is None:
+        spec = snap_spectrogram(wave, cfg)
+    T = spec.shape[0]
+    if T == 0:
+        return seq, 0
+    spf = dsp.hop / float(dsp.sample_rate)
+    # STFT windows smear a step onset over n_fft/hop frames, so the
+    # 0.5*P crossing of the presence trace precedes the true onset
+    # frame; calibrated on the 4-voice suite (exact for the default
+    # 2048/512 framing: crossings landed at tau-2 for all three
+    # measured gross-early cases).
+    lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
+    min_snap = 2
+    notes = list(seq.notes)
+    onsets_by_pitch: dict[int, list[float]] = {}
+    for n in notes:
+        onsets_by_pitch.setdefault(n.pitch, []).append(n.onset)
+
+    fund = _fundamental_strengths(cfg)                  # [I, P]
+    n_i, n_p = fund.shape
+    out = []
+    n_snapped = 0
+    for note in notes:
+        t0 = int(round(note.onset / spf))
+        fwd_hi = min(t0 + W, T - 1)          # last probe frame
+        dur_frames = note.duration / spf
+        p_idx = note.pitch - cfg.synth.pitch_min
+        if (t0 < 0 or t0 >= T or fwd_hi - t0 < min_snap
+                or not (0 <= p_idx < n_p)):
+            out.append(note)
+            continue
+        # Guard 3: another same-pitch emission onsets inside the window.
+        horizon = note.onset + (W + lead_corr + 1) * spf
+        if any(o > note.onset + 0.5 * spf and o <= horizon
+               for o in onsets_by_pitch[note.pitch]):
+            out.append(note)
+            continue
+        reg = _fundamental_region(note.pitch, cfg)
+        e_exp = (note.velocity / 127.0) * float(
+            fund[note.program % n_i, p_idx])
+        if reg is None or e_exp <= 0.0:                 # guard 4
+            out.append(note)
+            continue
+        e1 = spec[t0:fwd_hi + 1, reg[0]:reg[1]].sum(axis=1,
+                                                    dtype=np.float64)
+        # Guard 1: the note's own fundamental evidence is already
+        # present at the detected onset at the level its gain implies.
+        if float(e1[0]) >= loop.onset_snap_active_ratio * e_exp:
+            out.append(note)
+            continue
+        cross = np.nonzero(
+            e1[1:] >= loop.onset_snap_rise_frac * e_exp)[0]
+        if cross.size == 0:
+            out.append(note)
+            continue
+        delta = int(cross[0]) + 1 + lead_corr
+        if (delta < min_snap or delta > W
+                or delta >= dur_frames - 0.5):          # guard 2
+            out.append(note)
+            continue
+        out.append(Note(float(t0 + delta) * spf,
+                        max(note.duration - delta * spf, spf),
+                        note.pitch, note.velocity, note.program))
+        n_snapped += 1
+    if n_snapped == 0:
+        return seq, 0
+    return NoteSequence(out).sorted(), n_snapped

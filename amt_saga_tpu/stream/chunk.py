@@ -157,13 +157,18 @@ def transcribe_long(wave: np.ndarray, transcriber, cfg: Config,
     refiner = (transcriber.duration_refiner()
                if hasattr(transcriber, "duration_refiner") else None)
 
-    def fetch(pending, n_keep):
+    snap = (transcriber.snaps_onsets()
+            if hasattr(transcriber, "snaps_onsets")
+            else cfg.loop.onset_snap_frames > 0)
+
+    def fetch(pending, n_keep, host_batch):
         host = jax.device_get(pending)
         seqs.extend(
-            notes_batch_to_sequences(host, cfg, gram=gram,
-                                     refiner=refiner)[:n_keep])
+            notes_batch_to_sequences(
+                host, cfg, gram=gram, refiner=refiner,
+                snap_waves=host_batch if snap else None)[:n_keep])
 
-    pending = None  # (device NotesBatch, n_real_chunks_in_batch)
+    pending = None  # (device NotesBatch, n_real, host wave batch)
     for i in range(0, len(chunks), bs):
         batch = chunks[i:i + bs]
         n_real = len(batch)
@@ -174,7 +179,7 @@ def transcribe_long(wave: np.ndarray, transcriber, cfg: Config,
         notes = transcriber._fn(jax.numpy.asarray(batch))  # async dispatch
         if pending is not None:
             fetch(*pending)
-        pending = (notes, n_real)
+        pending = (notes, n_real, batch)
     if pending is not None:
         fetch(*pending)
     return stitch(seqs, starts, cfg)

@@ -73,10 +73,16 @@ def test_neural_bank_beats_analytic_on_mismatch(tiny_config, audio_trained):
     """VERDICT r1 #4 acceptance: the audio-trained neural bank transcribes
     the template-mismatch robustness suite at F1 >= the analytic bank
     (and >= it on clean content too).  Deterministic: seeded training on
-    the CPU backend."""
+    the CPU backend.
+
+    The emission onset snap is held OFF for both: it reads the ANALYTIC
+    harmonic model and is skipped under a tmpl override
+    (Transcriber.snaps_onsets), so leaving it on would hand the
+    analytic side an emission-stage edge unrelated to bank quality —
+    the thing this test measures."""
     from amt_saga_tpu.evaluation.f1 import corpus_f1
 
-    cfg = tiny_config
+    cfg = tiny_config.override(**{"loop.onset_snap_frames": 0})
     tr_a = Transcriber(cfg)
     tr_n = Transcriber(cfg, tmpl=neural_template_arrays(cfg, audio_trained))
     mismatch = cfg.override(**{
