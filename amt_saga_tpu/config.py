@@ -152,6 +152,22 @@ class LoopConfig:
     # trace reaches this fraction of the expected energy, plus the
     # STFT-overlap lead correction (n_fft//hop - 2 frames).
     onset_snap_rise_frac: float = 0.5
+    # Emission-side re-strike split (saga/snap.py split_restrikes):
+    # recover same-pitch re-onsets swallowed by one long atom — the
+    # greedy-pursuit failure the opt-in onset_refractory_frac gate
+    # targets, WITHOUT its 4-voice precision cost (the decision is made
+    # from the pitch-unique fundamental trace vs the template's own
+    # predicted decay, with bank-attributed cross-leak rejection, not
+    # from the collision-prone coarse map).  Measured (round 3):
+    # 4-voice F1 0.9597 -> 0.9640, repeated-note etude F1
+    # 0.8304 -> 0.9603 (recall 0.715 -> 0.931) — strictly dominating
+    # the opt-in refractory gate's 0.863-at-(-2.4pt-4-voice) tradeoff;
+    # mono/2-voice/off-grid untouched.
+    restrike_split: bool = True
+    # Emission-side same-(pitch, program) twin dedup: drop a note
+    # onsetting within +-1 frame of a louder same-pitch twin (rare loop
+    # artifact; physically and MIDI-wise invalid).
+    dedup_twins: bool = True
     # Notes extracted per loop iteration: up to n_extract coarse-score
     # peaks (local maxima, masked argmax) are extracted SEQUENTIALLY
     # within the iteration — greedy matching pursuit against the

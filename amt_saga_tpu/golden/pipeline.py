@@ -466,14 +466,15 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
         d_idx=emit_d_idx if refine else None, sd=sd if refine else None,
         refiner=refiner, refine_programs=programs if refine else None,
         refine_mask=refine_mask)
-    if loop.onset_snap_frames > 0 and atoms is None:
-        # Emission onset snap (saga/snap.py) — the same host NumPy
-        # function the TPU path runs, on the same wave, so MIDI parity
-        # is preserved by construction.  Analytic-bank gate mirrors
+    if atoms is None:
+        # Emission refinement chain (saga/snap.py): onset snap -> twin
+        # dedup -> re-strike split — the same host NumPy function the
+        # TPU path runs, on the same wave, so MIDI parity is preserved
+        # by construction.  Analytic-bank gate mirrors
         # Transcriber.snaps_onsets.
-        from ..saga.snap import snap_onsets
+        from ..saga.snap import refine_emission
 
-        seq, _ = snap_onsets(seq, wave, cfg)
+        seq = refine_emission(seq, wave, cfg)
     e_final = float(np.sum(np.square(res), dtype=np.float32))
     return GoldenResult(seq, onset_f[:count], dur_f[:count], pitch_i[:count],
                         gains[:count], programs[:count], count, e_final,

@@ -1184,11 +1184,13 @@ class Transcriber:
         return make_duration_refiner(self.cfg.synth, self.cfg.dsp)
 
     def snaps_onsets(self) -> bool:
-        """Emission onset snap active for this transcriber?  Mirrors
-        duration_refiner: the snap reads the ANALYTIC harmonic model
-        (integer-multiple partials), so a template-bank override keeps
-        it off."""
-        return (self.cfg.loop.onset_snap_frames > 0
+        """Emission refinement (onset snap / twin dedup / re-strike
+        split) active for this transcriber?  Mirrors duration_refiner:
+        all three read the ANALYTIC harmonic model (integer-multiple
+        partials), so a template-bank override keeps them off."""
+        loop = self.cfg.loop
+        return ((loop.onset_snap_frames > 0 or loop.restrike_split
+                 or loop.dedup_twins)
                 and not self._tmpl_overridden)
 
     def transcribe_batch(self, waves: np.ndarray) -> list[NoteSequence]:
@@ -1332,9 +1334,9 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                              if refine else None),
             refine_mask=refine_mask,
             velocity_override=vel_override)
-        if snap_waves is not None and cfg.loop.onset_snap_frames > 0:
-            from .snap import snap_onsets
+        if snap_waves is not None:
+            from .snap import refine_emission
 
-            seq, _ = snap_onsets(seq, snap_waves[b], cfg)
+            seq = refine_emission(seq, snap_waves[b], cfg)
         out.append(seq)
     return out

@@ -61,7 +61,8 @@ from ..core.notes import Note, NoteSequence
 from ..dsp.cqt import logf_filterbank
 from ..dsp.stft import hann_window
 
-__all__ = ["snap_onsets", "snap_spectrogram"]
+__all__ = ["refine_emission", "snap_onsets", "split_restrikes",
+           "dedup_twins", "snap_spectrogram"]
 
 
 def snap_spectrogram(wave: np.ndarray, cfg: Config) -> np.ndarray:
@@ -209,3 +210,216 @@ def snap_onsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
     if n_snapped == 0:
         return seq, 0
     return NoteSequence(out).sorted(), n_snapped
+
+
+# ---------------------------------------------------------------------------
+# Re-strike split: recover same-pitch re-onsets swallowed by one long atom.
+#
+# Greedy matching pursuit on a RE-STRUCK pitch prefers a single long
+# atom spanning all the strikes (it explains more energy than the first
+# strike alone), so every re-onset is swallowed — measured R=0.72 on a
+# repeated-note etude suite.  The device-side refractory gate
+# (loop.onset_refractory_frac) fixes this but costs 4-voice precision
+# (beating-induced coarse rises split held notes), so it is opt-in.
+#
+# Emission-side, the same fundamental-region evidence used by the onset
+# snap separates the cases robustly: inside an emitted note's extent,
+# the pitch-unique trace must FOLLOW the template's own decay (gain x
+# the bank row's fundamental-region trace).  A sustained re-rise above
+# that prediction is a re-strike — unless another emitted note onsets
+# right there whose template explains the jump (the bank knows every
+# emitted note's magnitude in any region, sidelobes included, so
+# sub-octave/harmonic-aligned maskers — which defeat region-magnitude
+# tests on their own — are attributed exactly).  Gate set chosen by a
+# sweep on the pinned suites (docs/PERFORMANCE.md round 3): 4-voice
+# F1 0.9597 -> 0.9640, repeated-note etude F1 0.8304 -> 0.9603
+# (recall 0.715 -> 0.931); mono, 2-voice, and off-grid outputs are
+# untouched.
+# ---------------------------------------------------------------------------
+
+_RS_RISE = 0.30      # min rise from the local minimum, x expected onset level
+_RS_ABS = 0.25       # min absolute level at the rise,  x expected onset level
+_RS_OVER = 1.6       # min ratio over the anomaly baseline
+_RS_PE_FLOOR = 0.12  # floor on the predicted envelope, x expected onset level
+_RS_H_CONF = 0.22    # confirmation rise in a higher-harmonic region
+_RS_MIN_K = 4        # earliest split point (frames after the onset)
+_RS_LEAK = 0.5       # masker-template fraction of the rise that attributes it
+
+
+def _regions(pitch: int, cfg: Config) -> list[tuple[int, tuple[int, int]]]:
+    """(harmonic, bin-slice) for h = 1..3 of ``pitch`` (in-band only)."""
+    f0 = 440.0 * 2.0 ** ((pitch - 69.0) / 12.0)
+    out = []
+    for h in (1, 2, 3):
+        if h * f0 > 0.475 * cfg.dsp.sample_rate:
+            break
+        c = int(round(np.log2(h * f0 / cfg.dsp.fmin)
+                      * cfg.dsp.bins_per_octave))
+        if 1 <= c < cfg.dsp.n_bins - 1:
+            out.append((h, (c - 1, c + 2)))
+    return out
+
+
+def _region_trace(pitch: int, program: int, duration: float,
+                  reg: tuple[int, int], k_max: int,
+                  cfg: Config) -> np.ndarray:
+    """Template magnitude trace in an arbitrary region for the nearest
+    grid duration — per unit gain, frames 0..k_max from the onset."""
+    from ..synth.templates import template_bank, template_lead
+
+    bank = template_bank(cfg.synth, cfg.dsp)
+    p = pitch - cfg.synth.pitch_min
+    out = np.zeros(k_max, dtype=np.float64)
+    if not (0 <= p < bank.shape[1]):
+        return out
+    grid = np.asarray(cfg.synth.duration_grid)
+    d = int(np.argmin(np.abs(grid - duration)))
+    lead = template_lead(cfg.dsp)
+    tr = bank[program % bank.shape[0], p, d, lead:lead + k_max,
+              reg[0]:reg[1]].sum(axis=-1)
+    out[:len(tr)] = tr
+    return out
+
+
+def dedup_twins(seq: NoteSequence, cfg: Config) -> NoteSequence:
+    """Drop same-(pitch, program) notes onsetting within +-1 frame of a
+    louder twin — a rare loop artifact (two duration variants accepted
+    around one strike); two identical pitches cannot re-onset inside
+    one analysis frame physically or in MIDI."""
+    spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
+    notes = seq.sorted().notes
+    keep = []
+    for i, n in enumerate(notes):
+        twin = any(
+            j != i and m.pitch == n.pitch and m.program == n.program
+            and abs(m.onset - n.onset) <= 1.5 * spf
+            and (m.velocity, -j) > (n.velocity, -i)
+            for j, m in enumerate(notes))
+        if not twin:
+            keep.append(n)
+    return NoteSequence(keep) if len(keep) < len(notes) else seq
+
+
+def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
+                    spec: np.ndarray | None = None
+                    ) -> tuple[NoteSequence, int]:
+    """Return (sequence with swallowed re-strikes split out, count)."""
+    dsp = cfg.dsp
+    if not cfg.loop.restrike_split or len(seq) == 0:
+        return seq, 0
+    if spec is None:
+        spec = snap_spectrogram(wave, cfg)
+    T = spec.shape[0]
+    if T == 0:
+        return seq, 0
+    spf = dsp.hop / float(dsp.sample_rate)
+    ref_off = max(0, dsp.n_fft // dsp.hop - 2)   # STFT-overlap lead
+    notes = list(seq.notes)
+    added: list[Note] = []
+    for note in notes:
+        regs = _regions(note.pitch, cfg)
+        if not regs or regs[0][0] != 1:
+            continue
+        t0 = int(round(note.onset / spf))
+        t_end = min(int(round(note.offset / spf)), T - 1)
+        if t0 < 0 or t_end - t0 < _RS_MIN_K + 2:
+            continue
+        K = t_end - t0
+        g = note.velocity / 127.0
+        e = {h: spec[t0:t_end, r[0]:r[1]].sum(axis=1, dtype=np.float64)
+             for h, r in regs}
+        pe1 = g * _region_trace(note.pitch, note.program, note.duration,
+                                regs[0][1], K, cfg)
+        exp0 = {h: max(g * _region_trace(note.pitch, note.program,
+                                         note.duration, r, 1, cfg)[0], 1e-9)
+                for h, r in regs}
+        e1, x0 = e[1], exp0[1]
+        k = _RS_MIN_K
+        while k < K - 1:
+            local_min = e1[max(0, k - 4):k - 1].min()
+            rise_amt = e1[k] - local_min
+            # The anomaly baseline is min(predicted envelope, observed
+            # local minimum): if EITHER says the trace should be low
+            # here, a high value is a re-onset.  (Prediction alone
+            # masks soft re-strikes swallowed under a long-duration
+            # atom, whose predicted envelope stays high; observation
+            # alone over-fires on beating dips in held notes.)
+            base = max(min(pe1[k], local_min), _RS_PE_FLOOR * x0)
+            ok = (rise_amt >= _RS_RISE * x0 and e1[k] >= _RS_ABS * x0
+                  and e1[k] / base >= _RS_OVER
+                  and e1[k] > e1[k - 1])
+            if ok:
+                # Persistence: a re-strike sustains its own decaying
+                # tone; a neighbor's broadband onset transient decays
+                # within a frame or two.
+                seg = e1[k:min(k + 4, K)]
+                ok = (len(seg) >= 3 and seg.min() >= 0.8 * _RS_ABS * x0
+                      and seg[2] >= 0.6 * e1[k])
+            if ok and len(regs) > 1:
+                # A real strike rises across the harmonic stack, not
+                # just in one colliding region.
+                ok = any((e[h][k] - e[h][max(0, k - 4):k - 1].min())
+                         / exp0[h] >= _RS_H_CONF for h, _ in regs[1:])
+            if ok:
+                tt = (t0 + k) * spf
+                for m in notes + added:
+                    if m is note or abs(m.onset - tt) > 4 * spf:
+                        continue
+                    if m.pitch == note.pitch or \
+                            (m.velocity / 127.0) * _region_trace(
+                                m.pitch, m.program, m.duration,
+                                regs[0][1], 3, cfg).max() \
+                            >= _RS_LEAK * rise_amt:
+                        ok = False   # the rise is already explained
+                        break
+            if ok:
+                covered = any(
+                    m is not note and m.pitch == note.pitch
+                    and abs(m.onset - tt) <= 6 * spf
+                    for m in notes + added)
+                if not covered:
+                    lo_r = max(k - 2, 1)
+                    hi_r = min(k + 4, K)
+                    t_ref = lo_r + int(np.argmax(
+                        np.diff(e1[lo_r - 1:hi_r]))) + ref_off
+                    on2 = float(t0 + t_ref) * spf
+                    # Gain from the rise via quadrature: overlapping
+                    # magnitudes at one bin add in power (the repo's
+                    # refit-gains insight), so the new tone's magnitude
+                    # is sqrt(e1^2 - pre-rise^2), not the difference.
+                    mag2 = float(np.sqrt(max(
+                        e1[k] ** 2 - local_min ** 2, 0.0)))
+                    g2 = min(max(mag2 / max(_region_trace(
+                        note.pitch, note.program, note.duration,
+                        regs[0][1], 1, cfg)[0], 1e-9), 0.08), 1.0)
+                    added.append(Note(
+                        on2, max(note.offset - on2, 2 * spf), note.pitch,
+                        int(max(1, min(127, round(g2 * 127.0)))),
+                        note.program))
+                    k = t_ref + 6
+                    continue
+            k += 1
+    if not added:
+        return seq, 0
+    return NoteSequence(notes + added).sorted(), len(added)
+
+
+def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
+                    ) -> NoteSequence:
+    """Full emission-side refinement chain: onset snap -> twin dedup ->
+    re-strike split.  One spectrogram read serves all three.  Pure host
+    NumPy of (emitted notes, wave); identical in the golden and TPU
+    paths — the parity surface."""
+    loop = cfg.loop
+    want_spec = (loop.onset_snap_frames > 0 or loop.restrike_split) \
+        and len(seq) > 0
+    if not want_spec and not loop.dedup_twins:
+        return seq
+    spec = snap_spectrogram(wave, cfg) if want_spec else None
+    if loop.onset_snap_frames > 0 and spec is not None:
+        seq, _ = snap_onsets(seq, wave, cfg, spec=spec)
+    if loop.dedup_twins:
+        seq = dedup_twins(seq, cfg)
+    if loop.restrike_split and spec is not None:
+        seq, _ = split_restrikes(seq, wave, cfg, spec=spec)
+    return seq

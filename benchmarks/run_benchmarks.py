@@ -83,12 +83,41 @@ def bench_quality() -> list[dict]:
             "f1": round(r.f1, 4),
         })
 
-    # Off-grid durations under the onset+offset criterion: tracks the
-    # continuous duration fit (synth.templates.DurationRefiner).
     import numpy as np
 
     from amt_saga_tpu.core.notes import NoteSequence
     from amt_saga_tpu.runtime.fixtures import render_notes
+
+    # Repeated-note etude (loud strikes + soft same-pitch re-strikes):
+    # tracks the emission re-strike split (loop.restrike_split).
+    spf_e = cfg.dsp.hop / cfg.dsp.sample_rate
+    rng_e = np.random.default_rng(55)
+    pairs = []
+    for _s in range(8):
+        ref = NoteSequence()
+        t = 0.3
+        while t < 9.0:
+            pitch = int(rng_e.integers(40, 90))
+            ref.add(round(t / spf_e) * spf_e, 0.28, pitch,
+                    int(rng_e.integers(70, 116)), 0)
+            t += float(rng_e.uniform(0.3, 0.7))
+            for _ in range(int(rng_e.integers(1, 4))):
+                if t >= 9.5:
+                    break
+                ref.add(round(t / spf_e) * spf_e, 0.25, pitch,
+                        int(rng_e.integers(35, 81)), 0)
+                t += float(rng_e.uniform(0.3, 0.7))
+            t += 0.25
+        wave = render_notes(ref.sorted(), cfg,
+                            int(10.0 * cfg.dsp.sample_rate))
+        pairs.append((tr.transcribe(wave), ref.sorted()))
+    r = corpus_f1(pairs)
+    out.append({"name": "f1_etude_restrike",
+                "precision": round(r.precision, 4),
+                "recall": round(r.recall, 4), "f1": round(r.f1, 4)})
+
+    # Off-grid durations under the onset+offset criterion: tracks the
+    # continuous duration fit (synth.templates.DurationRefiner).
 
     rng = np.random.default_rng(77)
     spf = cfg.dsp.hop / cfg.dsp.sample_rate

@@ -135,3 +135,117 @@ def test_tpu_golden_parity_with_snap(cfg):
     seq_tpu = tr.transcribe(np.asarray(wave))
     seq_gold = transcribe_golden(np.asarray(wave), cfg).sequence
     assert notes_to_midi_bytes(seq_tpu) == notes_to_midi_bytes(seq_gold)
+
+
+def test_dedup_twins(cfg):
+    from amt_saga_tpu.saga.snap import dedup_twins
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    seq = NoteSequence([Note(64 * spf, 1.0, 60, 99, 0),
+                        Note(64 * spf, 0.9, 60, 21, 0),
+                        Note(64 * spf, 0.9, 60, 21, 1),   # other program
+                        Note(90 * spf, 0.5, 62, 80, 0)])
+    out = dedup_twins(seq, cfg)
+    assert len(out) == 3
+    kept = [n for n in out if n.pitch == 60 and n.program == 0]
+    assert len(kept) == 1 and kept[0].velocity == 99
+
+
+def test_split_recovers_swallowed_restrike(cfg):
+    """A loud strike followed by a soft same-pitch re-strike, emitted
+    as ONE long note: the split must emit the re-onset."""
+    from amt_saga_tpu.saga.snap import split_restrikes
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    on1, on2 = 31 * spf, 47 * spf            # 0.512 s apart
+    ref = NoteSequence()
+    ref.add(on1, 0.28, 69, 110, 0)
+    ref.add(on2, 0.25, 69, 55, 0)
+    wave = render_notes(ref.sorted(), cfg, int(4.0 * cfg.dsp.sample_rate))
+    swallowed = NoteSequence([Note(on1, 1.5, 69, 110, 0)])
+    out, n = split_restrikes(swallowed, wave, cfg)
+    assert n == 1
+    new = [x for x in out if x.onset > on1 + 0.1]
+    assert len(new) == 1
+    assert abs(new[0].onset - on2) <= 0.05
+    assert new[0].velocity < 110
+
+
+def test_split_rejects_harmonic_masker(cfg):
+    """A sub-octave neighbor onsetting inside the note's extent covers
+    every harmonic region — the bank cross-leak attribution must
+    reject the would-be split."""
+    from amt_saga_tpu.saga.snap import split_restrikes
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    on1, on2 = 31 * spf, 47 * spf
+    ref = NoteSequence()
+    ref.add(on1, 1.5, 81, 80, 0)
+    ref.add(on2, 0.5, 69, 110, 0)            # octave below, loud
+    wave = render_notes(ref.sorted(), cfg, int(4.0 * cfg.dsp.sample_rate))
+    seq = NoteSequence([Note(on1, 1.5, 81, 80, 0),
+                        Note(on2, 0.5, 69, 110, 0)])
+    out, n = split_restrikes(seq, wave, cfg)
+    assert n == 0
+
+
+def test_split_covered_guard(cfg):
+    """If the re-strike was already emitted as its own note, no split."""
+    from amt_saga_tpu.saga.snap import split_restrikes
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    on1, on2 = 31 * spf, 47 * spf
+    ref = NoteSequence()
+    ref.add(on1, 0.28, 69, 110, 0)
+    ref.add(on2, 0.25, 69, 55, 0)
+    wave = render_notes(ref.sorted(), cfg, int(4.0 * cfg.dsp.sample_rate))
+    seq = NoteSequence([Note(on1, 1.5, 69, 110, 0),
+                        Note(on2, 0.25, 69, 55, 0)])
+    out, n = split_restrikes(seq, wave, cfg)
+    assert n == 0
+
+
+def test_golden_restrike_recall(cfg):
+    """Default-config golden recall on a small etude (loud strike +
+    soft re-strikes): the emission split must recover swallowed
+    re-onsets that the greedy pursuit alone misses."""
+    from amt_saga_tpu.evaluation.f1 import note_f1
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    rng = np.random.default_rng(9)
+    ref = NoteSequence()
+    t = 0.3
+    for pitch in (52, 64, 71, 47):
+        ref.add(round(t / spf) * spf, 0.28, pitch, 110, 0)
+        t += float(rng.uniform(0.4, 0.6))
+        ref.add(round(t / spf) * spf, 0.25, pitch, 50, 0)
+        t += float(rng.uniform(0.5, 0.7))
+    wave = render_notes(ref.sorted(), cfg, int((t + 1) * cfg.dsp.sample_rate))
+    on = note_f1(transcribe_golden(np.asarray(wave), cfg).sequence,
+                 ref.sorted())
+    off = note_f1(transcribe_golden(
+        np.asarray(wave),
+        cfg.override(**{"loop.restrike_split": False})).sequence,
+        ref.sorted())
+    assert on.recall > off.recall, (on.recall, off.recall)
+    assert on.precision >= 0.85
+
+
+def test_tpu_golden_parity_on_etude(cfg):
+    """Parity must survive the split chain on re-strike material."""
+    from amt_saga_tpu.core.midi import notes_to_midi_bytes
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref = NoteSequence()
+    t = 0.3
+    for pitch in (52, 64):
+        for v in (110, 52, 47):
+            ref.add(round(t / spf) * spf, 0.26, pitch, v, 0)
+            t += 0.45
+        t += 0.3
+    wave = render_notes(ref.sorted(), cfg, int(4.5 * cfg.dsp.sample_rate))
+    tr = Transcriber(cfg)
+    assert notes_to_midi_bytes(tr.transcribe(np.asarray(wave))) == \
+        notes_to_midi_bytes(transcribe_golden(np.asarray(wave),
+                                              cfg).sequence)

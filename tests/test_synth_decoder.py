@@ -75,14 +75,16 @@ def test_neural_bank_beats_analytic_on_mismatch(tiny_config, audio_trained):
     (and >= it on clean content too).  Deterministic: seeded training on
     the CPU backend.
 
-    The emission onset snap is held OFF for both: it reads the ANALYTIC
-    harmonic model and is skipped under a tmpl override
-    (Transcriber.snaps_onsets), so leaving it on would hand the
-    analytic side an emission-stage edge unrelated to bank quality —
-    the thing this test measures."""
+    The emission refinement chain (onset snap / twin dedup / re-strike
+    split) is held OFF for both: it reads the ANALYTIC harmonic model
+    and is skipped under a tmpl override (Transcriber.snaps_onsets),
+    so leaving it on would hand the analytic side an emission-stage
+    edge unrelated to bank quality — the thing this test measures."""
     from amt_saga_tpu.evaluation.f1 import corpus_f1
 
-    cfg = tiny_config.override(**{"loop.onset_snap_frames": 0})
+    cfg = tiny_config.override(**{"loop.onset_snap_frames": 0,
+                                  "loop.restrike_split": False,
+                                  "loop.dedup_twins": False})
     tr_a = Transcriber(cfg)
     tr_n = Transcriber(cfg, tmpl=neural_template_arrays(cfg, audio_trained))
     mismatch = cfg.override(**{
