@@ -159,7 +159,7 @@ class LoopConfig:
     # from the pitch-unique fundamental trace vs the template's own
     # predicted decay, with bank-attributed cross-leak rejection, not
     # from the collision-prone coarse map).  Measured (round 3):
-    # 4-voice F1 0.9597 -> 0.9640, repeated-note etude F1
+    # 4-voice F1 0.9597 -> 0.9720, repeated-note etude F1
     # 0.8304 -> 0.9603 (recall 0.715 -> 0.931) — strictly dominating
     # the opt-in refractory gate's 0.863-at-(-2.4pt-4-voice) tradeoff;
     # mono/2-voice/off-grid untouched.

@@ -232,7 +232,7 @@ def snap_onsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
 # sub-octave/harmonic-aligned maskers — which defeat region-magnitude
 # tests on their own — are attributed exactly).  Gate set chosen by a
 # sweep on the pinned suites (docs/PERFORMANCE.md round 3): 4-voice
-# F1 0.9597 -> 0.9640, repeated-note etude F1 0.8304 -> 0.9603
+# F1 0.9597 -> 0.9720, repeated-note etude F1 0.8304 -> 0.9603
 # (recall 0.715 -> 0.931); mono, 2-voice, and off-grid outputs are
 # untouched.
 # ---------------------------------------------------------------------------
@@ -378,10 +378,17 @@ def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
                     and abs(m.onset - tt) <= 6 * spf
                     for m in notes + added)
                 if not covered:
-                    lo_r = max(k - 2, 1)
+                    # The split onset is the half-rise crossing + the
+                    # STFT-overlap lead — the same absolute-crossing
+                    # policy the onset snap measured dead-on (a
+                    # steepest-ascent pick landed 1-3 frames late on
+                    # the pinned suites: mus4 0.9640 vs 0.9720 here).
+                    lo_r = max(k - 3, 1)
                     hi_r = min(k + 4, K)
-                    t_ref = lo_r + int(np.argmax(
-                        np.diff(e1[lo_r - 1:hi_r]))) + ref_off
+                    thr = local_min + 0.5 * rise_amt
+                    idx = np.nonzero(e1[lo_r:hi_r] >= thr)[0]
+                    t_ref = (lo_r + int(idx[0]) if idx.size else k) \
+                        + ref_off
                     on2 = float(t0 + t_ref) * spf
                     # Gain from the rise via quadrature: overlapping
                     # magnitudes at one bin add in power (the repo's
