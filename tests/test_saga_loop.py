@@ -258,6 +258,12 @@ def test_parity_fuzz_random_configs():
                 refit_gains=bool(rng.integers(0, 2)),
                 shadow_window=str(rng.choice(["duration", "template"])),
                 onset_refractory_frac=float(rng.choice([0.0, 0.5])),
+                # Emission refinement chain (saga/snap.py) — shared host
+                # code, but fuzz it anyway: the gating and the spf/frame
+                # arithmetic must agree across backends at odd framings.
+                onset_snap_frames=int(rng.choice([0, 5, 8])),
+                restrike_split=bool(rng.integers(0, 2)),
+                dedup_twins=bool(rng.integers(0, 2)),
             ))
         kind = "multi" if n_i > 1 else "mus"
         wave, _ = make_clip(cfg, kind=kind, seconds=4.0,
