@@ -88,6 +88,97 @@ def snap_spectrogram(wave: np.ndarray, cfg: Config) -> np.ndarray:
     return (mag @ logf_filterbank(dsp)).astype(np.float32)
 
 
+def snap_stft_mag(wave: np.ndarray, cfg: Config) -> np.ndarray:
+    """[T, n_fft//2+1] STFT magnitude (float32) — the rfft half of
+    snap_spectrogram, without the dense filterbank matmul.
+
+    The refinement chain only ever reads a handful of filterbank
+    columns (the emitted pitches' fundamental/harmonic regions), and
+    each column touches ~5-25 FFT bins (its triangle), so evaluating
+    columns on demand from the magnitude via the sparse column weights
+    (_fb_cols) replaces a [T,1025]x[1025,n_bins] matmul (~160 MFLOP,
+    ~12 ms/clip on a 1-core host — the dominant emission cost) with
+    sub-MFLOP sliced dots."""
+    dsp = cfg.dsp
+    w = np.asarray(wave, dtype=np.float32)
+    t_raw = dsp.raw_num_frames(w.shape[-1])
+    if t_raw <= 0:
+        return np.zeros((0, dsp.freq_bins), dtype=np.float32)
+    frames = np.lib.stride_tricks.sliding_window_view(
+        w, dsp.n_fft)[::dsp.hop][:t_raw]
+    frames = frames * hann_window(dsp.n_fft)[None, :]
+    return np.abs(_rfft(frames, dsp.n_fft)).astype(np.float32)
+
+
+def _rfft(frames: np.ndarray, n: int) -> np.ndarray:
+    """scipy's pocketfft keeps float32 native (~4x faster than
+    numpy's on this path); deterministic single-worker plan.  Both
+    emission paths share this function, so the choice cannot split
+    parity."""
+    try:
+        from scipy.fft import rfft as srfft
+
+        return srfft(frames, n=n, axis=-1, workers=1)
+    except ImportError:                       # pragma: no cover
+        return np.fft.rfft(frames, n=n, axis=-1)
+
+
+def _fb_cols(cfg: Config) -> list[tuple[int, int, np.ndarray]]:
+    """Per-filterbank-column sparse view: (first_fft_bin, last+1,
+    float64 weights) — exactly logf_filterbank's nonzero triangles."""
+    key = cfg.dsp
+    hit = _FBCOL_MEMO.get(key)
+    if hit is None:
+        fb = logf_filterbank(cfg.dsp)
+        hit = []
+        for c in range(fb.shape[1]):
+            nz = np.nonzero(fb[:, c])[0]
+            if nz.size == 0:
+                hit.append((0, 0, np.zeros(0, dtype=np.float64)))
+            else:
+                s, e = int(nz[0]), int(nz[-1]) + 1
+                hit.append((s, e, fb[s:e, c].astype(np.float64)))
+        _FBCOL_MEMO.clear()
+        _FBCOL_MEMO[key] = hit
+    return hit
+
+
+_FBCOL_MEMO: dict = {}
+
+
+class _ColCache:
+    """Per-lane cache of full-length filterbank-column traces off the
+    raw STFT magnitude.  Different notes of the same pitch (and
+    harmonically-related pitches) re-read the same columns, so each is
+    computed once over the full clip and sliced thereafter — replacing
+    hundreds of tiny per-note astype+dot calls with ~a hundred
+    full-trace dots per lane."""
+
+    def __init__(self, mag: np.ndarray, cfg: Config):
+        self._mag = np.asarray(mag, dtype=np.float64)
+        self._cols = _fb_cols(cfg)
+        self._memo: dict[int, np.ndarray] = {}
+
+    @property
+    def n_frames(self) -> int:
+        return self._mag.shape[0]
+
+    def col(self, c: int) -> np.ndarray:
+        t = self._memo.get(c)
+        if t is None:
+            s, e, w = self._cols[c]
+            t = (self._mag[:, s:e] @ w if e > s
+                 else np.zeros(self._mag.shape[0]))
+            self._memo[c] = t
+        return t
+
+    def region(self, lo: int, hi: int, reg: tuple[int, int]) -> np.ndarray:
+        out = self.col(reg[0])[lo:hi].copy()
+        for c in range(reg[0] + 1, reg[1]):
+            out += self.col(c)[lo:hi]
+        return out
+
+
 def _fundamental_region(pitch: int, cfg: Config) -> tuple[int, int] | None:
     """(lo_bin, hi_bin) slice (inclusive-exclusive) of +-1 filterbank bin
     around the fundamental of ``pitch`` — the pitch-unique evidence bins
@@ -132,20 +223,20 @@ _FUND_MEMO: dict = {}
 
 
 def snap_onsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
-                spec: np.ndarray | None = None
+                ev: "_ColCache | None" = None
                 ) -> tuple[NoteSequence, int]:
     """Return (sequence with gross early onsets snapped forward, count).
 
-    ``spec`` optionally reuses a precomputed snap_spectrogram(wave, cfg)
-    (the corpus runner shares one per lane).
+    ``ev`` optionally reuses a per-lane evidence cache
+    (refine_emission shares one across the whole chain).
     """
     loop, dsp = cfg.loop, cfg.dsp
     W = int(loop.onset_snap_frames)
     if W <= 0 or len(seq) == 0:
         return seq, 0
-    if spec is None:
-        spec = snap_spectrogram(wave, cfg)
-    T = spec.shape[0]
+    if ev is None:
+        ev = _ColCache(snap_stft_mag(wave, cfg), cfg)
+    T = ev.n_frames
     if T == 0:
         return seq, 0
     spf = dsp.hop / float(dsp.sample_rate)
@@ -186,8 +277,7 @@ def snap_onsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
         if reg is None or e_exp <= 0.0:                 # guard 4
             out.append(note)
             continue
-        e1 = spec[t0:fwd_hi + 1, reg[0]:reg[1]].sum(axis=1,
-                                                    dtype=np.float64)
+        e1 = ev.region(t0, fwd_hi + 1, reg)
         # Guard 1: the note's own fundamental evidence is already
         # present at the detected onset at the level its gain implies.
         if float(e1[0]) >= loop.onset_snap_active_ratio * e_exp:
@@ -264,21 +354,34 @@ def _region_trace(pitch: int, program: int, duration: float,
                   reg: tuple[int, int], k_max: int,
                   cfg: Config) -> np.ndarray:
     """Template magnitude trace in an arbitrary region for the nearest
-    grid duration — per unit gain, frames 0..k_max from the onset."""
+    grid duration — per unit gain, frames 0..k_max from the onset.
+    Memoized at full template length (repeated pitches re-read the
+    same rows constantly) and sliced per call."""
     from ..synth.templates import template_bank, template_lead
 
-    bank = template_bank(cfg.synth, cfg.dsp)
     p = pitch - cfg.synth.pitch_min
-    out = np.zeros(k_max, dtype=np.float64)
-    if not (0 <= p < bank.shape[1]):
-        return out
     grid = np.asarray(cfg.synth.duration_grid)
     d = int(np.argmin(np.abs(grid - duration)))
-    lead = template_lead(cfg.dsp)
-    tr = bank[program % bank.shape[0], p, d, lead:lead + k_max,
-              reg[0]:reg[1]].sum(axis=-1)
-    out[:len(tr)] = tr
+    key = (cfg.synth, cfg.dsp, pitch, program, d, reg)
+    full = _RTRACE_MEMO.get(key)
+    if full is None:
+        bank = template_bank(cfg.synth, cfg.dsp)
+        if not (0 <= p < bank.shape[1]):
+            full = np.zeros(bank.shape[3], dtype=np.float64)
+        else:
+            lead = template_lead(cfg.dsp)
+            full = bank[program % bank.shape[0], p, d, lead:,
+                        reg[0]:reg[1]].sum(axis=-1, dtype=np.float64)
+        if len(_RTRACE_MEMO) > 4096:
+            _RTRACE_MEMO.clear()
+        _RTRACE_MEMO[key] = full
+    out = np.zeros(k_max, dtype=np.float64)
+    n = min(k_max, len(full))
+    out[:n] = full[:n]
     return out
+
+
+_RTRACE_MEMO: dict = {}
 
 
 def dedup_twins(seq: NoteSequence, cfg: Config) -> NoteSequence:
@@ -301,15 +404,15 @@ def dedup_twins(seq: NoteSequence, cfg: Config) -> NoteSequence:
 
 
 def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
-                    spec: np.ndarray | None = None
+                    ev: "_ColCache | None" = None
                     ) -> tuple[NoteSequence, int]:
     """Return (sequence with swallowed re-strikes split out, count)."""
     dsp = cfg.dsp
     if not cfg.loop.restrike_split or len(seq) == 0:
         return seq, 0
-    if spec is None:
-        spec = snap_spectrogram(wave, cfg)
-    T = spec.shape[0]
+    if ev is None:
+        ev = _ColCache(snap_stft_mag(wave, cfg), cfg)
+    T = ev.n_frames
     if T == 0:
         return seq, 0
     spf = dsp.hop / float(dsp.sample_rate)
@@ -326,86 +429,104 @@ def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
             continue
         K = t_end - t0
         g = note.velocity / 127.0
-        e = {h: spec[t0:t_end, r[0]:r[1]].sum(axis=1, dtype=np.float64)
-             for h, r in regs}
+        e = {h: ev.region(t0, t_end, r) for h, r in regs}
         pe1 = g * _region_trace(note.pitch, note.program, note.duration,
                                 regs[0][1], K, cfg)
         exp0 = {h: max(g * _region_trace(note.pitch, note.program,
                                          note.duration, r, 1, cfg)[0], 1e-9)
                 for h, r in regs}
         e1, x0 = e[1], exp0[1]
-        k = _RS_MIN_K
-        while k < K - 1:
-            local_min = e1[max(0, k - 4):k - 1].min()
-            rise_amt = e1[k] - local_min
-            # The anomaly baseline is min(predicted envelope, observed
-            # local minimum): if EITHER says the trace should be low
-            # here, a high value is a re-onset.  (Prediction alone
-            # masks soft re-strikes swallowed under a long-duration
-            # atom, whose predicted envelope stays high; observation
-            # alone over-fires on beating dips in held notes.)
-            base = max(min(pe1[k], local_min), _RS_PE_FLOOR * x0)
-            ok = (rise_amt >= _RS_RISE * x0 and e1[k] >= _RS_ABS * x0
-                  and e1[k] / base >= _RS_OVER
-                  and e1[k] > e1[k - 1])
-            if ok:
-                # Persistence: a re-strike sustains its own decaying
-                # tone; a neighbor's broadband onset transient decays
-                # within a frame or two.
-                seg = e1[k:min(k + 4, K)]
-                ok = (len(seg) >= 3 and seg.min() >= 0.8 * _RS_ABS * x0
-                      and seg[2] >= 0.6 * e1[k])
-            if ok and len(regs) > 1:
-                # A real strike rises across the harmonic stack, not
-                # just in one colliding region.
-                ok = any((e[h][k] - e[h][max(0, k - 4):k - 1].min())
-                         / exp0[h] >= _RS_H_CONF for h, _ in regs[1:])
-            if ok:
-                tt = (t0 + k) * spf
-                for m in notes + added:
-                    if m is note or abs(m.onset - tt) > 4 * spf:
-                        continue
-                    if m.pitch == note.pitch or \
-                            (m.velocity / 127.0) * _region_trace(
-                                m.pitch, m.program, m.duration,
-                                regs[0][1], 3, cfg).max() \
-                            >= _RS_LEAK * rise_amt:
-                        ok = False   # the rise is already explained
-                        break
-            if ok:
-                covered = any(
-                    m is not note and m.pitch == note.pitch
-                    and abs(m.onset - tt) <= 6 * spf
-                    for m in notes + added)
-                if not covered:
-                    # The split onset is the half-rise crossing + the
-                    # STFT-overlap lead — the same absolute-crossing
-                    # policy the onset snap measured dead-on (a
-                    # steepest-ascent pick landed 1-3 frames late on
-                    # the pinned suites: mus4 0.9640 vs 0.9720 here).
-                    lo_r = max(k - 3, 1)
-                    hi_r = min(k + 4, K)
-                    thr = local_min + 0.5 * rise_amt
-                    idx = np.nonzero(e1[lo_r:hi_r] >= thr)[0]
-                    t_ref = (lo_r + int(idx[0]) if idx.size else k) \
-                        + ref_off
-                    on2 = float(t0 + t_ref) * spf
-                    # Gain from the rise via quadrature: overlapping
-                    # magnitudes at one bin add in power (the repo's
-                    # refit-gains insight), so the new tone's magnitude
-                    # is sqrt(e1^2 - pre-rise^2), not the difference.
-                    mag2 = float(np.sqrt(max(
-                        e1[k] ** 2 - local_min ** 2, 0.0)))
-                    g2 = min(max(mag2 / max(_region_trace(
-                        note.pitch, note.program, note.duration,
-                        regs[0][1], 1, cfg)[0], 1e-9), 0.08), 1.0)
-                    added.append(Note(
-                        on2, max(note.offset - on2, 2 * spf), note.pitch,
-                        int(max(1, min(127, round(g2 * 127.0)))),
-                        note.program))
-                    k = t_ref + 6
+        # All gates evaluated as arrays over the candidate frames (the
+        # python per-frame loop was ~half the emission scan cost).
+        ks = np.arange(_RS_MIN_K, K - 1)
+        if ks.size == 0:
+            continue
+        local_min = np.minimum(np.minimum(e1[ks - 4], e1[ks - 3]),
+                               e1[ks - 2])
+        rise_amt_v = e1[ks] - local_min
+        # The anomaly baseline is min(predicted envelope, observed
+        # local minimum): if EITHER says the trace should be low here,
+        # a high value is a re-onset.  (Prediction alone masks soft
+        # re-strikes swallowed under a long-duration atom, whose
+        # predicted envelope stays high; observation alone over-fires
+        # on beating dips in held notes.)
+        base = np.maximum(np.minimum(pe1[ks], local_min),
+                          _RS_PE_FLOOR * x0)
+        ok = ((rise_amt_v >= _RS_RISE * x0) & (e1[ks] >= _RS_ABS * x0)
+              & (e1[ks] / base >= _RS_OVER) & (e1[ks] > e1[ks - 1]))
+        # Persistence: a re-strike sustains its own decaying tone; a
+        # neighbor's broadband onset transient decays within a frame
+        # or two.  (min over e1[k:k+4] clipped at the extent end.)
+        e1p = np.concatenate([e1, [np.inf]])
+        seg_min = np.minimum(
+            np.minimum(e1p[ks], e1p[np.minimum(ks + 1, K)]),
+            np.minimum(e1p[np.minimum(ks + 2, K)],
+                       e1p[np.minimum(ks + 3, K)]))
+        ok &= ((ks <= K - 3) & (seg_min >= 0.8 * _RS_ABS * x0)
+               & (e1p[np.minimum(ks + 2, K)] >= 0.6 * e1[ks]))
+        if len(regs) > 1:
+            # A real strike rises across the harmonic stack, not just
+            # in one colliding region.
+            conf = np.zeros(ks.shape, dtype=bool)
+            for h, _ in regs[1:]:
+                eh = e[h]
+                lm_h = np.minimum(np.minimum(eh[ks - 4], eh[ks - 3]),
+                                  eh[ks - 2])
+                conf |= (eh[ks] - lm_h) / exp0[h] >= _RS_H_CONF
+            ok &= conf
+        next_ok = -1
+        for k, rise_amt in zip(ks[ok], rise_amt_v[ok]):
+            if k < next_ok:
+                continue
+            k = int(k)
+            tt = (t0 + k) * spf
+            # Cross-leak: another emitted note onsets at the rise and
+            # its template explains the fundamental-region jump
+            # (sub-octave / harmonic-aligned maskers hit every region
+            # of ours).
+            explained = False
+            for m in notes + added:
+                if m is note or abs(m.onset - tt) > 4 * spf:
                     continue
-            k += 1
+                if m.pitch == note.pitch or \
+                        (m.velocity / 127.0) * _region_trace(
+                            m.pitch, m.program, m.duration,
+                            regs[0][1], 3, cfg).max() \
+                        >= _RS_LEAK * rise_amt:
+                    explained = True
+                    break
+            if explained:
+                continue
+            covered = any(
+                m is not note and m.pitch == note.pitch
+                and abs(m.onset - tt) <= 6 * spf
+                for m in notes + added)
+            if covered:
+                continue
+            # The split onset is the half-rise crossing + the
+            # STFT-overlap lead — the same absolute-crossing policy
+            # the onset snap measured dead-on (a steepest-ascent pick
+            # landed 1-3 frames late on the pinned suites: mus4
+            # 0.9640 vs 0.9720 here).
+            lo_r = max(k - 3, 1)
+            hi_r = min(k + 4, K)
+            thr = float(local_min[k - _RS_MIN_K]) + 0.5 * rise_amt
+            idx = np.nonzero(e1[lo_r:hi_r] >= thr)[0]
+            t_ref = (lo_r + int(idx[0]) if idx.size else k) + ref_off
+            on2 = float(t0 + t_ref) * spf
+            # Gain from the rise via quadrature: overlapping
+            # magnitudes at one bin add in power (the repo's
+            # refit-gains insight), so the new tone's magnitude is
+            # sqrt(e1^2 - pre-rise^2), not the difference.
+            lm = float(local_min[k - _RS_MIN_K])
+            mag2 = float(np.sqrt(max(float(e1[k]) ** 2 - lm ** 2, 0.0)))
+            g2 = min(max(mag2 / max(_region_trace(
+                note.pitch, note.program, note.duration,
+                regs[0][1], 1, cfg)[0], 1e-9), 0.08), 1.0)
+            added.append(Note(
+                on2, max(note.offset - on2, 2 * spf), note.pitch,
+                int(max(1, min(127, round(g2 * 127.0)))), note.program))
+            next_ok = t_ref + 6
     if not added:
         return seq, 0
     return NoteSequence(notes + added).sorted(), len(added)
@@ -414,19 +535,19 @@ def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
 def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
                     ) -> NoteSequence:
     """Full emission-side refinement chain: onset snap -> twin dedup ->
-    re-strike split.  One spectrogram read serves all three.  Pure host
-    NumPy of (emitted notes, wave); identical in the golden and TPU
-    paths — the parity surface."""
+    re-strike split.  One STFT-magnitude read serves all three.  Pure
+    host NumPy of (emitted notes, wave); identical in the golden and
+    TPU paths — the parity surface."""
     loop = cfg.loop
-    want_spec = (loop.onset_snap_frames > 0 or loop.restrike_split) \
+    want_ev = (loop.onset_snap_frames > 0 or loop.restrike_split) \
         and len(seq) > 0
-    if not want_spec and not loop.dedup_twins:
+    if not want_ev and not loop.dedup_twins:
         return seq
-    spec = snap_spectrogram(wave, cfg) if want_spec else None
-    if loop.onset_snap_frames > 0 and spec is not None:
-        seq, _ = snap_onsets(seq, wave, cfg, spec=spec)
+    ev = _ColCache(snap_stft_mag(wave, cfg), cfg) if want_ev else None
+    if loop.onset_snap_frames > 0 and ev is not None:
+        seq, _ = snap_onsets(seq, wave, cfg, ev=ev)
     if loop.dedup_twins:
         seq = dedup_twins(seq, cfg)
-    if loop.restrike_split and spec is not None:
-        seq, _ = split_restrikes(seq, wave, cfg, spec=spec)
+    if loop.restrike_split and ev is not None:
+        seq, _ = split_restrikes(seq, wave, cfg, ev=ev)
     return seq

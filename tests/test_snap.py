@@ -26,14 +26,32 @@ def cfg():
 
 def test_snap_spectrogram_bit_identical_to_golden(cfg):
     """The stride-tricks + batched-rfft spectrogram must equal the
-    golden per-frame loop BIT-FOR-BIT — the parity argument rests on
-    both emission paths computing the identical array."""
+    golden per-frame loop BIT-FOR-BIT (dense reference path; the
+    production chain reads sparse columns — next test)."""
     rng = np.random.default_rng(3)
     wave = rng.standard_normal(cfg.dsp.sample_rate * 2).astype(np.float32)
     a = snap_spectrogram(wave, cfg)
     b = spectrogram_np(wave, cfg.dsp, pad=False)
     assert a.shape == b.shape
     assert np.array_equal(a, b)
+
+
+def test_sparse_region_reader_matches_dense(cfg):
+    """The chain's evidence (sparse per-column dots off the raw STFT
+    magnitude, scipy rfft) must agree with dense spectrogram region
+    sums to float32 tolerance — parity itself needs only that both
+    paths share the code, but the yardsticks (bank region sums) come
+    from the dense path, so the two must measure the same quantity."""
+    from amt_saga_tpu.saga.snap import _ColCache, snap_stft_mag
+
+    rng = np.random.default_rng(5)
+    wave = rng.standard_normal(cfg.dsp.sample_rate * 2).astype(np.float32)
+    dense = spectrogram_np(wave, cfg.dsp, pad=False).astype(np.float64)
+    ev = _ColCache(snap_stft_mag(wave, cfg), cfg)
+    for reg in [(0, 3), (100, 103), (cfg.dsp.n_bins - 3, cfg.dsp.n_bins)]:
+        a = ev.region(3, dense.shape[0] - 2, reg)
+        b = dense[3:-2, reg[0]:reg[1]].sum(axis=1)
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-4)
 
 
 def _octave_mask_wave(cfg, low_pitch=64):
