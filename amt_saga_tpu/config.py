@@ -168,6 +168,16 @@ class LoopConfig:
     # onsetting within +-1 frame of a louder same-pitch twin (rare loop
     # artifact; physically and MIDI-wise invalid).
     dedup_twins: bool = True
+    # Emission-side instrument re-pick (saga/snap.py
+    # reassign_instruments): when the OBSERVED onset harmonic shape
+    # (gain folded out, pollution-filtered via bank cross-leak)
+    # contradicts the emitted instrument by at least this score
+    # margin, re-assign to the evidence's pick.  Measured on 9
+    # config-5 clips (435 attributed notes): margin 1.0 corrects 3
+    # mis-attributions, breaks 0 (unconditional evidence would break
+    # 15 — concurrent voices pollute harmonic regions).  Only active
+    # with synth.n_instruments > 1; 0 disables.
+    instrument_evidence_margin: float = 1.0
     # Notes extracted per loop iteration: up to n_extract coarse-score
     # peaks (local maxima, masked argmax) are extracted SEQUENTIALLY
     # within the iteration — greedy matching pursuit against the

@@ -267,3 +267,43 @@ def test_tpu_golden_parity_on_etude(cfg):
     assert notes_to_midi_bytes(tr.transcribe(np.asarray(wave))) == \
         notes_to_midi_bytes(transcribe_golden(np.asarray(wave),
                                               cfg).sequence)
+
+
+def test_reassign_instrument_on_decisive_evidence():
+    """An isolated note rendered with instrument 1's rolloff but
+    emitted as instrument 0 must be re-picked from onset harmonic
+    shape; with the feature disabled it stays."""
+    from amt_saga_tpu.saga.snap import reassign_instruments
+
+    cfg = default_config().override(**{
+        "synth.n_instruments": 3,
+        "synth.instrument_rolloffs": (0.5, 1.25, 2.5),
+        "dsp.n_bins": 294,
+    })
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref = NoteSequence()
+    ref.add(31 * spf, 1.0, 60, 100, 2)     # steep-rolloff instrument
+    wave = render_notes(ref.sorted(), cfg, int(3.0 * cfg.dsp.sample_rate))
+    wrong = NoteSequence([Note(31 * spf, 1.0, 60, 100, 0)])
+    out, n = reassign_instruments(wrong, wave, cfg)
+    assert n == 1 and out.notes[0].program == 2
+    c0 = cfg.override(**{"loop.instrument_evidence_margin": 0.0})
+    out0, n0 = reassign_instruments(wrong, wave, c0)
+    assert n0 == 0 and out0.notes[0].program == 0
+
+
+def test_reassign_untouched_when_correct():
+    from amt_saga_tpu.saga.snap import reassign_instruments
+
+    cfg = default_config().override(**{
+        "synth.n_instruments": 3,
+        "synth.instrument_rolloffs": (0.5, 1.25, 2.5),
+        "dsp.n_bins": 294,
+    })
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref = NoteSequence()
+    for i, p in enumerate((48, 64, 79)):
+        ref.add((31 + 40 * i) * spf, 0.8, p, 100, i)
+    wave = render_notes(ref.sorted(), cfg, int(6.0 * cfg.dsp.sample_rate))
+    out, n = reassign_instruments(ref.sorted(), wave, cfg)
+    assert n == 0
