@@ -384,6 +384,15 @@ class RunConfig:
     # Empty disables.  Backend support is probed at runtime; unsupported
     # backends fall back to plain jit with a logged warning.
     aot_cache: str = ""
+    # Host-side emission workers: notes_batch_to_sequences converts and
+    # refines lanes in a thread pool of this size (0/1 = serial).  The
+    # per-lane work (refit descent, duration fit, evidence chain) is
+    # numpy/scipy-heavy and releases the GIL for its hot parts, so on a
+    # multi-core production host the emission stage scales with cores
+    # and stays off the corpus pipeline's critical path.  Lanes are
+    # independent and results keep batch order, so outputs are
+    # identical to serial.  "auto" (-1) = min(8, cpu_count - 1).
+    emission_workers: int = -1
     # Max static waveform-length buckets for the corpus runner
     # (runtime/bucketing.py): each bucket is one compiled shape; the
     # planner uses FEWER when extra compiles don't pay (uniform corpus

@@ -41,6 +41,7 @@ Structure of one loop iteration (all lanes in lockstep, done lanes no-op):
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Callable, NamedTuple
 
@@ -1255,8 +1256,7 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             "(truncated transcription); raise loop.max_notes or chunk "
             "the input", int(saturated.sum()), len(saturated),
             cfg.loop.max_notes)
-    out = []
-    for b in range(notes.onset.shape[0]):
+    def one_lane(b: int) -> NoteSequence:
         if poison[b]:
             # Sanitizer: non-finite values were detected in this lane on
             # device — emit an empty sequence + a logged event instead of
@@ -1266,8 +1266,7 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             get_logger("amt_saga_tpu.saga").warning(
                 "lane %d poisoned (non-finite residual/scores); "
                 "emitting empty sequence", b)
-            out.append(NoteSequence())
-            continue
+            return NoteSequence()
         gains_b = np.asarray(notes.gain[b])
         progs_b = np.asarray(notes.program[b])
         didx_b = np.asarray(notes.d_idx[b])
@@ -1338,5 +1337,19 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             from .snap import refine_emission
 
             seq = refine_emission(seq, snap_waves[b], cfg)
-        out.append(seq)
-    return out
+        return seq
+
+    n_lanes = notes.onset.shape[0]
+    workers = cfg.run.emission_workers
+    if workers < 0:                       # auto
+        workers = min(8, max(1, (os.cpu_count() or 1) - 1))
+    if workers > 1 and n_lanes > 1:
+        # Lanes are independent; the heavy parts (refit descent,
+        # duration fit, the evidence chain's rfft/BLAS) release the
+        # GIL, so on a multi-core host emission scales with cores.
+        # map() preserves lane order -> outputs identical to serial.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(workers, n_lanes)) as ex:
+            return list(ex.map(one_lane, range(n_lanes)))
+    return [one_lane(b) for b in range(n_lanes)]

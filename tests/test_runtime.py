@@ -135,3 +135,33 @@ def test_aot_warmup_async_and_stats(tiny_config, tmp_path):
     # the invariant: a reload that did succeed skipped the compile.
     if st2["source"] == "aot":
         assert st2["compile_s"] == 0.0
+
+
+def test_emission_workers_deterministic():
+    """Pooled emission (run.emission_workers) must emit byte-identical
+    MIDI to serial — lanes are independent and map() keeps order."""
+    import jax
+    import numpy as np
+
+    from amt_saga_tpu import default_config
+    from amt_saga_tpu.core.midi import notes_to_midi_bytes
+    from amt_saga_tpu.runtime.fixtures import make_corpus
+    from amt_saga_tpu.saga.loop import Transcriber, notes_batch_to_sequences
+
+    cfg = default_config().override(**{"dsp.n_bins": 144,
+                                       "synth.pitch_min": 40,
+                                       "synth.pitch_max": 76,
+                                       "loop.max_notes": 32})
+    clips = make_corpus(cfg, kind="mus", n_clips=3, seconds=4.0, seed=7,
+                        n_voices=2)
+    waves = np.stack([np.asarray(w) for w, _ in clips])
+    tr = Transcriber(cfg)
+    notes = jax.device_get(tr._fn(waves))
+    kw = dict(gram=tr.host_gram(), refiner=tr.duration_refiner(),
+              snap_waves=waves)
+    a = notes_batch_to_sequences(
+        notes, cfg.override(**{"run.emission_workers": 1}), **kw)
+    b = notes_batch_to_sequences(
+        notes, cfg.override(**{"run.emission_workers": 4}), **kw)
+    assert [notes_to_midi_bytes(x) for x in a] == \
+        [notes_to_midi_bytes(y) for y in b]
