@@ -248,6 +248,29 @@ def bench_golden(seconds: float, clips: int) -> dict:
     }
 
 
+def _backend_available(timeout_s: float) -> bool:
+    """Probe ``jax.devices()`` in a SUBPROCESS with a hard timeout.
+
+    The axon remote backend hangs device initialization indefinitely
+    when its service is down (observed 2026-08-17/18: >20 min inside
+    make_c_api_client with no error), and a hung import cannot be
+    interrupted in-process — so the probe must be a separate process
+    the parent can kill.  On a healthy backend this costs one extra
+    interpreter start (~2-20 s)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--golden", action="store_true",
@@ -277,7 +300,26 @@ def main() -> None:
                         "inside the while_loop (the chain's op-launch "
                         "tail was already removed by the deferred-"
                         "subtract restructure; see docs/PERFORMANCE.md)")
+    p.add_argument("--backend-timeout", type=float, default=1800.0,
+                   help="seconds to wait for the device backend to "
+                        "initialize before emitting an honest "
+                        "backend_unavailable record instead of hanging "
+                        "(the axon remote backend was observed to hang "
+                        "jax.device initialization indefinitely during "
+                        "a service outage, 2026-08-17/18)")
     args = p.parse_args()
+
+    if not args.golden and not _backend_available(args.backend_timeout):
+        print(json.dumps({
+            "metric": "audio_sec_per_sec_per_chip", "value": 0,
+            "unit": "audio-sec/sec/chip", "vs_baseline": 0,
+            "backend_unavailable": True,
+            "note": "device backend failed to initialize within "
+                    f"{args.backend_timeout:.0f}s (axon service outage); "
+                    "no measurement possible — see benchmarks/"
+                    "history.jsonl for the last recorded on-chip run",
+        }))
+        return
 
     if args.golden:
         rec = bench_golden(args.seconds, max(2, args.batch // 8))
