@@ -435,30 +435,40 @@ def refit_gains_variants_host(
         """Variant-comparing sweeps over the given per-note variant set
         (qd index, duration index, instrument index: each [n, V]).
         ``allowed`` [n, V] masks variants out of contention (the
-        incumbent is always in)."""
+        incumbent is always in).
+
+        The per-note update order and every float op are pinned (parity
+        surface); the hoists below only remove redundant recomputation
+        of values that are bit-identical across iterations: gaa depends
+        only on the static variant set, and qb changes one entry per
+        accepted update."""
+        gaa_all = np.maximum(
+            gram_pow[tmax - 1, qd_var, qd_var].astype(np.float64),
+            1e-12)                                               # [n, V]
+        qb = (prog * n_pitches + p) * n_durations + dsel
         for _ in range(int(sweeps)):
             for a in range(n):
-                qb = (prog * n_pitches + p) * n_durations + dsel
                 rows = gram_pow[k[a][None, :], qd_var[a][:, None],
                                 qb[None, :]].astype(np.float64)  # [V, n]
                 rows = np.where(in_band[a][None, :], rows, 0.0)
-                gaa = np.maximum(
-                    gram_pow[tmax - 1, qd_var[a], qd_var[a]].astype(
-                        np.float64), 1e-12)                      # [V]
+                gaa = gaa_all[a]                                 # [V]
                 s = rows @ h - rows[:, a] * h[a]                 # no self
                 g = np.maximum(0.0, (d0[a] - s) / gaa)
                 obj = g * g * gaa
                 obj_q = _quantize_decisions_f32(obj)
                 inc = int(np.argmax(qd_var[a] == qb[a]))
                 if allowed is not None:
+                    inc_q = obj_q[inc]
                     obj_q = np.where(allowed[a], obj_q, -np.inf)
-                    obj_q[inc] = _quantize_decisions_f32(obj)[inc]
+                    obj_q[inc] = inc_q
                 v_best = int(np.argmax(obj_q))                   # 1st-max
                 if obj_q[v_best] == obj_q[inc]:
                     v_best = inc
                 prog[a] = i_var[a, v_best]
                 dsel[a] = d_var[a, v_best]
                 h[a] = g[v_best]
+                qb[a] = (prog[a] * n_pitches + p[a]) * n_durations \
+                    + dsel[a]
 
     # Stage 1: instruments (dd = 0 columns of dot0), duration fixed.
     i_var = np.broadcast_to(np.arange(n_i, dtype=np.int64)[None, :],
