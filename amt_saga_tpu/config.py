@@ -178,6 +178,14 @@ class LoopConfig:
     # 15 — concurrent voices pollute harmonic regions).  Only active
     # with synth.n_instruments > 1; 0 disables.
     instrument_evidence_margin: float = 1.0
+    # Emission-side offset trim (saga/snap.py trim_offsets): shorten
+    # gross over-long durations (>= 2 frames) to the point where the
+    # note's fundamental trace falls below 0.35x the held-note
+    # expectation and stays absent — the off-grid suite's only failure
+    # mode.  Fail-closed by physics: a sounding note cannot have an
+    # absent fundamental, and other notes' energy in the region only
+    # PREVENTS trimming.  Trim-only; runs last in the chain.
+    offset_trim: bool = True
     # Notes extracted per loop iteration: up to n_extract coarse-score
     # peaks (local maxima, masked argmax) are extracted SEQUENTIALLY
     # within the iteration — greedy matching pursuit against the

@@ -62,7 +62,8 @@ from ..dsp.cqt import logf_filterbank
 from ..dsp.stft import hann_window
 
 __all__ = ["refine_emission", "snap_onsets", "split_restrikes",
-           "dedup_twins", "reassign_instruments", "snap_spectrogram"]
+           "dedup_twins", "reassign_instruments", "trim_offsets",
+           "snap_spectrogram"]
 
 
 def snap_spectrogram(wave: np.ndarray, cfg: Config) -> np.ndarray:
@@ -617,6 +618,74 @@ def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
     return NoteSequence(notes + added).sorted(), len(added)
 
 
+_OT_DROP = 0.35      # end detector: ratio falls below this...
+_OT_STAY = 0.6       # ...and STAYS below this for the rest of the extent
+_OT_MIN_TRIM = 2     # frames; sub-tolerance differences stay untouched
+_OT_MIN_K = 4        # never trim into the onset region
+
+
+def trim_offsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
+                 ev: "_ColCache | None" = None
+                 ) -> tuple[NoteSequence, int]:
+    """Trim gross over-long durations to the fundamental-decay end.
+
+    The continuous duration refiner reads the winner's recorded grid
+    scores, which dense content can tilt toward over-long atoms (the
+    off-grid suite's only failure mode: durations high by 2-12
+    frames).  The pitch-unique fundamental trace gives the end
+    directly: the first frame where e1 falls below _OT_DROP x the
+    HELD-note expectation (gain x the longest grid atom's envelope —
+    no release) and stays below _OT_STAY for the rest of the extent.
+    Measured on the off-grid suite: the detector lands on the true end
+    +-1 frame for every clean note and returns None under region
+    maskers (their energy keeps the ratio high — the failure direction
+    is fail-closed by physics: a sounding note cannot have an absent
+    fundamental).  Trim-only (extensions are never evidence-forced),
+    >= _OT_MIN_TRIM frames, applied AFTER the re-strike split so the
+    split scans the full original extent.
+    """
+    dsp = cfg.dsp
+    if not cfg.loop.offset_trim or len(seq) == 0:
+        return seq, 0
+    if ev is None:
+        ev = _ColCache(snap_stft_mag(wave, cfg), cfg)
+    T = ev.n_frames
+    if T == 0:
+        return seq, 0
+    spf = dsp.hop / float(dsp.sample_rate)
+    grid_max = float(max(cfg.synth.duration_grid))
+    out = []
+    n_trimmed = 0
+    for note in seq.notes:
+        t0 = int(round(note.onset / spf))
+        end_k = int(round(note.duration / spf))
+        reg = _fundamental_region(note.pitch, cfg)
+        if (reg is None or t0 < 0
+                or end_k < _OT_MIN_K + _OT_MIN_TRIM or t0 + 2 >= T):
+            out.append(note)
+            continue
+        hi = min(t0 + end_k + 2, T)
+        e1 = ev.region(t0, hi, reg)
+        held = (note.velocity / 127.0) * _region_trace(
+            note.pitch, note.program, grid_max, reg, hi - t0, cfg)
+        ratio = e1 / np.maximum(held, 1e-9)
+        k_trim = None
+        below = ratio < _OT_STAY
+        for k in range(_OT_MIN_K, len(ratio)):
+            if ratio[k] < _OT_DROP and bool(below[k:].all()):
+                k_trim = k
+                break
+        if k_trim is None or k_trim > end_k - _OT_MIN_TRIM:
+            out.append(note)
+            continue
+        out.append(Note(note.onset, float(k_trim) * spf, note.pitch,
+                        note.velocity, note.program))
+        n_trimmed += 1
+    if n_trimmed == 0:
+        return seq, 0
+    return NoteSequence(out).sorted(), n_trimmed
+
+
 def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
                     ) -> NoteSequence:
     """Full emission-side refinement chain: onset snap -> twin dedup ->
@@ -625,6 +694,7 @@ def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
     TPU paths — the parity surface."""
     loop = cfg.loop
     want_ev = (loop.onset_snap_frames > 0 or loop.restrike_split
+               or loop.offset_trim
                or (loop.instrument_evidence_margin > 0
                    and cfg.synth.n_instruments > 1)) and len(seq) > 0
     if not want_ev and not loop.dedup_twins:
@@ -639,4 +709,6 @@ def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
         seq, _ = reassign_instruments(seq, wave, cfg, ev=ev)
     if loop.restrike_split and ev is not None:
         seq, _ = split_restrikes(seq, wave, cfg, ev=ev)
+    if loop.offset_trim and ev is not None:
+        seq, _ = trim_offsets(seq, wave, cfg, ev=ev)
     return seq

@@ -307,3 +307,60 @@ def test_reassign_untouched_when_correct():
     wave = render_notes(ref.sorted(), cfg, int(6.0 * cfg.dsp.sample_rate))
     out, n = reassign_instruments(ref.sorted(), wave, cfg)
     assert n == 0
+
+
+def test_trim_fires_on_overlong_duration(cfg):
+    """A 0.5-s note emitted with a 1.5-s duration must trim to the
+    fundamental-decay end."""
+    from amt_saga_tpu.saga.snap import trim_offsets
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref = NoteSequence()
+    ref.add(31 * spf, 0.5, 64, 96, 0)
+    wave = render_notes(ref.sorted(), cfg, int(4.0 * cfg.dsp.sample_rate))
+    seq = NoteSequence([Note(31 * spf, 1.5, 64, 96, 0)])
+    out, n = trim_offsets(seq, wave, cfg)
+    assert n == 1
+    assert abs(out.notes[0].duration - 0.5) <= 2 * spf + 1e-9
+
+
+def test_trim_keeps_correct_duration(cfg):
+    from amt_saga_tpu.saga.snap import trim_offsets
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref = NoteSequence()
+    ref.add(31 * spf, 0.75, 64, 96, 0)
+    wave = render_notes(ref.sorted(), cfg, int(4.0 * cfg.dsp.sample_rate))
+    out, n = trim_offsets(NoteSequence(list(ref.sorted().notes)), wave, cfg)
+    assert n == 0
+
+
+def test_trim_fails_closed_under_region_masker(cfg):
+    """A sub-octave neighbor whose 2nd harmonic sits AT our fundamental
+    and outlives us keeps the region energized -> no trim even though
+    the claimed duration is over-long."""
+    from amt_saga_tpu.saga.snap import trim_offsets
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref = NoteSequence()
+    ref.add(31 * spf, 0.5, 76, 110, 0)
+    ref.add(31 * spf, 2.0, 64, 110, 0)   # octave below, loud, long
+    wave = render_notes(ref.sorted(), cfg, int(4.0 * cfg.dsp.sample_rate))
+    seq = NoteSequence([Note(31 * spf, 1.5, 76, 110, 0),
+                        Note(31 * spf, 2.0, 64, 110, 0)])
+    out, n = trim_offsets(seq, wave, cfg)
+    trimmed76 = [x for x in out if x.pitch == 76][0]
+    assert trimmed76.duration >= 1.0, "masked region must fail closed"
+
+
+def test_trim_disabled_by_config(cfg):
+    from amt_saga_tpu.saga.snap import trim_offsets
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref = NoteSequence()
+    ref.add(31 * spf, 0.5, 64, 96, 0)
+    wave = render_notes(ref.sorted(), cfg, int(4.0 * cfg.dsp.sample_rate))
+    seq = NoteSequence([Note(31 * spf, 1.5, 64, 96, 0)])
+    out, n = trim_offsets(seq, wave,
+                          cfg.override(**{"loop.offset_trim": False}))
+    assert n == 0
