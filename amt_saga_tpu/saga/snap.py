@@ -669,6 +669,16 @@ def trim_offsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
         held = (note.velocity / 127.0) * _region_trace(
             note.pitch, note.program, grid_max, reg, hi - t0, cfg)
         ratio = e1 / np.maximum(held, 1e-9)
+        # Trust gate: the evidence channel must light up at the onset,
+        # where the note is KNOWN present — if it never reaches half
+        # the held expectation even there (ultra-low fundamentals at
+        # the spectral floor, mis-scaled yardsticks), absence later
+        # proves nothing.  Added after the rule trimmed a 36.7 Hz note
+        # to the minimum (its fundamental region never read above
+        # noise); fail closed instead.
+        if float(ratio[:_OT_MIN_K].max()) < 0.5:
+            out.append(note)
+            continue
         k_trim = None
         below = ratio < _OT_STAY
         for k in range(_OT_MIN_K, len(ratio)):
