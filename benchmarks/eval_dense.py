@@ -51,7 +51,10 @@ def main() -> None:
     p.add_argument("--record", action="store_true")
     args = p.parse_args()
 
-    cfg = default_config()
+    # Resolve checkpoints the way the cnn_dense CLI mode does (the
+    # resolution order depends on run.classifier; without this the
+    # harness silently loaded the GATE checkpoint and swept zeros).
+    cfg = default_config().override(**{"run.classifier": "cnn_dense"})
     if args.ckpt:
         import os
 
