@@ -288,9 +288,10 @@ def cmd_transcribe_corpus(args) -> int:
         paths = paths[shard_idx::shard_count]
         log.info("shard %d/%d: %d clips", shard_idx, shard_count,
                  len(paths))
-    todo = [p for p in paths if not manifest.is_done(p)]
+    todo = [p for p in paths
+            if not manifest.is_done(p, verify_output=True)]
     log.info("%d clips, %d already done, %d to go",
-             len(paths), manifest.n_done, len(todo))
+             len(paths), len(paths) - len(todo), len(todo))
     if not todo:
         return 0
 

@@ -28,8 +28,22 @@ class Manifest:
                     if rec.get("status") == "done":
                         self._done[rec["clip"]] = rec
 
-    def is_done(self, clip: str) -> bool:
-        return clip in self._done
+    def is_done(self, clip: str, verify_output: bool = False) -> bool:
+        """``verify_output=True`` additionally requires the recorded
+        output file to still exist: a clip whose MIDI was deleted (or
+        lost with its volume) between runs is re-queued instead of
+        silently skipped — failure recovery must survive divergence
+        between the manifest and the artifacts it describes, not just
+        clean crashes (mark_done already orders write-then-mark for
+        those)."""
+        rec = self._done.get(clip)
+        if rec is None:
+            return False
+        if verify_output:
+            out = rec.get("output")
+            if out and not os.path.exists(out):
+                return False
+        return True
 
     def done_keys(self) -> list[str]:
         """Clips marked done, in insertion order."""

@@ -165,3 +165,23 @@ def test_emission_workers_deterministic():
         notes, cfg.override(**{"run.emission_workers": 4}), **kw)
     assert [notes_to_midi_bytes(x) for x in a] == \
         [notes_to_midi_bytes(y) for y in b]
+
+
+def test_manifest_requeues_missing_outputs(tmp_path):
+    """A done-marked clip whose recorded output file no longer exists
+    is re-queued under verify_output (manifest/artifact divergence —
+    SURVEY.md §5 failure recovery)."""
+    from amt_saga_tpu.runtime.manifest import Manifest
+
+    out = tmp_path / "c0.mid"
+    out.write_bytes(b"x")
+    m = Manifest(str(tmp_path / "manifest.jsonl"))
+    m.mark_done("c0.wav", output=str(out))
+    m.mark_done("c1.wav")             # no output recorded: stays done
+    m2 = Manifest(str(tmp_path / "manifest.jsonl"))
+    assert m2.is_done("c0.wav", verify_output=True)
+    out.unlink()
+    m3 = Manifest(str(tmp_path / "manifest.jsonl"))
+    assert m3.is_done("c0.wav")                        # legacy view
+    assert not m3.is_done("c0.wav", verify_output=True)
+    assert m3.is_done("c1.wav", verify_output=True)
