@@ -420,7 +420,8 @@ def cmd_train(args) -> int:
           corpus_format=args.corpus_format, corpus_split=args.split,
           noise=args.noise, loop_state_p=args.loop_states,
           cache_batches=args.cache_batches,
-          metrics=MetricsWriter(args.metrics))
+          metrics=MetricsWriter(args.metrics),
+          init_from=args.init_from)
     return 0
 
 
@@ -726,6 +727,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epoch-cached pool: pre-generate N distinct "
                         "batches and cycle them reshuffled (host "
                         "generation is the bottleneck on 1 core)")
+    p.add_argument("--init-from", default=None,
+                    help="warm-start: continue training from an "
+                         "existing checkpoint directory (e.g. "
+                         "checkpoints/dense/step_12000)")
     p.add_argument("--metrics", help="metrics JSONL path (default stderr)")
     _add_common(p)
     p.set_defaults(fn=cmd_train)

@@ -248,7 +248,8 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
           corpus_split: str | None = None, loop_state_p: float = 0.0,
           cache_batches: int = 0,
           metrics: MetricsWriter | None = None,
-          checkpoint: bool = True) -> TrainState:
+          checkpoint: bool = True,
+          init_from: str | None = None) -> TrainState:
     """Run the training loop; returns final state.
 
     With ``corpus_dir``, batches come from the user's on-disk corpus
@@ -259,6 +260,13 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
     steps = steps if steps is not None else cfg.train.steps
     rng = jax.random.PRNGKey(cfg.train.seed)
     state, tx = create_state(cfg, rng)
+    if init_from:
+        # Warm start: continue training an existing checkpoint's
+        # parameters (fresh optimizer state + step counter — the saved
+        # tree holds params only).
+        params = load_checkpoint(cfg, init_from)
+        state = state._replace(params=params)
+        log.info("warm start from %s", init_from)
     model = build_classifier(cfg)
     # Zero-flag multi-device (SURVEY.md §2.3): DP over the batch x TP
     # over run.model_parallel whenever more than one chip is visible.
