@@ -1,6 +1,11 @@
-"""Emission-side onset snap: repair gross early onsets from the note's
-own pitch-unique spectral evidence (SURVEY.md C9/L3 emission stage; no
-reference file:line possible — empty mount, SURVEY §0).
+"""Emission-side spectral-evidence refinement chain (SURVEY.md C9/L3
+emission stage; no reference file:line possible — empty mount,
+SURVEY §0): onset snap, twin dedup, instrument re-pick, re-strike
+split, offset trim — all reading the ORIGINAL spectrogram's
+pitch-unique fundamental bins against absolute template-scaled
+yardsticks, all fail-closed, all shared verbatim by the golden and TPU
+paths so MIDI parity holds by construction.  The sections below
+document each stage; the onset snap's story first.
 
 Greedy matching pursuit fires a note's coarse peak EARLY in dense
 mixtures when a harmonically-related neighbor onsets first: the octave
