@@ -477,9 +477,14 @@ def reassign_instruments(seq: NoteSequence, wave: np.ndarray,
 
 def dedup_twins(seq: NoteSequence, cfg: Config) -> NoteSequence:
     """Drop same-(pitch, program) notes onsetting within +-1 frame of a
-    louder twin — a rare loop artifact (two duration variants accepted
-    around one strike); two identical pitches cannot re-onset inside
-    one analysis frame physically or in MIDI."""
+    louder twin — two identical pitches cannot re-onset inside one
+    analysis frame physically or in MIDI.  Root cause of the artifact:
+    the loop's shadow gate only suppresses candidates WEAKER than an
+    earlier accepted note, so when a weak leak-explaining candidate is
+    accepted first and the true loud strike at the same cell arrives a
+    later iteration, both survive (observed: vel 21 + vel 99 at one
+    onset).  Retro-removing the earlier note inside the while_loop
+    would cost a scatter per acceptance; emission-side dedup is free."""
     spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
     notes = seq.sorted().notes
     keep = []
