@@ -639,6 +639,39 @@ def cmd_selftest(args) -> int:
             results.append({"case": f"{kind}#{i}/cnn_dense",
                             "f1": round(f1_d, 4), "bar": bar_d,
                             "ok": ok_d})
+    # Re-strike case: a loud strike + soft same-pitch re-strikes that
+    # greedy pursuit alone swallows — gates the emission evidence chain
+    # (saga/snap.py split) end-to-end with MIDI parity, which a broken
+    # chain (or a parity split between its golden and TPU invocations)
+    # would fail.
+    from .core.notes import NoteSequence
+    from .runtime.fixtures import render_notes
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref_rs = NoteSequence()
+    t = 0.3
+    for pitch in (52, 64, 71):
+        for v in (110, 50, 45):
+            ref_rs.add(round(t / spf) * spf, 0.26, pitch, v, 0)
+            t += 0.45
+        t += 0.3
+    # Same sample count as the other cases: reuses their compiled
+    # shape (a fresh shape costs a full compile on remote backends).
+    wave_rs = render_notes(ref_rs.sorted(), cfg,
+                           int(max(args.seconds, t + 0.7)
+                               * cfg.dsp.sample_rate))
+    pred_rs = tr.transcribe(wave_rs)
+    gold_rs = transcribe_golden(wave_rs, cfg, atoms=golden_atoms).sequence
+    parity_rs = notes_to_midi_bytes(pred_rs) == notes_to_midi_bytes(gold_rs)
+    r_rs = note_f1(pred_rs, ref_rs.sorted())
+    # Bar: the chain ON recovers most re-strikes (measured 1.0 on this
+    # fixture; greedy-only recall is ~0.44 here); bank overrides skip
+    # the chain, so the bar relaxes to parity-only there.
+    ok_rs = parity_rs and (
+        r_rs.recall >= 0.8 if tr.snaps_onsets() else True)
+    failures += not ok_rs
+    results.append({"case": "restrike", "recall": round(r_rs.recall, 4),
+                    "midi_parity": parity_rs, "ok": ok_rs})
     if tr_cnn is None:
         results.append({"case": "cnn", "skipped": "no checkpoint"})
     if tr_dense is None:
