@@ -91,6 +91,20 @@ class LoopConfig:
     min_gain: float = 0.04
     # Minimum score (energy reduction) relative to current residual energy.
     min_score_rel: float = 1e-4
+    # Score floor relative to INITIAL energy (0 disables).  min_score_rel
+    # compares against the CURRENT residual, so its bar collapses by
+    # orders of magnitude late in the loop — with the peak-rejection
+    # mask extending extraction into the quiet tail of dense mixtures,
+    # deep-residual junk (beating/window-smear residue of earlier
+    # subtractions) clears it easily and costs precision.  A real
+    # note's score is ~its share of the clip's energy: the quietest
+    # 8-voice fixture notes (velocity 44, 0.12 s) sit at ~7e-4 of
+    # initial energy, most junk far below.  Both thresholds apply (max
+    # of the two quantized bars); golden mirrors.  Default chosen by a
+    # 1e-4/3e-4 sweep (docs/PERFORMANCE.md round-3 dense table): 3e-4
+    # restores the repeated-note etude exactly and 4-voice precision
+    # to 0.972 while keeping the dense-recall gains.
+    min_score_rel0: float = 3e-4
     # Shadow suppression: reject a candidate whose (instrument, pitch)
     # matches an already-extracted note nearby in time when its gain is
     # below this fraction of that note's gain — such candidates are
@@ -131,6 +145,37 @@ class LoopConfig:
     # repeated-note-dense material (piano etudes), keep off for
     # sustained polyphony.
     onset_refractory_frac: float = 0.0
+    # Peak-rejection masking: when a selected coarse peak's best
+    # candidate fails a QUALITY gate (min_gain / min_score / shadow /
+    # harmonic shadow), remember the peak frame's quantized coarse
+    # value and skip that frame in later peak selections while the
+    # value is unchanged — any subtraction touching the window changes
+    # the coarse score there, automatically re-arming the frame.
+    # Without this a handful of PERSISTENT shadow-rejected residue
+    # peaks crowd out the n_extract peak slots in dense mixtures and
+    # the first all-rejected iteration permanently stops the lane while
+    # quieter true notes remain (traced on 8-voice fixtures: the loop
+    # stopped at iteration 31 re-rejecting the same 4 peaks with ~20
+    # true notes left).  Measured with stop_patience=1 +
+    # min_score_rel0=3e-4: 8-voice F1 0.8735 -> 0.8835 (recall +2.0pt)
+    # at UNCHANGED bench trip count; 4-voice 0.9720 -> 0.9701 (one
+    # extended-extraction junk note slips the gates); etude/mono/
+    # 2-voice/off-grid untouched (docs/PERFORMANCE.md round-3 dense
+    # table).  Decisions compare quantized values; golden mirrors
+    # op-for-op.
+    peak_rejection_mask: bool = True
+    # Consecutive all-rejected iterations tolerated before a lane stops
+    # (only meaningful with peak_rejection_mask: each such iteration
+    # masks up to n_extract junk peaks so weaker true peaks surface).
+    # Default 1 = the classic stop rule (the first all-rejected
+    # iteration ends the lane); the mask's gain then comes purely from
+    # masking rejections during ACCEPTING iterations, which frees peak
+    # slots at ZERO extra while_loop trips on the bench mix (measured:
+    # patience 1 = 14 trips, 8-voice F1 +1.0pt over no-mask; patience
+    # 2 = 15 trips, +1.24pt; patience 4 = 17 trips and 4-voice
+    # precision drifts another 0.2pt — docs/PERFORMANCE.md round-3
+    # dense table).
+    stop_patience: int = 1
     # Emission-side onset snap (saga/snap.py): repair onsets fired
     # 2..onset_snap_frames coarse frames EARLY by a harmonically-related
     # neighbor's onset (the dominant residual 4-voice error mode), by

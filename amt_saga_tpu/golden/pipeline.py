@@ -41,7 +41,13 @@ op-for-op):
       template extent with gain below ``shadow_gain_frac`` of it.
    e. Subtract ``max(window - g*W, 0)`` in place; record
       (onset_frame, dur_frames[d], pitch_idx, g, instrument).
-   f. Terminate when an iteration accepts no candidate.
+   f. A quality-rejected peak's frame is masked from later peak
+      selection while its quantized coarse value is unchanged
+      (LoopConfig.peak_rejection_mask) — persistent shadow-rejected
+      residue peaks would otherwise crowd out the n_extract slots and
+      stall extraction while quieter true notes remain.  Terminate
+      when an iteration neither accepts nor masks anything new, or
+      after ``stop_patience`` consecutive all-rejected iterations.
 3. Convert note arrays to a NoteSequence on the host (shared float64
    tick/velocity quantization in :mod:`amt_saga_tpu.core.notes`).
 
@@ -173,6 +179,15 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
         to the enclosing note arrays — the pass-1 loop and the rescan
         pass (mirror of saga/loop.py) share this body."""
         nonlocal count, saturated
+        # Peak-rejection mask (mirror of saga/loop.py _Carry.rej_val):
+        # quantized coarse value at which a frame's best candidate was
+        # last quality-rejected; the frame is skipped while the value
+        # is unchanged (NaN never compares equal).  Fresh per pass —
+        # the rescan's rebuilt residual re-arms every frame.
+        mask_on = loop.peak_rejection_mask
+        rej_val = np.full(n_frames, np.nan, dtype=np.float32)
+        no_acc_run = 0
+        patience = max(1, loop.stop_patience)
         for _ in range(iters):
             e_cur = float(np.sum(np.square(res), dtype=np.float32))
             e_q = _q_scalar(e_cur)
@@ -194,6 +209,10 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
             right = np.concatenate([m_raw[1:], [-np.inf]])
             m_work = np.where((m_raw >= left) & (m_raw >= right),
                               m_raw, -np.inf)
+            if mask_on:
+                # Skip frames whose best candidate was rejected at this
+                # exact quantized coarse value (mirror of saga/loop.py).
+                m_work = np.where(m_raw == rej_val, -np.inf, m_work)
             t_frames = np.arange(n_frames)
             peaks: list[tuple[int, bool]] = []
             for _i in range(n_k):
@@ -245,6 +264,7 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
             bank_mat = bank.reshape(n_q * n_d, -1)                   # [QD, M]
             nrm_flat = np.maximum(norms.reshape(n_q * n_d), 1e-12)   # [QD]
             any_acc = False
+            any_rej = False
             vres = res.copy()  # virtual residual: unclamped within-iteration
             for t_star, valid in peaks:
                 if not valid:
@@ -293,7 +313,15 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                 s_best = float(s_qdo[q, di, oi])
                 g_q = _q_scalar(g_best)
                 thr_q = _q_scalar(loop.min_score_rel * e_cur)
+                if loop.min_score_rel0 > 0:
+                    # Mirror of saga/loop.py: absolute floor vs initial
+                    # energy, max of the two quantized bars.
+                    thr_q = max(thr_q,
+                                _q_scalar(loop.min_score_rel0 * e0))
                 if g_q < loop.min_gain or s_best < thr_q:
+                    if mask_on:
+                        rej_val[t_star] = m_raw[t_star]
+                        any_rej = True
                     continue
 
                 qi, qp = q // n_p, q % n_p
@@ -323,6 +351,9 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                             shadow = True
                             break
                     if shadow:
+                        if mask_on:
+                            rej_val[t_star] = m_raw[t_star]
+                            any_rej = True
                         continue
                 if loop.harmonic_shadow_frac > 0:
                     # Harmonic-phantom suppression (mirror of
@@ -341,6 +372,9 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                             hshadow = True
                             break
                     if hshadow:
+                        if mask_on:
+                            rej_val[t_star] = m_raw[t_star]
+                            any_rej = True
                         continue
                 if count >= cap:
                     # Capacity gate LAST (mirror of saga/loop.py): the
@@ -368,7 +402,16 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
                 any_acc = True
 
             if not any_acc:
-                break
+                # Mirror of saga/loop.py stop: a lane ends when an
+                # iteration neither accepts nor masks anything new, or
+                # after stop_patience consecutive all-rejected
+                # iterations (each such iteration masks up to n_extract
+                # junk peaks so weaker true peaks can surface).
+                no_acc_run += 1
+                if not any_rej or no_acc_run >= patience:
+                    break
+            else:
+                no_acc_run = 0
 
     greedy_pass(res, cap)
 

@@ -200,6 +200,14 @@ class _Carry(NamedTuple):
     done: jnp.ndarray
     e0: jnp.ndarray
     it: jnp.ndarray
+    # Peak-rejection mask (LoopConfig.peak_rejection_mask): quantized
+    # coarse value at which each frame's best candidate was last
+    # quality-rejected — the frame is skipped in peak selection while
+    # its coarse value still equals this (NaN = never rejected; any
+    # subtraction touching the window changes the value and re-arms).
+    rej_val: jnp.ndarray  # [B, T] f32
+    # Consecutive all-rejected iterations per lane (stop_patience).
+    no_acc: jnp.ndarray   # [B] int32
 
 
 def spectrogram_batch(waves: jnp.ndarray, cfg: Config) -> jnp.ndarray:
@@ -370,6 +378,13 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     right = jnp.pad(m_raw[:, 1:], ((0, 0), (0, 1)),
                     constant_values=-np.inf)
     m0 = jnp.where((m_raw >= left) & (m_raw >= right), m_raw, -jnp.inf)
+    if loop.peak_rejection_mask:
+        # Skip frames whose best candidate was quality-rejected at this
+        # exact (quantized) coarse value — unchanged value means the
+        # same rejection would just recur and crowd out weaker true
+        # peaks (see LoopConfig.peak_rejection_mask).  NaN never
+        # compares equal, so never-rejected frames are unaffected.
+        m0 = jnp.where(m_raw == carry.rej_val, -jnp.inf, m0)
     tt = jax.lax.broadcasted_iota(jnp.int32, (b, n_frames), 1)
 
     def pick(m_cur, _):
@@ -398,6 +413,13 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     n_p = cfg.synth.n_pitches
     cap = notes.onset.shape[1]
     thr = quantize_decisions(loop.min_score_rel * e_cur)      # [B]
+    if loop.min_score_rel0 > 0:
+        # Absolute floor vs INITIAL energy (see LoopConfig): the
+        # e_cur-relative bar collapses late in the loop and admits
+        # deep-residual junk once the rejection mask extends
+        # extraction into the quiet tail.
+        thr = jnp.maximum(
+            thr, quantize_decisions(loop.min_score_rel0 * carry.e0))
 
     t_cand = jnp.clip(t_sel[:, :, None] + offsets[None, None, :], 0,
                       n_frames - 1)                           # [B, K, O]
@@ -452,15 +474,21 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
         # The opt-in fused kernel does not consume the refractory mask;
         # the XLA chain (the faster path in production anyway — see
         # docs/PERFORMANCE.md round-3 negative result) handles it.
-        if cfg.run.use_pallas and cfg.run.pallas_select and allowed is None:
+        if (cfg.run.use_pallas and cfg.run.pallas_select
+                and allowed is None and not loop.peak_rejection_mask):
+            # The fused kernel predates the rejection mask and does not
+            # report per-peak rejection flags — the XLA chain (the
+            # faster path in production anyway) serves when the mask
+            # is on.
             from ..ops.select_pallas import select_chain_pallas
 
             (t_st, q_st, d_st, g_st, acc_st, sd_st, acc_cum, sat,
              any_acc) = select_chain_pallas(
                 dots0, t_cand, valid, active, thr, notes, cfg, tmpl)
+            rej_st = jnp.zeros_like(acc_st)
         else:
             (t_st, q_st, d_st, g_st, acc_st, sd_st, acc_cum, sat,
-             any_acc) = _select_chain_xla(
+             any_acc, rej_st) = _select_chain_xla(
                 dots0, t_cand, valid, active, thr, notes, cfg, tmpl,
                 allowed=allowed)
     count0 = notes.count
@@ -501,8 +529,26 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
                     res_new, w_st[:, k], gain_eff_st[:, k], t_st[:, k])
     notes_new = notes_new._replace(
         residual_energy=residual_energy(res_new), poison=poison)
-    return _Carry(res_new, notes_new, ~any_acc | carry.done, carry.e0,
-                  carry.it + 1)
+    if loop.peak_rejection_mask:
+        # Record each quality-rejected peak's (frame, quantized coarse
+        # value); the frame is skipped while the value is unchanged.
+        # A lane stops only when an iteration neither accepts nor
+        # masks anything new, or after stop_patience consecutive
+        # all-rejected iterations.
+        m_at = jnp.take_along_axis(m_raw, t_sel, axis=1)      # [B, K]
+        t_upd = jnp.where(rej_st, t_sel, n_frames)            # OOB drop
+        rej_val_new = carry.rej_val.at[
+            jnp.arange(b)[:, None], t_upd].set(m_at, mode="drop")
+        any_rej = jnp.any(rej_st, axis=1)
+    else:
+        rej_val_new = carry.rej_val
+        any_rej = jnp.zeros_like(any_acc)
+    no_acc_new = jnp.where(any_acc, 0,
+                           carry.no_acc + active.astype(jnp.int32))
+    stop = (~any_acc) & (
+        ~any_rej | (no_acc_new >= max(1, loop.stop_patience)))
+    return _Carry(res_new, notes_new, stop | carry.done, carry.e0,
+                  carry.it + 1, rej_val_new, no_acc_new)
 
 
 def _refractory_mask(coarse: jnp.ndarray, t_cand: jnp.ndarray,
@@ -598,9 +644,13 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
     Pure function of (dots0 [B,K,O,QD], t_cand [B,K,O], valid [B,K],
     active [B], thr [B], pre-iteration notes).  Returns
     ``(t_st, q_st, d_st, g_st [B,K], acc_st [B,K] bool, sd_st [B,K,D],
-    acc_cum [B] i32, sat [B] bool, any_acc [B] bool)``.  The Pallas
-    fast path (ops.select_pallas) must match this bit-for-bit — it is
-    the contract the kernel's parity tests pin against.
+    acc_cum [B] i32, sat [B] bool, any_acc [B] bool, rej_st [B,K]
+    bool)``.  ``rej_st`` marks peaks whose best candidate failed a
+    QUALITY gate (not capacity) — input to the peak-rejection mask.
+    The Pallas fast path (ops.select_pallas) must match the first nine
+    outputs bit-for-bit — it is the contract the kernel's parity tests
+    pin against (it predates rej_st and is only used with the
+    rejection mask disabled).
     """
     loop = cfg.loop
     tmax = cfg.synth.template_frames
@@ -623,6 +673,7 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
     sat = notes.saturated
     win_t, win_q, win_d, win_g, win_acc, win_sd = [], [], [], [], [], []
     win_dur = []  # winner duration in frames (duration-aware shadow)
+    win_rej = []  # quality-rejected flags (peak-rejection mask)
 
     with jax.named_scope("select_steps"):
         for i in range(n_k):
@@ -729,6 +780,12 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
                                      * win_g[j])))
                 want = want & ~hit
 
+            # Quality rejection (for the peak-rejection mask): an
+            # eligible peak whose best candidate failed min_gain /
+            # min_score / shadow / harmonic-shadow.  Capacity drops
+            # (below) are NOT rejections — the candidate was good.
+            rej = active & valid[:, i] & ~want
+
             # Capacity gate LAST: a candidate that passes every quality
             # gate but finds the note array full marks the lane
             # saturated — the host warns instead of silently truncating.
@@ -755,6 +812,7 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
             win_acc.append(acc)
             win_sd.append(sd_val)
             win_dur.append(tmpl.durs[d_best])
+            win_rej.append(rej)
 
             if i + 1 < n_k:
                 # Gram update: keep every candidate dot exact w.r.t.
@@ -772,7 +830,7 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
     return (jnp.stack(win_t, axis=1), jnp.stack(win_q, axis=1),
             jnp.stack(win_d, axis=1), jnp.stack(win_g, axis=1),
             jnp.stack(win_acc, axis=1), jnp.stack(win_sd, axis=1),
-            acc_cum, sat, any_acc)
+            acc_cum, sat, any_acc, jnp.stack(win_rej, axis=1))
 
 
 def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
@@ -804,7 +862,9 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
         iterations=jnp.zeros((), jnp.int32),
     )
     carry0 = _Carry(res, notes0, jnp.zeros((b,), bool), e0,
-                    jnp.zeros((), jnp.int32))
+                    jnp.zeros((), jnp.int32),
+                    jnp.full((b, n_frames), jnp.nan, jnp.float32),
+                    jnp.zeros((b,), jnp.int32))
 
     if score_fn is heuristic_scores:
         # Precompute the loop-invariant band matrix OUTSIDE the while_loop
@@ -996,7 +1056,12 @@ def _rescan(out: _Carry, spec0_padded: jnp.ndarray, cfg: Config,
 
     # (3) resweep: same body, existing notes seeded, poison respected.
     lim2 = out.it + loop.rescan_iterations
-    carry2 = _Carry(res2, notes, notes.poison, out.e0, out.it)
+    # Fresh rejection mask + patience for the resweep: the rebuilt
+    # residual re-arms every frame (golden mirrors by re-initializing
+    # per greedy pass).
+    carry2 = _Carry(res2, notes, notes.poison, out.e0, out.it,
+                    jnp.full_like(out.rej_val, jnp.nan),
+                    jnp.zeros_like(out.no_acc))
     return jax.lax.while_loop(
         lambda c: (c.it < lim2) & jnp.any(~c.done), body, carry2)
 

@@ -709,9 +709,18 @@ def trim_offsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
 def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
                     ) -> NoteSequence:
     """Full emission-side refinement chain: onset snap -> twin dedup ->
-    re-strike split.  One STFT-magnitude read serves all three.  Pure
-    host NumPy of (emitted notes, wave); identical in the golden and
-    TPU paths — the parity surface."""
+    instrument re-pick -> re-strike split -> offset trim.  One
+    STFT-magnitude read serves all of them.  Pure host NumPy of
+    (emitted notes, wave); identical in the golden and TPU paths — the
+    parity surface.
+
+    A phantom-veto stage (drop notes whose harmonic evidence is
+    absent) was built and measured here (round 3) and REMOVED: the
+    late-loop junk it targeted reads obs/expected ~0.85-1.35 in its
+    own regions — beating/window-smear residue genuinely LOOKS like
+    the note to region magnitudes, so a fail-closed absence test never
+    fires (0 vetoes across mus4/6/8 + etude).  The energy floor
+    (LoopConfig.min_score_rel0) is the working lever for that junk."""
     loop = cfg.loop
     want_ev = (loop.onset_snap_frames > 0 or loop.restrike_split
                or loop.offset_trim

@@ -264,6 +264,9 @@ def test_parity_fuzz_random_configs():
                 onset_snap_frames=int(rng.choice([0, 5, 8])),
                 restrike_split=bool(rng.integers(0, 2)),
                 dedup_twins=bool(rng.integers(0, 2)),
+                peak_rejection_mask=bool(rng.integers(0, 2)),
+                stop_patience=int(rng.integers(1, 6)),
+                min_score_rel0=float(rng.choice([0.0, 1e-4, 3e-4])),
             ))
         kind = "multi" if n_i > 1 else "mus"
         wave, _ = make_clip(cfg, kind=kind, seconds=4.0,
@@ -295,6 +298,34 @@ def test_stacked_dispatch_parity(tiny_config, tiny_transcriber):
         b = np.asarray(getattr(stacked, field))
         assert np.array_equal(a, b), field
     assert np.asarray(stacked.iterations).shape == (2,)
+
+
+def test_peak_rejection_mask_extends_extraction(tiny_config):
+    """Persistent quality-rejected residue peaks must not stall the
+    lane while extractable notes remain (LoopConfig.peak_rejection_mask;
+    traced on 8-voice fixtures: the no-mask loop latched done
+    re-rejecting the same 4 shadow-rejected peaks with ~20 true notes
+    left).  On dense 6-voice mixtures the masked loop keeps extracting
+    past the no-mask stall point; sparse content is untouched (same
+    notes, same trip count — the bench-mix invariant in the ledger)."""
+    cfg_on = tiny_config.override(**{"loop.max_notes": 64})
+    cfg_off = cfg_on.override(**{"loop.peak_rejection_mask": False})
+    t_on, t_off = Transcriber(cfg_on), Transcriber(cfg_off)
+    extended = 0
+    for seed in (7, 177):
+        clips = make_corpus(cfg_on, kind="mus", n_clips=1, seconds=5.0,
+                            n_voices=6, seed=seed)
+        for w, _ in clips:
+            n_on = len(t_on.transcribe(w))
+            n_off = len(t_off.transcribe(w))
+            assert n_on >= n_off, (seed, n_on, n_off)
+            extended += int(n_on > n_off)
+    assert extended >= 1  # the stall actually breaks somewhere
+
+    # Sparse content: identical emission with the mask on and off.
+    w, ref = make_clip(cfg_on, kind="isol", seconds=4.0, n_notes=5,
+                       seed=11)
+    assert t_on.transcribe(w).notes == t_off.transcribe(w).notes
 
 
 def test_restruck_pitch_recovered(tiny_config, tiny_transcriber):

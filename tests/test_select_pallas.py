@@ -147,15 +147,18 @@ def test_select_chain_parity_quantized_ties(pallas_cfg, pallas_tmpl):
 def test_pallas_select_end_to_end_matches_xla_chain(tiny_config):
     """Full transcription on fixture audio: the kernel-selected loop
     must emit exactly the same notes as the XLA selection chain."""
-    # Refractory gating off: the loop routes around the kernel when the
-    # gate is on (the kernel does not consume the duration mask), which
+    # Refractory gating and the peak-rejection mask off: the loop
+    # routes around the kernel when either is on (the kernel consumes
+    # neither the duration mask nor reports rejection flags), which
     # would make this comparison vacuous.
     cfg_on = tiny_config.override(**{"run.use_pallas": True,
                                      "run.pallas_select": True,
-                                     "loop.onset_refractory_frac": 0.0})
+                                     "loop.onset_refractory_frac": 0.0,
+                                     "loop.peak_rejection_mask": False})
     cfg_off = tiny_config.override(**{"run.use_pallas": True,
                                       "run.pallas_select": False,
-                                      "loop.onset_refractory_frac": 0.0})
+                                      "loop.onset_refractory_frac": 0.0,
+                                      "loop.peak_rejection_mask": False})
     waves = []
     for seed in range(3):
         wave, _ = make_clip(tiny_config, kind="mus", seconds=3.0,
