@@ -421,7 +421,10 @@ def cmd_train(args) -> int:
           noise=args.noise, loop_state_p=args.loop_states,
           cache_batches=args.cache_batches,
           metrics=MetricsWriter(args.metrics),
-          init_from=args.init_from)
+          init_from=args.init_from,
+          freeze_heads=tuple(s for s in
+                             (args.freeze_heads or "").split(",") if s),
+          flat_lr=args.flat_lr)
     return 0
 
 
@@ -764,6 +767,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="warm-start: continue training from an "
                          "existing checkpoint directory (e.g. "
                          "checkpoints/dense/step_12000)")
+    p.add_argument("--freeze-heads", default=None, dest="freeze_heads",
+                   metavar="NAMES",
+                   help="comma-separated top-level param collections "
+                        "to freeze (e.g. head_duration) — the "
+                        "warm-start continuation fix: fresh optimizer "
+                        "moments + warmup kick a converged "
+                        "sharply-curved head out of its minimum "
+                        "(benchmarks/history.jsonl dense continuation)")
+    p.add_argument("--flat-lr", type=float, default=None, dest="flat_lr",
+                   help="replace the warmup+cosine schedule with a "
+                        "constant learning rate (pairs with "
+                        "--freeze-heads for warm starts)")
     p.add_argument("--metrics", help="metrics JSONL path (default stderr)")
     _add_common(p)
     p.set_defaults(fn=cmd_train)

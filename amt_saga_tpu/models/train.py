@@ -38,15 +38,43 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def create_state(cfg: Config, rng: jax.Array) -> tuple[TrainState, Any]:
+def create_state(cfg: Config, rng: jax.Array,
+                 freeze: tuple[str, ...] = (),
+                 flat_lr: float | None = None) -> tuple[TrainState, Any]:
+    """Init (state, optimizer).
+
+    ``freeze``: top-level param-collection names (e.g. "head_duration")
+    whose parameters receive ZERO updates — the warm-start continuation
+    fix: a fresh optimizer's moments + lr warmup kick a sharply-curved
+    converged head out of its minimum (measured: the 12k dense
+    checkpoint's duration head collapsed l_dur 0.24 -> 3.4 right after
+    warmup at BOTH 3e-4 and 6e-5 peak lr, benchmarks/history.jsonl).
+    The frozen head's loss term stays in the objective, so the trunk
+    keeps being shaped to serve it.  ``flat_lr`` replaces the
+    warmup+cosine schedule with a constant rate (the other half of the
+    same fix — no warmup spike on a warm start)."""
     params = init_params(cfg, rng)
-    # Cosine decay with linear warmup over the configured step budget.
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=cfg.train.learning_rate,
-        warmup_steps=max(1, cfg.train.steps // 20),
-        decay_steps=max(2, cfg.train.steps),
-        end_value=cfg.train.learning_rate * 0.05)
+    if flat_lr is not None:
+        schedule: Any = flat_lr
+    else:
+        # Cosine decay with linear warmup over the configured step
+        # budget.
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.train.learning_rate,
+            warmup_steps=max(1, cfg.train.steps // 20),
+            decay_steps=max(2, cfg.train.steps),
+            end_value=cfg.train.learning_rate * 0.05)
     tx = optax.adamw(schedule, weight_decay=cfg.train.weight_decay)
+    if freeze:
+        frozen = set(freeze)
+        unknown = frozen - set(params.keys())
+        if unknown:
+            raise ValueError(f"freeze names not in param tree: "
+                             f"{sorted(unknown)} (have "
+                             f"{sorted(params.keys())})")
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            {k: ("frozen" if k in frozen else "train") for k in params})
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 
@@ -249,7 +277,9 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
           cache_batches: int = 0,
           metrics: MetricsWriter | None = None,
           checkpoint: bool = True,
-          init_from: str | None = None) -> TrainState:
+          init_from: str | None = None,
+          freeze_heads: tuple[str, ...] = (),
+          flat_lr: float | None = None) -> TrainState:
     """Run the training loop; returns final state.
 
     With ``corpus_dir``, batches come from the user's on-disk corpus
@@ -259,7 +289,12 @@ def train(cfg: Config, *, steps: int | None = None, seconds: float = 4.0,
     """
     steps = steps if steps is not None else cfg.train.steps
     rng = jax.random.PRNGKey(cfg.train.seed)
-    state, tx = create_state(cfg, rng)
+    state, tx = create_state(cfg, rng, freeze=tuple(freeze_heads),
+                             flat_lr=flat_lr)
+    if freeze_heads:
+        log.info("frozen param collections: %s%s",
+                 ",".join(freeze_heads),
+                 f" (flat lr {flat_lr})" if flat_lr is not None else "")
     if init_from:
         # Warm start: continue training an existing checkpoint's
         # parameters (fresh optimizer state + step counter — the saved

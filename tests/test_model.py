@@ -112,6 +112,35 @@ def test_train_warm_start(tiny_config, tmp_path):
     assert max(deltas) < 0.1, deltas          # from THESE params
 
 
+def test_train_freeze_heads(tiny_config):
+    """train(freeze_heads=("head_duration",)) must leave that head's
+    parameters bit-identical while the rest train (the warm-start
+    continuation fix: a fresh optimizer's moments + warmup collapse a
+    converged sharply-curved head — benchmarks/history.jsonl dense
+    continuation negative)."""
+    from amt_saga_tpu.models.train import train
+
+    cfg = tiny_config.override(**{"train.batch_size": 2})
+    out = train(cfg, steps=8, seconds=2.0, kind="isol",
+                checkpoint=False, freeze_heads=("head_duration",),
+                flat_lr=1e-3)
+    init, _ = create_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    frozen = jax.tree.map(np.asarray, out.params["head_duration"])
+    frozen0 = jax.tree.map(np.asarray, init.params["head_duration"])
+    assert all(np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(frozen), jax.tree.leaves(frozen0)))
+    moved = [float(np.abs(np.asarray(x) - np.asarray(y)).max())
+             for x, y in zip(jax.tree.leaves(out.params["head_onset_pitch"]),
+                             jax.tree.leaves(
+                                 init.params["head_onset_pitch"]))]
+    assert max(moved) > 0.0  # the unfrozen heads trained
+
+    import pytest
+
+    with pytest.raises(ValueError, match="freeze names"):
+        create_state(cfg, jax.random.PRNGKey(0), freeze=("no_such_head",))
+
+
 def test_cnn_score_fn_plugs_into_loop(tiny_config, tiny_transcriber):
     # Smoke: an untrained CNN drops into the loop's score_fn slot and the
     # whole device program still compiles and terminates.
