@@ -72,8 +72,8 @@ def _load_cnn_params(cfg: Config):
     """Resolve + load the newest classifier checkpoint: AMT_CHECKPOINT,
     then train.checkpoint_dir, then the checkpoint shipped with the repo
     (trained on synthetic fixtures + loop states, default config)."""
-    ckpt = os.environ.get("AMT_CHECKPOINT") or os.path.join(
-        cfg.train.checkpoint_dir)
+    env_ckpt = os.environ.get("AMT_CHECKPOINT")
+    ckpt = env_ckpt or os.path.join(cfg.train.checkpoint_dir)
     from .models.train import load_checkpoint
 
     def _steps_under(d):
@@ -82,7 +82,20 @@ def _load_cnn_params(cfg: Config):
             glob.glob(os.path.join(d, "step_*")),
             key=lambda p: int(os.path.basename(p).rsplit("_", 1)[1]))
 
-    steps = _steps_under(ckpt)
+    if (env_ckpt and os.path.isdir(env_ckpt)
+            and os.path.basename(os.path.normpath(env_ckpt)
+                                 ).startswith("step_")):
+        # AMT_CHECKPOINT may name one step directory directly (e.g.
+        # /ckpts/dense/step_6000) — previously this silently fell
+        # through to the shipped checkpoint, which made an eval sweep
+        # of a continued run report the OLD checkpoint's numbers.
+        steps = [os.path.normpath(env_ckpt)]
+    else:
+        steps = _steps_under(ckpt)
+    if env_ckpt and not steps:
+        raise SystemExit(
+            f"AMT_CHECKPOINT={env_ckpt!r} contains no step_* checkpoint "
+            f"and is not one itself — refusing to silently fall back")
     if not steps:
         root = os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))
