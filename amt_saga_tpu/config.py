@@ -426,6 +426,17 @@ class RunConfig:
     #           overlap is where the gain is ambiguous (shared energy)
     #           and where the head's spectral-shape evidence helps.
     velocity_source: str = "gain"  # "gain" | "head" | "blend"
+    # CNN-mode gate input (run.classifier="cnn"):
+    #   residual - rerun the conv tower on the current residual every
+    #              loop iteration (the trained configuration: the gate
+    #              sees mid-loop subtraction states).
+    #   static   - compute the gate ONCE from the pristine spectrogram
+    #              outside the while_loop and reuse it every iteration;
+    #              the per-iteration cost collapses to the heuristic's
+    #              matched filter (one conv pass per BATCH instead of
+    #              per iteration).  Quality tradeoff measured in
+    #              benchmarks/eval_classifier.py --static.
+    cnn_gate: str = "residual"  # "residual" | "static"
     # Template bank source: "analytic" = damped-harmonic renders
     # (synth/templates.py); "neural" = the SING-style decoder's generated
     # bank (models/synth_decoder.py, trained with `train-synth`, loaded

@@ -125,34 +125,47 @@ def make_cnn_score_fn(cfg: Config, params: Any):
 
     lead = template_lead(cfg.dsp)
     floor = float(cfg.model.gate_floor)
+    if cfg.run.cnn_gate not in ("residual", "static"):
+        raise ValueError(f"unknown run.cnn_gate {cfg.run.cnn_gate!r} "
+                         "(residual | static)")
+    static_gate = cfg.run.cnn_gate == "static"
 
-    def score_fn(res: jnp.ndarray, tmpl, n_frames: int,
-                 band: jnp.ndarray | None = None) -> jnp.ndarray:
-        from ..saga.loop import heuristic_scores, matmul_precision
+    # Normalize by the zero-init gate value COMPUTED WITH THE SAME
+    # f32 ops, so an untrained model's gate is elementwise x/x == 1.0
+    # and `mf * 1.0` is bit-identical to the heuristic map.  A plain
+    # 0.7 multiplier would shift quantization boundaries in the
+    # coarse-RATIO decisions (the onset-refractory gate) — argmax
+    # decisions are scale-invariant, quantized ratio compares are
+    # only invariant under power-of-2 or exact-unit scaling.
+    gate0 = np.float32(floor) + ((np.float32(1.0) - np.float32(floor))
+                                 * np.float32(0.5))
 
-        # Contract (saga/loop.py): coarse[t] scores "a note whose TRUE
-        # onset is frame t".  The residual is front-padded by the template
-        # lead, so spec frame t lives at res row t + lead — slice the lead
-        # off so the model (trained on unpadded spectrograms) sees frame t
-        # at row t.  Feeding the padded rows directly shifts every
-        # predicted onset by +lead frames (off by 96 ms at the default
-        # config).  Also drop the Pallas path's 128-aligned bin padding.
-        x = jax.lax.dynamic_slice_in_dim(res, lead, n_frames, axis=1)
-        out = model.apply({"params": params}, x[:, :, :cfg.dsp.n_bins])
+    def gate_rel_of(x: jnp.ndarray) -> jnp.ndarray:
+        """gate/gate0 [B, T, Q] from an UNPADDED [B, T, n_bins] input."""
+        out = model.apply({"params": params}, x)
         gate_logits = out["onset_pitch"] + out["presence"][..., None]
         gate = floor + (1.0 - floor) * jax.nn.sigmoid(gate_logits)
-        # Normalize by the zero-init gate value COMPUTED WITH THE SAME
-        # f32 ops, so an untrained model's gate is elementwise x/x == 1.0
-        # and `mf * 1.0` is bit-identical to the heuristic map.  A plain
-        # 0.7 multiplier would shift quantization boundaries in the
-        # coarse-RATIO decisions (the onset-refractory gate) — argmax
-        # decisions are scale-invariant, quantized ratio compares are
-        # only invariant under power-of-2 or exact-unit scaling.
-        gate0 = np.float32(floor) + ((np.float32(1.0) - np.float32(floor))
-                                     * np.float32(0.5))
+        return gate / gate0
+
+    def score_fn(res: jnp.ndarray, tmpl, n_frames: int,
+                 band: jnp.ndarray | None = None,
+                 gate_rel: jnp.ndarray | None = None) -> jnp.ndarray:
+        from ..saga.loop import heuristic_scores, matmul_precision
+
+        if gate_rel is None:
+            # Contract (saga/loop.py): coarse[t] scores "a note whose
+            # TRUE onset is frame t".  The residual is front-padded by
+            # the template lead, so spec frame t lives at res row
+            # t + lead — slice the lead off so the model (trained on
+            # unpadded spectrograms) sees frame t at row t.  Feeding the
+            # padded rows directly shifts every predicted onset by +lead
+            # frames (off by 96 ms at the default config).  Also drop
+            # the Pallas path's 128-aligned bin padding.
+            x = jax.lax.dynamic_slice_in_dim(res, lead, n_frames, axis=1)
+            gate_rel = gate_rel_of(x[:, :, :cfg.dsp.n_bins])
         mf = heuristic_scores(res, tmpl, n_frames, band=band,
                               precision=matmul_precision(cfg))
-        return mf * (gate / gate0)
+        return mf * gate_rel
 
     def velocity_fn(spec: jnp.ndarray, onset: jnp.ndarray,
                     q: jnp.ndarray) -> jnp.ndarray:
@@ -172,6 +185,11 @@ def make_cnn_score_fn(cfg: Config, params: Any):
     # rebuilding it per iteration was the round-1 profile's largest item).
     score_fn.needs_band = True
     score_fn.velocity_fn = velocity_fn
+    if static_gate:
+        # saga.loop._run_loop calls this ONCE on the pristine unpadded
+        # spectrogram and threads the result into every iteration's
+        # score_fn call — the conv tower leaves the while_loop entirely.
+        score_fn.precompute_gate = gate_rel_of
     return score_fn
 
 

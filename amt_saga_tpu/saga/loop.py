@@ -876,7 +876,16 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
         # Same hoist for score fns that consume the band matrix (the CNN
         # path's matched-filter term — see models.classifier).
         band = band_matrix(tmpl.env, n_frames, res.shape[1])
-        score_fn = partial(score_fn, band=band)
+        pre = getattr(score_fn, "precompute_gate", None)
+        if pre is not None:
+            # Static-gate CNN mode (run.cnn_gate="static"): the conv
+            # tower runs ONCE on the pristine spectrogram; the gate map
+            # enters the while_loop as a carried constant, leaving only
+            # the matched-filter matmuls per iteration.
+            gate_rel = pre(spec[:, :, :cfg.dsp.n_bins])
+            score_fn = partial(score_fn, band=band, gate_rel=gate_rel)
+        else:
+            score_fn = partial(score_fn, band=band)
 
     lim = cap if max_iters is None else jnp.minimum(cap, max_iters)
     body = partial(_loop_body, cfg=cfg, tmpl=tmpl, n_frames=n_frames,

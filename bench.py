@@ -97,7 +97,8 @@ def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
 def bench_tpu(batch: int, seconds: float, repeats: int,
               use_pallas: bool = True, stack: int = 8,
               classifier: str = "heuristic",
-              select_kernel: bool = False) -> dict:
+              select_kernel: bool = False,
+              cnn_gate: str = "residual") -> dict:
     import jax
 
     from amt_saga_tpu import default_config
@@ -111,7 +112,8 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
     cfg = default_config().override(**{
         "run.use_pallas": use_pallas,
         "run.pallas_select": use_pallas and select_kernel,
-        "run.classifier": classifier})
+        "run.classifier": classifier,
+        "run.cnn_gate": cnn_gate})
     waves = _make_waves(cfg, batch, seconds)
     if stack > 1:
         # Stacked dispatch: M sub-batches run sequentially on device in
@@ -208,7 +210,8 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
         "detail": {
             "batch": batch,
             "stack": stack,
-            "classifier": classifier,
+            "classifier": (f"{classifier}/{cnn_gate}"
+                           if classifier == "cnn" else classifier),
             "clip_seconds": seconds,
             "pipelined_wall_s": round(pipe_wall, 4),
             "sequential_wall_s": round(seq_wall, 4),
@@ -286,6 +289,12 @@ def main() -> None:
                    choices=["heuristic", "cnn"],
                    help="score function: matched-filter heuristic or the "
                         "trained CNN gate (shipped checkpoint)")
+    p.add_argument("--cnn-gate", default="residual",
+                   choices=["residual", "static"],
+                   help="CNN mode only: rerun the conv tower on the "
+                        "residual every iteration (trained config) or "
+                        "compute the gate once per batch from the "
+                        "pristine spectrogram (run.cnn_gate)")
     p.add_argument("--stack", type=int, default=8,
                    help="sub-batches per dispatch (lax.map stacked "
                         "execution; 1 = one batch per dispatch)")
@@ -327,7 +336,8 @@ def main() -> None:
         rec = bench_tpu(args.batch, args.seconds, args.repeats,
                         use_pallas=not args.no_pallas, stack=args.stack,
                         classifier=args.classifier,
-                        select_kernel=args.select_kernel)
+                        select_kernel=args.select_kernel,
+                        cnn_gate=args.cnn_gate)
 
     detail = rec.pop("detail", None)
     if detail:

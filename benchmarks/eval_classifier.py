@@ -57,9 +57,14 @@ def main() -> None:
         raise SystemExit(f"no checkpoint under {args.ckpt}")
     params = load_checkpoint(cfg, steps[-1])
 
+    cfg_static = cfg.override(**{"run.cnn_gate": "static"})
     transcribers = {
         "heuristic": Transcriber(cfg),
         "cnn": Transcriber(cfg, score_fn=make_cnn_score_fn(cfg, params)),
+        # Static gate (run.cnn_gate="static"): conv tower once per batch
+        # on the pristine spectrogram instead of per loop iteration.
+        "cnn_static": Transcriber(
+            cfg_static, score_fn=make_cnn_score_fn(cfg_static, params)),
     }
 
     out = {"ckpt": steps[-1], "floor": cfg.model.gate_floor,

@@ -216,6 +216,37 @@ def test_untrained_hybrid_cnn_matches_heuristic(tiny_config,
         assert a.sorted().notes == b.sorted().notes, (kind, seed)
 
 
+def test_static_gate_cnn_untrained_matches_heuristic(tiny_config,
+                                                     tiny_transcriber):
+    """run.cnn_gate="static" keeps the same zero-init invariance: the
+    precomputed gate is uniform gate0, so gate_rel == 1.0 elementwise and
+    the loop's decisions are bit-identical to the heuristic — while the
+    conv tower runs once per batch instead of once per iteration."""
+    from amt_saga_tpu.runtime.fixtures import make_clip
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    cfg = tiny_config.override(**{"run.cnn_gate": "static"})
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    fn = make_cnn_score_fn(cfg, params)
+    assert getattr(fn, "precompute_gate", None) is not None
+    tr_static = Transcriber(cfg, score_fn=fn)
+    for kind, seed in (("isol", 5), ("mus", 7)):
+        wave, _ = make_clip(cfg, kind=kind, seconds=3.0, n_notes=4,
+                            n_voices=3, seed=seed)
+        a = tiny_transcriber.transcribe(wave)
+        b = tr_static.transcribe(wave)
+        assert a.sorted().notes == b.sorted().notes, (kind, seed)
+
+
+def test_static_gate_rejects_unknown_mode(tiny_config):
+    import pytest
+
+    cfg = tiny_config.override(**{"run.cnn_gate": "sometimes"})
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="cnn_gate"):
+        make_cnn_score_fn(cfg, params)
+
+
 def test_loop_state_sampler(tiny_config):
     """Mid-transcription training states: residual comes from the REAL
     loop, labels are the not-yet-extracted notes."""
