@@ -19,12 +19,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import jax
 import numpy as np
 
-from amt_saga_tpu import default_config
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from amt_saga_tpu import default_config  # noqa: E402
 from amt_saga_tpu.cli import _load_cnn_params
 from amt_saga_tpu.evaluation.f1 import note_f1
 from amt_saga_tpu.models.classifier import build_classifier
