@@ -519,7 +519,16 @@ class Config:
         return cls.from_dict(json.loads(s))
 
     def override(self, **dotted: Any) -> "Config":
-        """Override with dotted keys, e.g. ``override(**{"dsp.hop": 256})``."""
+        """Override with dotted keys, e.g. ``override(**{"dsp.hop": 256})``.
+
+        Values are validated against the CURRENT leaf's type, with string
+        coercion for bool/int/float leaves.  This is load-bearing for the
+        CLI's ``--set key=value`` path: ``json.loads("False")`` fails
+        (JSON spells it ``false``) and used to fall back to the STRING
+        ``"False"`` — a truthy value silently *enabling* the flag it was
+        asked to clear (observed: ``--set loop.restrike_split=False``
+        left the splitter on through an entire measurement run).
+        """
         d = self.to_dict()
         for key, val in dotted.items():
             parts = key.split(".")
@@ -529,8 +538,63 @@ class Config:
             leaf = parts[-1]
             if leaf not in node:
                 raise KeyError(f"unknown config key: {key}")
-            node[leaf] = val
+            node[leaf] = _coerce_leaf(key, node[leaf], val)
         return Config.from_dict(d)
+
+
+def _coerce_leaf(key: str, cur: Any, val: Any) -> Any:
+    """Validate an override value against the current leaf's type.
+
+    bool/int/float leaves accept their own type or a clean string
+    spelling ("true"/"False"/"3"/"2.5" — CLI ``--set`` hands everything
+    that isn't valid JSON through as a string); anything else raises
+    instead of silently storing a mistyped value.  ``None``-able leaves
+    (current value None, or "none"/"null" strings) pass through.
+    """
+    if val is None or cur is None:
+        if isinstance(val, str) and val.lower() in ("none", "null"):
+            return None
+        return val
+    if isinstance(cur, bool):
+        if isinstance(val, bool):
+            return val
+        if isinstance(val, str) and val.lower() in ("true", "false"):
+            return val.lower() == "true"
+        if isinstance(val, (int, float)) and val in (0, 1):
+            return bool(val)
+        raise TypeError(
+            f"config key {key} is a bool; got {val!r} (use true/false)")
+    if isinstance(cur, int) and not isinstance(cur, bool):
+        if isinstance(val, bool):
+            raise TypeError(f"config key {key} is an int; got {val!r}")
+        if isinstance(val, int):
+            return val
+        if isinstance(val, float) and val == int(val):
+            return int(val)
+        if isinstance(val, str):
+            try:
+                return int(val, 0)
+            except ValueError:
+                pass
+        raise TypeError(f"config key {key} is an int; got {val!r}")
+    if isinstance(cur, float):
+        if isinstance(val, (int, float)) and not isinstance(val, bool):
+            return float(val)
+        if isinstance(val, str):
+            try:
+                return float(val)
+            except ValueError:
+                pass
+        raise TypeError(f"config key {key} is a float; got {val!r}")
+    if isinstance(cur, str):
+        if isinstance(val, str):
+            return val
+        raise TypeError(f"config key {key} is a str; got {val!r}")
+    if isinstance(cur, tuple):
+        if isinstance(val, (tuple, list)):
+            return tuple(val)
+        raise TypeError(f"config key {key} is a tuple; got {val!r}")
+    return val
 
 
 _SUBCONFIGS = {

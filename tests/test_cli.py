@@ -72,6 +72,40 @@ def test_config_file_and_overrides(tmp_path, tiny_cfg_file):
     assert cfg.dsp.hop == 128
 
 
+def test_override_type_validation(tiny_cfg_file):
+    """--set values are validated/coerced against the leaf's type.
+
+    Load-bearing regression: json.loads("False") is invalid JSON, so the
+    CLI used to store the truthy STRING "False" — silently ENABLING the
+    bool it was asked to clear (observed with loop.restrike_split=False
+    leaving the splitter on through a measurement run)."""
+    from amt_saga_tpu.cli import load_config
+
+    class A:
+        config = tiny_cfg_file
+        set = ["loop.restrike_split=False", "loop.min_score_rel0=1e-3",
+               "dsp.hop=256"]
+
+    cfg = load_config(A())
+    assert cfg.loop.restrike_split is False
+    assert cfg.loop.min_score_rel0 == 1e-3
+    assert cfg.dsp.hop == 256
+
+    class B:
+        config = tiny_cfg_file
+        set = ["loop.restrike_split=maybe"]
+
+    with pytest.raises(TypeError):
+        load_config(B())
+
+    class C:
+        config = tiny_cfg_file
+        set = ["dsp.hop=fast"]
+
+    with pytest.raises(TypeError):
+        load_config(C())
+
+
 def test_bad_override_key_fails(tiny_cfg_file):
     from amt_saga_tpu.cli import load_config
 
