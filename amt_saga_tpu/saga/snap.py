@@ -340,6 +340,22 @@ _RS_PE_FLOOR = 0.12  # floor on the predicted envelope, x expected onset level
 _RS_H_CONF = 0.22    # confirmation rise in a higher-harmonic region
 _RS_MIN_K = 4        # earliest split point (frames after the onset)
 _RS_LEAK = 0.5       # masker-template fraction of the rise that attributes it
+# Cross-leak attribution aggregates over ALL concurrent emissions in
+# QUADRATURE (magnitudes of independent tones add in power): several
+# simultaneous maskers each explaining <_RS_LEAK of the rise can jointly
+# explain it.  Reduces exactly to the single-masker test when one
+# concurrent emission dominates.  Measured zero delta on the pinned
+# mus4/6/8 + etude suites (individual leaks there are far below the
+# bar) — kept because it is the physically correct aggregation and
+# only ever REMOVES splits the single-masker test would let through.
+_RS_LEAK_SUM = True
+# Splits whose implied gain is below this are dropped rather than
+# emitted: a sub-0.15-gain "re-strike" in dense content is beating
+# residue, not a note (observed: vel-10/11/27 split FPs on mus8).
+# Swept 0 / 0.15 / 0.20 on mus4/6/8 + etude: 0.15 lifts mus8 F1
+# 0.8837 -> 0.8855 (P +0.4pt, R unchanged) with the other suites
+# bit-identical; 0.20 starts killing a true split (mus8 R -0.2pt).
+_RS_MIN_GAIN = 0.15
 
 
 def _regions(pitch: int, cfg: Config) -> list[tuple[int, tuple[int, int]]]:
@@ -581,16 +597,22 @@ def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
             # (sub-octave / harmonic-aligned maskers hit every region
             # of ours).
             explained = False
+            leak_pow = 0.0
             for m in notes + added:
                 if m is note or abs(m.onset - tt) > 4 * spf:
                     continue
-                if m.pitch == note.pitch or \
-                        (m.velocity / 127.0) * _region_trace(
-                            m.pitch, m.program, m.duration,
-                            regs[0][1], 3, cfg).max() \
-                        >= _RS_LEAK * rise_amt:
+                if m.pitch == note.pitch:
                     explained = True
                     break
+                lk = (m.velocity / 127.0) * _region_trace(
+                    m.pitch, m.program, m.duration,
+                    regs[0][1], 3, cfg).max()
+                if lk >= _RS_LEAK * rise_amt:
+                    explained = True
+                    break
+                leak_pow += lk * lk
+            if _RS_LEAK_SUM and leak_pow >= (_RS_LEAK * rise_amt) ** 2:
+                explained = True
             if explained:
                 continue
             covered = any(
@@ -616,9 +638,12 @@ def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
             # sqrt(e1^2 - pre-rise^2), not the difference.
             lm = float(local_min[k - _RS_MIN_K])
             mag2 = float(np.sqrt(max(float(e1[k]) ** 2 - lm ** 2, 0.0)))
-            g2 = min(max(mag2 / max(_region_trace(
+            g_raw = mag2 / max(_region_trace(
                 note.pitch, note.program, note.duration,
-                regs[0][1], 1, cfg)[0], 1e-9), 0.08), 1.0)
+                regs[0][1], 1, cfg)[0], 1e-9)
+            if g_raw < _RS_MIN_GAIN:
+                continue
+            g2 = min(max(g_raw, 0.08), 1.0)
             added.append(Note(
                 on2, max(note.offset - on2, 2 * spf), note.pitch,
                 int(max(1, min(127, round(g2 * 127.0)))), note.program))
