@@ -220,6 +220,15 @@ def refit_gains_host(
     diag = np.maximum(np.diagonal(G), 1e-12)
     d0 = np.asarray(dot0[:n], dtype=np.float64)
     g = out[:n]
+    # Native fast path (amt_saga_tpu/native): same update rule, C++
+    # accumulation order; both emission paths share the dispatch (see
+    # refit_gains_variants_host for the parity argument).
+    from .. import native
+
+    if native.available():
+        native.refit_gains(np.ascontiguousarray(G), diag, d0, g,
+                           int(sweeps))
+        return out
     for _ in range(int(sweeps)):
         for a in range(n):
             num = d0[a] - (float(G[a] @ g) - G[a, a] * g[a])
@@ -470,12 +479,39 @@ def refit_gains_variants_host(
                 qb[a] = (prog[a] * n_pitches + p[a]) * n_durations \
                     + dsel[a]
 
+    # Native (C++) fast path for the two descent stages: identical
+    # DISCRETE decisions (both paths quantize with the same mantissa
+    # truncation before comparing), gains equal up to summation-order
+    # ulps vs numpy's BLAS.  Both the TPU and golden emission paths call
+    # THIS function, so whichever implementation runs, they share it and
+    # MIDI parity between them is untouched.  AMT_NO_NATIVE=1 or a
+    # failed build falls back to the numpy closure (tests compare both).
+    from .. import native
+
+    use_native = (native.available() and gram_pow.dtype == np.float32
+                  and gram_pow.flags.c_contiguous)
+    tmax_i = int(tmax)
+
+    def descend_native(qd_var, d_var, i_var, d0, allowed=None):
+        qb = (prog * n_pitches + p) * n_durations + dsel
+        native.refit_descend(
+            np.ascontiguousarray(t), np.ascontiguousarray(qd_var),
+            np.ascontiguousarray(d_var), np.ascontiguousarray(i_var),
+            np.ascontiguousarray(d0, dtype=np.float64),
+            np.ascontiguousarray(allowed, dtype=np.uint8)
+            if allowed is not None else None,
+            gram_pow, tmax_i, int(n_pitches), int(n_durations),
+            int(sweeps), np.ascontiguousarray(p), prog, dsel, h,
+            np.ascontiguousarray(qb))
+
+    run_stage = descend_native if use_native else descend
+
     # Stage 1: instruments (dd = 0 columns of dot0), duration fixed.
     i_var = np.broadcast_to(np.arange(n_i, dtype=np.int64)[None, :],
                             (n, n_i))
     d_var1 = np.broadcast_to(dsel[:, None], (n, n_i))
     qd_var1 = (i_var * n_pitches + p[:, None]) * n_durations + d_var1
-    descend(qd_var1, d_var1, i_var, d0_all[:, 1::3])
+    run_stage(qd_var1, d_var1, i_var, d0_all[:, 1::3])
 
     # Stage 2: duration neighbors at the chosen instrument.
     dd = np.array([-1, 0, 1], dtype=np.int64)
@@ -491,7 +527,7 @@ def refit_gains_variants_host(
             / np.maximum(np.minimum(gsec[d_var2], gsec[d_orig[:, None]]),
                          1e-12)
         allowed = ratio <= DURATION_RESELECT_MAX_STEP
-    descend(qd_var2, d_var2, i_var2, d0_2, allowed=allowed)
+    run_stage(qd_var2, d_var2, i_var2, d0_2, allowed=allowed)
 
     if context_frames > 0 and n_i > 1:
         # Stage 3: context vote for AMBIGUOUS instruments.  At high
