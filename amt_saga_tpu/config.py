@@ -213,6 +213,16 @@ class LoopConfig:
     # onsetting within +-1 frame of a louder same-pitch twin (rare loop
     # artifact; physically and MIDI-wise invalid).
     dedup_twins: bool = True
+    # Emission-side absent-note recovery (saga/snap.py recover_absent):
+    # scan every pitch's pristine fundamental-region trace, subtract
+    # every emitted note's leak bound in quadrature, and emit sustained
+    # unexplained rises (implied gain >= 0.18, >= 1 higher-harmonic
+    # confirmation, away from same-pitch emissions) as recovered notes.
+    # Targets the dense-polyphony miss class the residual cannot see:
+    # quiet notes fully absorbed by neighbors' clamped subtraction
+    # (measured: 43/85 mus8 FNs with ~0.2% of their energy left in the
+    # residual).  Off by default pending the measured tradeoff.
+    recover_absent: bool = False
     # Emission-side instrument re-pick (saga/snap.py
     # reassign_instruments): when the OBSERVED onset harmonic shape
     # (gain folded out, pollution-filtered via bank cross-leak)

@@ -68,7 +68,7 @@ from ..dsp.stft import hann_window
 
 __all__ = ["refine_emission", "snap_onsets", "split_restrikes",
            "dedup_twins", "reassign_instruments", "trim_offsets",
-           "snap_spectrogram"]
+           "recover_absent", "snap_spectrogram"]
 
 
 def snap_spectrogram(wave: np.ndarray, cfg: Config) -> np.ndarray:
@@ -653,6 +653,266 @@ def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
     return NoteSequence(notes + added).sorted(), len(added)
 
 
+# ---------------------------------------------------------------------
+# Absent-note recovery (recover_absent).  Root cause measured on the
+# 8-voice suite (round 3): 43 of 85 FNs are quiet notes whose energy is
+# NOT in the final residual — the greedy loop's clamped subtraction of
+# louder overlapping neighbors absorbed them (residual coarse score at
+# their cells ~2e-6 of e0, vs ~1.3e-3 for a fresh note of their
+# velocity), so no loop-side threshold can reach them and the rescan
+# (which rebuilds the residual from refit gains) surfaces mostly junk.
+# What CAN see them: the PRISTINE spectrogram's pitch-unique
+# fundamental region, with every emitted note's possible contribution
+# subtracted in quadrature (upper-bounded by its template's peak
+# magnitude there — over-explaining is the fail-closed direction).
+_RA_MIN_GAIN = 0.25   # implied-gain floor for a recovered note
+_RA_RISE = 0.6        # onset rise must be this fraction of the level
+_RA_PERSIST = 0.45    # next-3-frame floor, x the onset level
+_RA_H_CONF = 0.25     # harmonic confirmation, x expected region level
+_RA_GUARD = 6         # frames around same-pitch onsets left alone
+# A simultaneous (+-3 frame) ACCEPTED recovery within this many
+# semitones suppresses weaker candidates: at low pitches the Hann
+# mainlobe spans several semitones of log-frequency bins, so a genuine
+# recovered note raises phantom candidates at its close neighbors whose
+# leak its (underestimated) gain bound cannot explain away.
+_RA_ADJ = 3
+# Explained model: "quad" assumes random relative phase (sum of
+# squares); "lin" bounds the all-in-phase worst case ((sum)^2 —
+# strictly most conservative, over-explains many-voice frames);
+# "pair" = quadrature + the in-phase cross term of the two LARGEST
+# leaks (Q + 2*M1*M2) — bounds the dominant pairwise-beating junk
+# without the N-term over-explanation.
+_RA_SUM = "pair"
+
+
+def _leak_matrix(cfg: Config) -> np.ndarray:
+    """[I, P_source, P_target] peak template magnitude that a unit-gain
+    note of (i, p_source) puts into p_target's fundamental region —
+    the per-note upper bound used to explain away observed energy.
+    Uses the longest-duration atom's per-bin time max (sustains
+    longest ⇒ bounds every duration's trace)."""
+    from ..synth.templates import template_bank
+
+    key = (cfg.synth, cfg.dsp)
+    hit = _LEAK_MEMO.get(key)
+    if hit is None:
+        bank = template_bank(cfg.synth, cfg.dsp)    # [I, P, D, Tmax, F]
+        peak = bank[:, :, -1].max(axis=2)           # [I, P, F]
+        n_i, n_p = peak.shape[:2]
+        hit = np.zeros((n_i, n_p, n_p), dtype=np.float64)
+        for p in range(n_p):
+            reg = _fundamental_region(cfg.synth.pitch_min + p, cfg)
+            if reg is not None:
+                hit[:, :, p] = peak[:, :, reg[0]:reg[1]].sum(
+                    axis=-1, dtype=np.float64)
+        _LEAK_MEMO.clear()
+        _LEAK_MEMO[key] = hit
+    return hit
+
+
+_LEAK_MEMO: dict = {}
+
+
+def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
+                   ev: "_ColCache | None" = None
+                   ) -> tuple[NoteSequence, int]:
+    """Recover notes the greedy loop's subtraction absorbed entirely.
+
+    Two passes.  PASS 1 per pitch: the pristine fundamental-region
+    trace minus the quadrature sum of every emitted note's leak bound
+    gives the UNEXPLAINED trace; a sustained rise there implying gain
+    >= _RA_MIN_GAIN, confirmed in at least one higher harmonic region,
+    away from any same-pitch emission (the splitter owns in-extent
+    rises), is a CANDIDATE.  PASS 2, strongest-evidence-first greedy
+    acceptance: each candidate's gates are re-evaluated with every
+    already-accepted recovery added to the explained model — a missed
+    note's own mainlobe/harmonic leak is what raises phantom
+    candidates at its semitone neighbors and harmonic relatives, and
+    since the masker is itself unemitted, only this
+    matching-pursuit-over-evidence ordering can attribute it (measured
+    before pass 2: recovered-note junk came in simultaneous
+    semitone-adjacent pairs, the louder one genuine).  All yardsticks
+    absolute (template-scaled); every guard fails closed.  Pitches
+    whose higher harmonics are all out of band are skipped (no
+    confirmation possible)."""
+    from ..core.notes import gain_to_velocity
+
+    dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
+    if not loop.recover_absent or len(seq) == 0:
+        return seq, 0
+    if ev is None:
+        ev = _ColCache(snap_stft_mag(wave, cfg), cfg)
+    T = ev.n_frames
+    if T < 8:
+        return seq, 0
+    spf = dsp.hop / float(dsp.sample_rate)
+    lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
+    tmax = synth.template_frames
+    rel_f = int(round(4 * synth.release_seconds / spf)) + 2
+    grid = np.asarray(synth.duration_grid, dtype=np.float64)
+    fund = _fundamental_strengths(cfg)               # [I, P]
+    leak = _leak_matrix(cfg)                         # [I, Ps, Pt]
+    n_i, n_p = fund.shape
+    notes = list(seq.notes)
+
+    def explained_pow(p_idx: int, pool: list[Note],
+                      lo: int, hi: int) -> np.ndarray:
+        lin = np.zeros(hi - lo, dtype=np.float64)
+        quad = np.zeros(hi - lo, dtype=np.float64)
+        m1 = np.zeros(hi - lo, dtype=np.float64)
+        m2 = np.zeros(hi - lo, dtype=np.float64)
+        for m in pool:
+            pm = m.pitch - synth.pitch_min
+            if not (0 <= pm < n_p):
+                continue
+            lk = (m.velocity / 127.0) * leak[m.program % n_i, pm, p_idx]
+            if lk <= 0.0:
+                continue
+            t0 = max(lo, int(round(m.onset / spf)))
+            t1 = min(hi, int(round(m.onset / spf))
+                     + min(tmax, int(round(m.duration / spf)) + rel_f))
+            if t1 <= t0:
+                continue
+            s = slice(t0 - lo, t1 - lo)
+            if _RA_SUM == "lin":
+                lin[s] += lk
+            else:
+                quad[s] += lk * lk
+                if _RA_SUM == "pair":
+                    m2[s] = np.maximum(m2[s], np.minimum(m1[s], lk))
+                    m1[s] = np.maximum(m1[s], lk)
+        if _RA_SUM == "lin":
+            return np.square(lin)
+        if _RA_SUM == "pair":
+            return quad + 2.0 * m1 * m2
+        return quad
+
+    def gates(unexp: np.ndarray, k: int, f_p: float) -> float:
+        """Level/rise/persistence gates at frame k of a full-length
+        unexplained trace; returns the implied gain (0.0 = reject)."""
+        if k < 4 or k + 4 > len(unexp):
+            return 0.0
+        lvl = float(unexp[k])
+        lm = float(min(unexp[k - 4], unexp[k - 3], unexp[k - 2]))
+        if lvl < _RA_MIN_GAIN * f_p or lvl - lm < _RA_RISE * lvl:
+            return 0.0
+        if float(min(unexp[k + 1], unexp[k + 2], unexp[k + 3])) \
+                < _RA_PERSIST * lvl:
+            return 0.0
+        return lvl / f_p
+
+    # ---- pass 1: per-pitch candidate detection -----------------------
+    cands = []   # (strength, pitch, p_idx, k, e1, local_min_at_k, f_p)
+    e1_by_pitch: dict[int, np.ndarray] = {}
+    for p_idx in range(n_p):
+        pitch = synth.pitch_min + p_idx
+        regs = _regions(pitch, cfg)
+        if len(regs) < 2 or regs[0][0] != 1:
+            continue                                  # no confirmation band
+        f_p = float(fund[:, p_idx].max())
+        if f_p <= 0.0:
+            continue
+        e1 = ev.region(0, T, regs[0][1])
+        unexp = np.sqrt(np.maximum(
+            np.square(e1) - explained_pow(p_idx, notes, 0, T), 0.0))
+        # Frames owned by same-pitch emissions: their extents plus a
+        # guard band around their onsets.
+        free = np.ones(T, dtype=bool)
+        for m in notes:
+            if m.pitch != pitch:
+                continue
+            t0 = int(round(m.onset / spf))
+            t1 = int(round(m.offset / spf)) + rel_f
+            free[max(0, t0 - _RA_GUARD):min(T, t1 + 1)] = False
+        # Higher-harmonic confirmation traces.
+        conf_tr = []
+        for h, reg_h in regs[1:]:
+            s_h = float(_region_trace(pitch, 0, float(grid[-1]),
+                                      reg_h, 1, cfg)[0])
+            if s_h > 0.0:
+                conf_tr.append((ev.region(0, T, reg_h), s_h))
+        if not conf_tr:
+            continue
+        next_free = -1
+        for k in range(4, T - 4):
+            if k < next_free or not free[k]:
+                continue
+            g_c = gates(unexp, k, f_p)
+            if g_c <= 0.0:
+                continue
+            confirmed = False
+            for eh, s_h in conf_tr:
+                lm_h = float(min(eh[k - 4], eh[k - 3], eh[k - 2]))
+                if float(eh[k:k + 3].max()) - lm_h >= \
+                        _RA_H_CONF * g_c * s_h:
+                    confirmed = True
+                    break
+            if not confirmed:
+                continue
+            cands.append((float(unexp[k]), pitch, p_idx, k, f_p))
+            e1_by_pitch[p_idx] = e1
+            next_free = k + _RA_GUARD
+
+    if not cands:
+        return seq, 0
+
+    # ---- pass 2: strongest-first greedy acceptance -------------------
+    # Deterministic order: absolute evidence desc, then (pitch, k).
+    cands.sort(key=lambda c: (-c[0], c[1], c[3]))
+    added: list[Note] = []
+    acc_pk: list[tuple[int, int]] = []   # (pitch, k) of accepted
+    for _, pitch, p_idx, k, f_p in cands:
+        # Mainlobe-adjacency suppression: a stronger simultaneous
+        # recovery within _RA_ADJ semitones owns this rise.
+        if any(abs(pa - pitch) <= _RA_ADJ and abs(ka - k) <= 3
+               for pa, ka in acc_pk):
+            continue
+        pool = notes + added
+        lo = max(0, k - 4)
+        hi = min(T, k + max(4, tmax) + 1)
+        e1 = e1_by_pitch[p_idx]
+        unexp = np.zeros(T, dtype=np.float64)
+        unexp[lo:hi] = np.sqrt(np.maximum(
+            np.square(e1[lo:hi]) - explained_pow(p_idx, pool, lo, hi),
+            0.0))
+        # same-pitch guard vs newly accepted recoveries
+        if any(m.pitch == pitch and
+               int(round(m.onset / spf)) - _RA_GUARD <= k
+               <= int(round(m.offset / spf)) + rel_f
+               for m in added):
+            continue
+        g_c = gates(unexp, k, f_p)
+        if g_c <= 0.0:
+            continue
+        # onset: half-rise crossing + STFT lead (split policy)
+        lm = float(min(unexp[k - 4], unexp[k - 3], unexp[k - 2]))
+        thr = lm + 0.5 * (float(unexp[k]) - lm)
+        lo_r = max(k - 3, 1)
+        idx = np.nonzero(unexp[lo_r:k + 1] >= thr)[0]
+        t_on = (lo_r + int(idx[0]) if idx.size else k) + lead_corr
+        if t_on >= T:
+            continue
+        # duration: last frame holding >= _OT_DROP of the onset level
+        # within one template extent, snapped to the grid
+        ext = min(hi - k, tmax)
+        below = np.nonzero(unexp[k:k + ext] < _OT_DROP
+                           * float(unexp[k]))[0]
+        k_end = int(below[0]) if below.size else ext
+        dur_s = max(float(k_end) * spf, float(grid[0]))
+        d_i = int(np.argmin(np.abs(grid - dur_s)))
+        dur_s = float(grid[d_i])
+        prog = 0
+        if n_i > 1:
+            prog = int(np.argmax(fund[:, p_idx]))
+        added.append(Note(
+            float(t_on) * spf, dur_s, pitch,
+            gain_to_velocity(min(g_c, 1.0)), prog))
+        acc_pk.append((pitch, k))
+    if not added:
+        return seq, 0
+    return NoteSequence(notes + added).sorted(), len(added)
+
+
 _OT_DROP = 0.35      # end detector: ratio falls below this...
 _OT_STAY = 0.6       # ...and STAYS below this for the rest of the extent
 _OT_MIN_TRIM = 2     # frames; sub-tolerance differences stay untouched
@@ -748,7 +1008,7 @@ def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
     (LoopConfig.min_score_rel0) is the working lever for that junk."""
     loop = cfg.loop
     want_ev = (loop.onset_snap_frames > 0 or loop.restrike_split
-               or loop.offset_trim
+               or loop.offset_trim or loop.recover_absent
                or (loop.instrument_evidence_margin > 0
                    and cfg.synth.n_instruments > 1)) and len(seq) > 0
     if not want_ev and not loop.dedup_twins:
@@ -763,6 +1023,8 @@ def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
         seq, _ = reassign_instruments(seq, wave, cfg, ev=ev)
     if loop.restrike_split and ev is not None:
         seq, _ = split_restrikes(seq, wave, cfg, ev=ev)
+    if loop.recover_absent and ev is not None:
+        seq, _ = recover_absent(seq, wave, cfg, ev=ev)
     if loop.offset_trim and ev is not None:
         seq, _ = trim_offsets(seq, wave, cfg, ev=ev)
     return seq
