@@ -221,8 +221,10 @@ class LoopConfig:
     # Targets the dense-polyphony miss class the residual cannot see:
     # quiet notes fully absorbed by neighbors' clamped subtraction
     # (measured: 43/85 mus8 FNs with ~0.2% of their energy left in the
-    # residual).  Off by default pending the measured tradeoff.
-    recover_absent: bool = False
+    # residual).  Validated ON: held-out seeds avg +0.26pt (worst cell
+    # -0.13), noise/template-mismatch 16/18 cells non-negative with
+    # mus6/mus8 +0.17..+0.75pt everywhere (docs/PERFORMANCE.md).
+    recover_absent: bool = True
     # Emission-side instrument re-pick (saga/snap.py
     # reassign_instruments): when the OBSERVED onset harmonic shape
     # (gain folded out, pollution-filtered via bank cross-leak)

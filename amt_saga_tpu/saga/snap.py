@@ -761,15 +761,30 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
         quad = np.zeros(hi - lo, dtype=np.float64)
         m1 = np.zeros(hi - lo, dtype=np.float64)
         m2 = np.zeros(hi - lo, dtype=np.float64)
+        on_lin = np.zeros(hi - lo, dtype=np.float64)
         for m in pool:
             pm = m.pitch - synth.pitch_min
             if not (0 <= pm < n_p):
                 continue
-            lk = (m.velocity / 127.0) * leak[m.program % n_i, pm, p_idx]
+            # velocity 127 is SATURATED: the true gain is >= 1.0 and
+            # unknowable (measured junk case: a unison double-strike in
+            # the source renders at gain ~1.6, the loop emits one
+            # vel-127 note, and the 0.6-gain excess octave energy reads
+            # as an unexplained rise) — double the bound, fail-closed.
+            g_m = 2.0 if m.velocity >= 127 else m.velocity / 127.0
+            lk = g_m * leak[m.program % n_i, pm, p_idx]
             if lk <= 0.0:
                 continue
-            t0 = max(lo, int(round(m.onset / spf)))
-            t1 = min(hi, int(round(m.onset / spf))
+            # The analysis window sees an onset lead_corr+1 frames
+            # before the note's onset frame (STFT smear), so the leak
+            # interval starts early by that much — otherwise every
+            # emitted note's own smeared attack reads as an unexplained
+            # rise 1-2 frames before it, raising phantom candidates at
+            # its harmonic/mainlobe relatives exactly at chord onsets
+            # (the measured held-out mus4 junk class).
+            t0n = int(round(m.onset / spf))
+            t0 = max(lo, t0n - lead_corr - 1)
+            t1 = min(hi, t0n
                      + min(tmax, int(round(m.duration / spf)) + rel_f))
             if t1 <= t0:
                 continue
@@ -781,10 +796,22 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
                 if _RA_SUM == "pair":
                     m2[s] = np.maximum(m2[s], np.minimum(m1[s], lk))
                     m1[s] = np.maximum(m1[s], lk)
+                    # Onset neighborhood: the mixture's components are
+                    # phase-COHERENT right at a strike (common attack,
+                    # same start sample), so magnitudes there add
+                    # linearly, not in quadrature — chord onsets with
+                    # 3+ comparable leaks beat the pair bound and were
+                    # the residual held-out junk class.  The linear
+                    # bound applies ONLY in this window; sustained
+                    # regions keep the pair model (full-linear loses
+                    # the genuine many-voice recoveries).
+                    s_on = slice(t0 - lo,
+                                 max(t0 - lo, min(hi, t0n + 4) - lo))
+                    on_lin[s_on] += lk
         if _RA_SUM == "lin":
             return np.square(lin)
         if _RA_SUM == "pair":
-            return quad + 2.0 * m1 * m2
+            return np.maximum(quad + 2.0 * m1 * m2, np.square(on_lin))
         return quad
 
     def gates(unexp: np.ndarray, k: int, f_p: float) -> float:
@@ -801,6 +828,20 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
             return 0.0
         return lvl / f_p
 
+    def pitch_free(pitch: int) -> np.ndarray:
+        """Frames NOT owned by a same-pitch emission (extent plus an
+        onset guard band).  Rises inside owned frames belong to the
+        re-strike splitter, not the recovery scan."""
+        free = np.ones(T, dtype=bool)
+        for m in notes:
+            if m.pitch != pitch:
+                continue
+            t0 = int(round(m.onset / spf))
+            t1 = int(round(m.offset / spf)) + rel_f
+            free[max(0, t0 - _RA_GUARD):min(T, t1 + 1)] = False
+        return free
+
+
     # ---- pass 1: per-pitch candidate detection -----------------------
     cands = []   # (strength, pitch, p_idx, k, e1, local_min_at_k, f_p)
     e1_by_pitch: dict[int, np.ndarray] = {}
@@ -815,15 +856,7 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
         e1 = ev.region(0, T, regs[0][1])
         unexp = np.sqrt(np.maximum(
             np.square(e1) - explained_pow(p_idx, notes, 0, T), 0.0))
-        # Frames owned by same-pitch emissions: their extents plus a
-        # guard band around their onsets.
-        free = np.ones(T, dtype=bool)
-        for m in notes:
-            if m.pitch != pitch:
-                continue
-            t0 = int(round(m.onset / spf))
-            t1 = int(round(m.offset / spf)) + rel_f
-            free[max(0, t0 - _RA_GUARD):min(T, t1 + 1)] = False
+        free = pitch_free(pitch)
         # Higher-harmonic confirmation traces.
         conf_tr = []
         for h, reg_h in regs[1:]:
@@ -884,12 +917,18 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
         g_c = gates(unexp, k, f_p)
         if g_c <= 0.0:
             continue
-        # onset: half-rise crossing + STFT lead (split policy)
+        # onset: half-rise crossing + STFT lead (split policy), minus
+        # one frame: unexp = sqrt(max(E^2 - bound, 0)) suppresses the
+        # smeared first attack frame (bound is at full strength while E
+        # is still rising), so the crossing lands one frame after the
+        # true onset frame — measured on every genuine held-out
+        # recovery (d = +0.032 s or +0.064 s, never early).
         lm = float(min(unexp[k - 4], unexp[k - 3], unexp[k - 2]))
         thr = lm + 0.5 * (float(unexp[k]) - lm)
         lo_r = max(k - 3, 1)
         idx = np.nonzero(unexp[lo_r:k + 1] >= thr)[0]
-        t_on = (lo_r + int(idx[0]) if idx.size else k) + lead_corr
+        t_on = max(0, (lo_r + int(idx[0]) if idx.size else k)
+                   + lead_corr - 1)
         if t_on >= T:
             continue
         # duration: last frame holding >= _OT_DROP of the onset level

@@ -18,9 +18,13 @@ from amt_saga_tpu.saga.loop import (
 
 
 def _tiny_cap_cfg(tiny_config, cap=3):
+    # recover_absent off: this file pins the LOOP's truncation
+    # semantics, and the emission-side recovery scan (correctly)
+    # salvages notes a saturated lane never emitted, changing counts.
     return dataclasses.replace(
         tiny_config, loop=dataclasses.replace(tiny_config.loop,
-                                              max_notes=cap))
+                                              max_notes=cap,
+                                              recover_absent=False))
 
 
 def test_saturation_flagged_not_silent(tiny_config):
