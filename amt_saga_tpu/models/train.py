@@ -3,7 +3,7 @@
 The reference trains its CNN with a standard PyTorch loop + torch.save
 checkpoints [SURVEY.md C14].  TPU-native: one jitted ``train_step``
 (donated state, optax AdamW), host-side synthetic-fixture batch generation
-(:mod:`amt_saga_tpu.runtime.dataset`), Orbax checkpointing, JSONL metrics.
+(:mod:`amt_saga_tpu.runtime.examples`), Orbax checkpointing, JSONL metrics.
 
 Losses (heads of :class:`amt_saga_tpu.models.classifier.NoteClassifier`):
 * onset_pitch: sigmoid BCE over the [T, Q] map with positive-class
@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..runtime.dataset import ExampleBatch, make_example_batch
+from ..runtime.examples import ExampleBatch, make_example_batch
 from ..utils.logging import MetricsWriter, get_logger
 from .classifier import build_classifier, init_params
 
@@ -148,7 +148,7 @@ def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
     core here, so generation is the training bottleneck otherwise).
 
     ``loop_state_p``: fraction of batches sampled from the loop's OWN
-    mid-transcription residual states (runtime.dataset.LoopStateSampler)
+    mid-transcription residual states (runtime.examples.LoopStateSampler)
     instead of the synthetic subtract-a-random-subset approximation —
     the distribution the classifier actually scores inside the loop.
 
@@ -170,7 +170,7 @@ def batch_iterator(cfg: Config, *, seconds: float = 4.0, kind: str = "mus",
     """
     sampler = None
     if loop_state_p > 0.0:
-        from ..runtime.dataset import LoopStateSampler
+        from ..runtime.examples import LoopStateSampler
 
         sampler = LoopStateSampler(cfg)
 

@@ -107,6 +107,24 @@ def available() -> bool:
     return get() is not None
 
 
+def impl_id() -> str:
+    """Which refit implementation this process runs: ``native:<digest>``
+    or ``numpy``.  Recorded in run/bench metadata because native vs
+    numpy-BLAS gains differ in summation-order ulps — bit-reproducibility
+    of golden MIDI across machines with and without a compiler requires
+    matching this (pin ``AMT_NO_NATIVE=1`` for cross-machine
+    comparisons)."""
+    lib = get()
+    if lib is None:
+        return "numpy"
+    try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha1(b"refit-v1" + f.read()).hexdigest()[:20]
+        return f"native:{digest[:12]}"
+    except OSError:
+        return "native:unknown"
+
+
 def _ptr(a: np.ndarray) -> ctypes.c_void_p:
     return ctypes.c_void_p(a.ctypes.data)
 
@@ -130,13 +148,21 @@ def refit_descend(t: np.ndarray, qd_var: np.ndarray, d_var: np.ndarray,
     assert gram.dtype == np.float32 and gram.flags.c_contiguous
     for a in (t, p, prog, dsel, qb):
         assert a.dtype == np.int64 and a.flags.c_contiguous
+    assert h.dtype == np.float64 and h.flags.c_contiguous
+    # Contiguous copies MUST be bound to locals that outlive the foreign
+    # call: ``_ptr(np.ascontiguousarray(x))`` would drop the only
+    # reference to a fresh copy before the C code reads it
+    # (use-after-free).  Dtypes asserted — a silent ascontiguousarray
+    # dtype pass-through with the wrong itemsize would mis-stride in C.
+    qd_c = np.ascontiguousarray(qd_var, dtype=np.int64)
+    dv_c = np.ascontiguousarray(d_var, dtype=np.int64)
+    iv_c = np.ascontiguousarray(i_var, dtype=np.int64)
+    d0_c = np.ascontiguousarray(d0, dtype=np.float64)
+    al_c = (np.ascontiguousarray(allowed, dtype=np.uint8)
+            if allowed is not None else None)
     lib.refit_descend(
-        _ptr(t), _ptr(np.ascontiguousarray(qd_var)),
-        _ptr(np.ascontiguousarray(d_var)),
-        _ptr(np.ascontiguousarray(i_var)),
-        _ptr(np.ascontiguousarray(d0)),
-        _ptr(np.ascontiguousarray(allowed)) if allowed is not None
-        else ctypes.c_void_p(0),
+        _ptr(t), _ptr(qd_c), _ptr(dv_c), _ptr(iv_c), _ptr(d0_c),
+        _ptr(al_c) if al_c is not None else ctypes.c_void_p(0),
         _ptr(gram), qd_n, tmax, n, V, n_pitches, n_durations, sweeps,
         _ptr(p), _ptr(prog), _ptr(dsel), _ptr(h), _ptr(qb))
 
@@ -147,6 +173,11 @@ def refit_gains(G: np.ndarray, diag: np.ndarray, d0: np.ndarray,
     lib = get()
     assert lib is not None
     n = g.shape[0]
-    lib.refit_gains(_ptr(np.ascontiguousarray(G)),
-                    _ptr(np.ascontiguousarray(diag)),
-                    _ptr(np.ascontiguousarray(d0)), _ptr(g), n, sweeps)
+    assert g.dtype == np.float64 and g.flags.c_contiguous
+    # Locals hold the contiguous copies alive across the call (see
+    # refit_descend); g is mutated in place and must arrive contiguous.
+    g_c = np.ascontiguousarray(G, dtype=np.float64)
+    diag_c = np.ascontiguousarray(diag, dtype=np.float64)
+    d0_c = np.ascontiguousarray(d0, dtype=np.float64)
+    lib.refit_gains(_ptr(g_c), _ptr(diag_c), _ptr(d0_c), _ptr(g),
+                    n, sweeps)

@@ -30,7 +30,7 @@ from ..core.midi import read_midi
 from ..core.notes import NoteSequence
 from ..dsp.audio import load_wav, pad_to_length
 from ..golden.dsp_np import spectrogram_np
-from .dataset import ExampleBatch, _labels_for
+from .examples import ExampleBatch, _labels_for
 
 
 @dataclass(frozen=True)

@@ -1,4 +1,4 @@
-"""Training-example generator (SURVEY.md C13) + dataset loaders (C10-C12).
+"""Training-example generator (SURVEY.md C13); corpus formats live in datasets.py.
 
 Produces dense per-frame label maps for the fully-convolutional classifier
 from (audio, ground-truth NoteSequence) pairs:

@@ -1102,7 +1102,7 @@ def transcribe_partial(spec: jnp.ndarray, cfg: Config,
 
     ``max_iters`` is a traced scalar, so ONE compiled program serves every
     cut point — the classifier trainer samples random cuts per batch
-    (runtime/dataset.make_loop_state_batch) to cover the loop's whole
+    (runtime/examples.make_loop_state_batch) to cover the loop's whole
     residual state distribution.
     """
     out = _run_loop(spec, cfg, tmpl, score_fn, max_iters)

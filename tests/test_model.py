@@ -17,7 +17,7 @@ from amt_saga_tpu.models.train import (
     train,
     train_step,
 )
-from amt_saga_tpu.runtime.dataset import make_example_batch
+from amt_saga_tpu.runtime.examples import make_example_batch
 
 
 def test_classifier_shapes(tiny_config):
@@ -250,7 +250,7 @@ def test_static_gate_rejects_unknown_mode(tiny_config):
 def test_loop_state_sampler(tiny_config):
     """Mid-transcription training states: residual comes from the REAL
     loop, labels are the not-yet-extracted notes."""
-    from amt_saga_tpu.runtime.dataset import LoopStateSampler
+    from amt_saga_tpu.runtime.examples import LoopStateSampler
 
     cfg = tiny_config
     s = LoopStateSampler(cfg)

@@ -54,7 +54,9 @@ def test_nothing_to_recover_adds_nothing(tiny_config):
 
 
 def test_disabled_is_identity(tiny_config):
-    cfg = tiny_config  # recover_absent defaults off
+    # Explicitly OFF: the default flipped to True in round 3, so the
+    # disabled-identity contract must be pinned by an override.
+    cfg = tiny_config.override(**{"loop.recover_absent": False})
     pre = NoteSequence()
     pre.add(0.15, 1.0, 60, 100, 0)
     wave = render_notes(pre, cfg, cfg.dsp.sample_rate * 2)
