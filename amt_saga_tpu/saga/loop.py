@@ -1341,22 +1341,27 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                 "lane %d poisoned (non-finite residual/scores); "
                 "emitting empty sequence", b)
             return NoteSequence()
+        from ..utils import stages
+
         gains_b = np.asarray(notes.gain[b])
         progs_b = np.asarray(notes.program[b])
         didx_b = np.asarray(notes.d_idx[b])
         dur_b = np.asarray(notes.dur[b])
         refine_mask = None
         if refit:
-            gains_b, progs_b, didx_b, changed = refit_gains_variants_host(
-                np.asarray(notes.onset[b]), np.asarray(notes.pitch[b]),
-                np.asarray(notes.d_idx[b]), progs_b,
-                np.asarray(notes.dot0[b]), gains_b,
-                int(notes.count[b]), gram, n_p, n_d,
-                cfg.loop.refit_sweeps,
-                duration_grid=cfg.synth.duration_grid,
-                context_frames=round(
-                    cfg.loop.instrument_context_seconds
-                    * cfg.dsp.sample_rate / cfg.dsp.hop))
+            with stages.timed("emit.refit"):
+                gains_b, progs_b, didx_b, changed = \
+                    refit_gains_variants_host(
+                        np.asarray(notes.onset[b]),
+                        np.asarray(notes.pitch[b]),
+                        np.asarray(notes.d_idx[b]), progs_b,
+                        np.asarray(notes.dot0[b]), gains_b,
+                        int(notes.count[b]), gram, n_p, n_d,
+                        cfg.loop.refit_sweeps,
+                        duration_grid=cfg.synth.duration_grid,
+                        context_frames=round(
+                            cfg.loop.instrument_context_seconds
+                            * cfg.dsp.sample_rate / cfg.dsp.hop))
             if changed.any():
                 # Re-selected durations: emit the corrected grid frames;
                 # the sd-based refiner is skipped for those notes (their
@@ -1394,26 +1399,39 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                     elif overlap:  # "blend"
                         vel_override[a] = int(np.clip(round(
                             0.5 * (v_gain[a] + v_head[a])), 1, 127))
-        seq = note_arrays_to_sequence(
-            np.asarray(notes.onset[b]), dur_b,
-            np.asarray(notes.pitch[b]), gains_b,
-            progs_b, int(notes.count[b]),
-            hop=cfg.dsp.hop, sample_rate=cfg.dsp.sample_rate,
-            pitch_min=cfg.synth.pitch_min,
-            d_idx=didx_b if refine else None,
-            sd=np.asarray(notes.sd[b]) if refine else None,
-            refiner=refiner,
-            refine_programs=(np.asarray(notes.program[b])
-                             if refine else None),
-            refine_mask=refine_mask,
-            velocity_override=vel_override)
+        with stages.timed("emit.to_sequence"):
+            seq = note_arrays_to_sequence(
+                np.asarray(notes.onset[b]), dur_b,
+                np.asarray(notes.pitch[b]), gains_b,
+                progs_b, int(notes.count[b]),
+                hop=cfg.dsp.hop, sample_rate=cfg.dsp.sample_rate,
+                pitch_min=cfg.synth.pitch_min,
+                d_idx=didx_b if refine else None,
+                sd=np.asarray(notes.sd[b]) if refine else None,
+                refiner=refiner,
+                refine_programs=(np.asarray(notes.program[b])
+                                 if refine else None),
+                refine_mask=refine_mask,
+                velocity_override=vel_override)
         if snap_waves is not None:
             from .snap import refine_emission
 
-            seq = refine_emission(seq, snap_waves[b], cfg)
+            seq = refine_emission(
+                seq, snap_waves[b], cfg,
+                mag=None if snap_mags is None else snap_mags[b])
         return seq
 
     n_lanes = notes.onset.shape[0]
+    snap_mags = None
+    if snap_waves is not None and n_lanes > 1:
+        # One batched pocketfft call for every lane's evidence STFT
+        # (bitwise-identical per lane — see snap_stft_mag_batch);
+        # per-lane calls paid ~19 ms each on the 1-core host.
+        from ..utils import stages
+        from .snap import snap_stft_mag_batch
+
+        with stages.timed("snap.stft_batch"):
+            snap_mags = snap_stft_mag_batch(np.asarray(snap_waves), cfg)
     workers = cfg.run.emission_workers
     if workers < 0:                       # auto
         workers = min(8, max(1, (os.cpu_count() or 1) - 1))

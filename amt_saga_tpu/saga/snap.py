@@ -116,6 +116,38 @@ def snap_stft_mag(wave: np.ndarray, cfg: Config) -> np.ndarray:
     return np.abs(_rfft(frames, dsp.n_fft)).astype(np.float32)
 
 
+def snap_stft_mag_batch(waves: np.ndarray, cfg: Config) -> np.ndarray:
+    """[B, T, n_fft//2+1] batched snap_stft_mag over same-length lanes.
+
+    Bitwise-identical per lane to snap_stft_mag(waves[b]): the window
+    multiply is elementwise f32 and pocketfft transforms each length-
+    n_fft row independently (row count does not enter the plan), so
+    batching only amortizes the per-call overhead — one rfft dispatch
+    per BATCH instead of per lane (tests/test_snap.py pins equality).
+    """
+    dsp = cfg.dsp
+    w = np.asarray(waves, dtype=np.float32)
+    b = w.shape[0]
+    t_raw = dsp.raw_num_frames(w.shape[-1])
+    if t_raw <= 0:
+        return np.zeros((b, 0, dsp.freq_bins), dtype=np.float32)
+    win = hann_window(dsp.n_fft)[None, :]
+    # Lane-at-a-time into preallocated buffers: one [T, n_fft] working
+    # set stays cache-resident (measured 2-3 ms/lane vs 6+ for a single
+    # [B*T, n_fft] call whose ~240 MB of temporaries go through DRAM),
+    # and np.multiply/np.abs with out= skip the alloc+copy of the
+    # expression forms (values identical — np.abs on complex64 yields
+    # the same float32s astype copied).
+    out = np.empty((b, t_raw, dsp.freq_bins), dtype=np.float32)
+    buf = np.empty((t_raw, dsp.n_fft), dtype=np.float32)
+    for i in range(b):
+        frames = np.lib.stride_tricks.sliding_window_view(
+            w[i], dsp.n_fft)[::dsp.hop][:t_raw]
+        np.multiply(frames, win, out=buf)
+        np.abs(_rfft(buf, dsp.n_fft), out=out[i])
+    return out
+
+
 def _rfft(frames: np.ndarray, n: int) -> np.ndarray:
     """scipy's pocketfft keeps float32 native (~4x faster than
     numpy's on this path); deterministic single-worker plan.  Both
@@ -359,7 +391,12 @@ _RS_MIN_GAIN = 0.15
 
 
 def _regions(pitch: int, cfg: Config) -> list[tuple[int, tuple[int, int]]]:
-    """(harmonic, bin-slice) for h = 1..3 of ``pitch`` (in-band only)."""
+    """(harmonic, bin-slice) for h = 1..3 of ``pitch`` (in-band only).
+    Memoized: called per (pitch x note x lane) across the chain."""
+    key = (cfg.dsp, pitch)
+    hit = _REGIONS_MEMO.get(key)
+    if hit is not None:
+        return hit
     f0 = 440.0 * 2.0 ** ((pitch - 69.0) / 12.0)
     out = []
     for h in (1, 2, 3):
@@ -369,7 +406,13 @@ def _regions(pitch: int, cfg: Config) -> list[tuple[int, tuple[int, int]]]:
                       * cfg.dsp.bins_per_octave))
         if 1 <= c < cfg.dsp.n_bins - 1:
             out.append((h, (c - 1, c + 2)))
+    if len(_REGIONS_MEMO) > 4096:
+        _REGIONS_MEMO.clear()
+    _REGIONS_MEMO[key] = out
     return out
+
+
+_REGIONS_MEMO: dict = {}
 
 
 def _region_trace(pitch: int, program: int, duration: float,
@@ -755,6 +798,50 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
     n_i, n_p = fund.shape
     notes = list(seq.notes)
 
+    def explained_pow_all(pool: list[Note]) -> np.ndarray:
+        """[T, P] explained power for EVERY target pitch in one sweep.
+
+        Bitwise-identical per (frame, pitch) cell to explained_pow: the
+        notes are visited in the same order and each contributes the
+        same f64 addends (a zero leak adds +0.0 to a non-negative
+        accumulator — an exact identity — where the scalar path's
+        ``lk <= 0: continue`` skipped it).  Replaces the O(P x M)
+        scalar-loop calls of pass 1, which dominated emission wall time
+        on the 1-core host (VERDICT r3 item 1)."""
+        shape = (T, n_p)
+        lin = np.zeros(shape)
+        quad = np.zeros(shape)
+        m1 = np.zeros(shape)
+        m2 = np.zeros(shape)
+        on_lin = np.zeros(shape)
+        for m in pool:
+            pm = m.pitch - synth.pitch_min
+            if not (0 <= pm < n_p):
+                continue
+            g_m = 2.0 if m.velocity >= 127 else m.velocity / 127.0
+            lk = g_m * leak[m.program % n_i, pm, :]       # [P]
+            t0n = int(round(m.onset / spf))
+            t0 = max(0, t0n - lead_corr - 1)
+            t1 = min(T, t0n
+                     + min(tmax, int(round(m.duration / spf)) + rel_f))
+            if t1 <= t0:
+                continue
+            s = slice(t0, t1)
+            if _RA_SUM == "lin":
+                lin[s] += lk
+            else:
+                quad[s] += lk * lk
+                if _RA_SUM == "pair":
+                    m2[s] = np.maximum(m2[s], np.minimum(m1[s], lk))
+                    m1[s] = np.maximum(m1[s], lk)
+                    s_on = slice(t0, max(t0, min(T, t0n + 4)))
+                    on_lin[s_on] += lk
+        if _RA_SUM == "lin":
+            return np.square(lin)
+        if _RA_SUM == "pair":
+            return np.maximum(quad + 2.0 * m1 * m2, np.square(on_lin))
+        return quad
+
     def explained_pow(p_idx: int, pool: list[Note],
                       lo: int, hi: int) -> np.ndarray:
         lin = np.zeros(hi - lo, dtype=np.float64)
@@ -843,20 +930,36 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
 
 
     # ---- pass 1: per-pitch candidate detection -----------------------
+    # Vectorized over the frame axis (the former per-frame gates() loop
+    # was O(P x T) Python calls per lane — the dominant emission stage
+    # at corpus scale).  Decision-identical: same f64 values compared
+    # with the same predicates; see gates() for the scalar form pass 2
+    # still uses.
     cands = []   # (strength, pitch, p_idx, k, e1, local_min_at_k, f_p)
     e1_by_pitch: dict[int, np.ndarray] = {}
+    if T > 8:
+        exp_all = explained_pow_all(notes)            # [T, P]
+        ks = np.arange(4, T - 4)
+    else:
+        exp_all, ks = None, np.zeros(0, np.int64)
     for p_idx in range(n_p):
         pitch = synth.pitch_min + p_idx
         regs = _regions(pitch, cfg)
         if len(regs) < 2 or regs[0][0] != 1:
             continue                                  # no confirmation band
         f_p = float(fund[:, p_idx].max())
-        if f_p <= 0.0:
+        if f_p <= 0.0 or ks.size == 0:
             continue
         e1 = ev.region(0, T, regs[0][1])
+        # Early exit for energy-free pitches: unexp = sqrt(max(e1^2 -
+        # explained, 0)) <= e1 pointwise, so if even the RAW trace never
+        # reaches the level gate no frame can pass okg — skip the
+        # unexplained/confirmation work (most pitches on real content).
+        # Decision-identical by monotonicity.
+        if float(np.max(e1)) < _RA_MIN_GAIN * f_p:
+            continue
         unexp = np.sqrt(np.maximum(
-            np.square(e1) - explained_pow(p_idx, notes, 0, T), 0.0))
-        free = pitch_free(pitch)
+            np.square(e1) - exp_all[:, p_idx], 0.0))
         # Higher-harmonic confirmation traces.
         conf_tr = []
         for h, reg_h in regs[1:]:
@@ -866,22 +969,33 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
                 conf_tr.append((ev.region(0, T, reg_h), s_h))
         if not conf_tr:
             continue
+        # gates(), vectorized: level / rise / persistence.
+        lvl = unexp[ks]
+        lm = np.minimum(np.minimum(unexp[ks - 4], unexp[ks - 3]),
+                        unexp[ks - 2])
+        pers = np.minimum(np.minimum(unexp[ks + 1], unexp[ks + 2]),
+                          unexp[ks + 3])
+        okg = ((lvl >= _RA_MIN_GAIN * f_p)
+               & (lvl - lm >= _RA_RISE * lvl)
+               & (pers >= _RA_PERSIST * lvl))
+        if not okg.any():
+            continue
+        g_c_v = lvl / f_p
+        conf_ok = np.zeros(ks.shape, dtype=bool)
+        for eh, s_h in conf_tr:
+            mx = np.maximum(np.maximum(eh[ks], eh[ks + 1]), eh[ks + 2])
+            lm_h = np.minimum(np.minimum(eh[ks - 4], eh[ks - 3]),
+                              eh[ks - 2])
+            conf_ok |= mx - lm_h >= _RA_H_CONF * g_c_v * s_h
+        eligible = okg & conf_ok
+        if not eligible.any():
+            continue
+        free = pitch_free(pitch)
         next_free = -1
-        for k in range(4, T - 4):
-            if k < next_free or not free[k]:
+        for k in ks[eligible & free[ks]]:
+            if k < next_free:
                 continue
-            g_c = gates(unexp, k, f_p)
-            if g_c <= 0.0:
-                continue
-            confirmed = False
-            for eh, s_h in conf_tr:
-                lm_h = float(min(eh[k - 4], eh[k - 3], eh[k - 2]))
-                if float(eh[k:k + 3].max()) - lm_h >= \
-                        _RA_H_CONF * g_c * s_h:
-                    confirmed = True
-                    break
-            if not confirmed:
-                continue
+            k = int(k)
             cands.append((float(unexp[k]), pitch, p_idx, k, f_p))
             e1_by_pitch[p_idx] = e1
             next_free = k + _RA_GUARD
@@ -1013,12 +1127,15 @@ def trim_offsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
         if float(ratio[:_OT_MIN_K].max()) < 0.5:
             out.append(note)
             continue
-        k_trim = None
+        # First k >= _OT_MIN_K with ratio[k] < _OT_DROP whose ENTIRE
+        # suffix stays below _OT_STAY — the former per-frame python
+        # loop with below[k:].all() was O(K^2); the reversed-cumulative
+        # AND gives the identical suffix predicate in one pass.
         below = ratio < _OT_STAY
-        for k in range(_OT_MIN_K, len(ratio)):
-            if ratio[k] < _OT_DROP and bool(below[k:].all()):
-                k_trim = k
-                break
+        suffix_all = np.flip(np.logical_and.accumulate(np.flip(below)))
+        hits = np.nonzero((ratio < _OT_DROP) & suffix_all)[0]
+        hits = hits[hits >= _OT_MIN_K]
+        k_trim = int(hits[0]) if hits.size else None
         if k_trim is None or k_trim > end_k - _OT_MIN_TRIM:
             out.append(note)
             continue
@@ -1030,8 +1147,8 @@ def trim_offsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
     return NoteSequence(out).sorted(), n_trimmed
 
 
-def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
-                    ) -> NoteSequence:
+def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config,
+                    mag: np.ndarray | None = None) -> NoteSequence:
     """Full emission-side refinement chain: onset snap -> twin dedup ->
     instrument re-pick -> re-strike split -> offset trim.  One
     STFT-magnitude read serves all of them.  Pure host NumPy of
@@ -1045,6 +1162,8 @@ def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
     the note to region magnitudes, so a fail-closed absence test never
     fires (0 vetoes across mus4/6/8 + etude).  The energy floor
     (LoopConfig.min_score_rel0) is the working lever for that junk."""
+    from ..utils import stages
+
     loop = cfg.loop
     want_ev = (loop.onset_snap_frames > 0 or loop.restrike_split
                or loop.offset_trim or loop.recover_absent
@@ -1052,18 +1171,29 @@ def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config
                    and cfg.synth.n_instruments > 1)) and len(seq) > 0
     if not want_ev and not loop.dedup_twins:
         return seq
-    ev = _ColCache(snap_stft_mag(wave, cfg), cfg) if want_ev else None
+    if want_ev:
+        with stages.timed("snap.stft"):
+            ev = _ColCache(snap_stft_mag(wave, cfg) if mag is None
+                           else mag, cfg)
+    else:
+        ev = None
     if loop.onset_snap_frames > 0 and ev is not None:
-        seq, _ = snap_onsets(seq, wave, cfg, ev=ev)
+        with stages.timed("snap.onsets"):
+            seq, _ = snap_onsets(seq, wave, cfg, ev=ev)
     if loop.dedup_twins:
-        seq = dedup_twins(seq, cfg)
+        with stages.timed("snap.dedup"):
+            seq = dedup_twins(seq, cfg)
     if (loop.instrument_evidence_margin > 0 and cfg.synth.n_instruments > 1
             and ev is not None):
-        seq, _ = reassign_instruments(seq, wave, cfg, ev=ev)
+        with stages.timed("snap.instruments"):
+            seq, _ = reassign_instruments(seq, wave, cfg, ev=ev)
     if loop.restrike_split and ev is not None:
-        seq, _ = split_restrikes(seq, wave, cfg, ev=ev)
+        with stages.timed("snap.restrike"):
+            seq, _ = split_restrikes(seq, wave, cfg, ev=ev)
     if loop.recover_absent and ev is not None:
-        seq, _ = recover_absent(seq, wave, cfg, ev=ev)
+        with stages.timed("snap.recover"):
+            seq, _ = recover_absent(seq, wave, cfg, ev=ev)
     if loop.offset_trim and ev is not None:
-        seq, _ = trim_offsets(seq, wave, cfg, ev=ev)
+        with stages.timed("snap.trim"):
+            seq, _ = trim_offsets(seq, wave, cfg, ev=ev)
     return seq

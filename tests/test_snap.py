@@ -364,3 +364,18 @@ def test_trim_disabled_by_config(cfg):
     out, n = trim_offsets(seq, wave,
                           cfg.override(**{"loop.offset_trim": False}))
     assert n == 0
+
+
+def test_batched_stft_mag_bitwise_matches_per_lane(cfg):
+    """snap_stft_mag_batch must equal per-lane snap_stft_mag BIT-FOR-BIT
+    (pocketfft row transforms are batch-invariant) — the batched call is
+    what notes_batch_to_sequences feeds the evidence chain, and any
+    deviation would silently split TPU/golden emission parity."""
+    from amt_saga_tpu.saga.snap import snap_stft_mag, snap_stft_mag_batch
+
+    rng = np.random.default_rng(11)
+    waves = rng.standard_normal((3, cfg.dsp.sample_rate * 2)).astype(
+        np.float32)
+    batched = snap_stft_mag_batch(waves, cfg)
+    for b in range(waves.shape[0]):
+        assert np.array_equal(batched[b], snap_stft_mag(waves[b], cfg))
