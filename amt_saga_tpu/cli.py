@@ -313,6 +313,12 @@ def cmd_transcribe_corpus(args) -> int:
     tr = _make_transcriber(cfg, multi_device=True)
     bs = cfg.run.batch_size
     metrics = MetricsWriter()
+    from . import native
+
+    # Which joint-refit implementation this run used (native vs numpy
+    # differ in summation-order ulps; cross-machine reproducibility
+    # comparisons must pin AMT_NO_NATIVE=1 — see native.impl_id).
+    metrics.write({"event": "run_meta", "refit_impl": native.impl_id()})
     # Static length buckets (runtime/bucketing.py): header-only length
     # scan of the FULL pre-shard corpus, so a resumed or sharded run
     # recomputes identical buckets and reuses the compiled (AOT-cached)

@@ -321,21 +321,12 @@ class LoopConfig:
     # SPECTRAL: extend dsp.n_bins so high notes keep >= 2 in-band
     # harmonics (0.859 -> 0.919 at n_bins=288; see docs).
     instrument_context_seconds: float = 0.0
-    # OMP-style debias-then-resweep (second pass).  After the main
-    # greedy pass converges: jointly refit the gains ON DEVICE (power-
-    # domain coordinate descent, the f32 mirror of refit_gains_power_
-    # host), REBUILD the residual from the refit gains in one shot
-    # (clamped once — progressive clamping in the greedy pass loses
-    # energy that shadows later notes), and run up to this many extra
-    # loop iterations over the rebuilt residual.  0 disables — the
-    # DEFAULT, because on the pinned suites the rescan recovers no
-    # shadowed notes (the misses are onset/attribution errors, not
-    # over-subtraction shadows) while its rebuilt residual surfaces
-    # phantom low notes: measured 4-voice F1 0.9501 -> 0.9463 and
-    # multi-instrument FP bursts (docs/PERFORMANCE.md, round 3).
-    # Mirrored op-for-op in golden/pipeline.py (f64; decision
-    # quantization absorbs the f32/f64 drift, like everywhere else).
-    rescan_iterations: int = 0
+    # (An OMP-style debias-then-resweep knob, rescan_iterations, lived
+    # here in round 3: measured quality-negative on the pinned suites —
+    # 4-voice F1 0.9501 -> 0.9463, multi-instrument FP bursts — shipped
+    # default-off and DELETED in round 4 with its device/golden
+    # machinery.  docs/PERFORMANCE.md records the numbers; git history
+    # has the code.)
     # Candidate scoring uses the closed form
     #   score = 2*g*<window, W> - g^2*||W||^2
     # which equals (energy reduction) - 1.0*(over-subtraction energy):
@@ -420,13 +411,12 @@ class RunConfig:
     model_axis: str = "model"
     model_parallel: int = 1
     use_pallas: bool = False  # swap Pallas kernels in for the jnp paths
-    # Fused selection-chain kernel (ops/select_pallas.py): runs the K
-    # greedy Gram-updated winner-selection steps of each loop iteration
-    # in ONE kernel launch instead of ~30 small XLA ops per step (the
-    # ~0.25 ms/step op-launch tail measured in benchmarks/
-    # profile_body.py).  Only consulted when use_pallas is on; decision-
-    # identical to the XLA chain (tests/test_select_pallas.py).
-    pallas_select: bool = False
+    # (A fused selection-chain kernel flag, pallas_select, lived here in
+    # round 3: the 435-line kernel measured 4-27% SLOWER than the XLA
+    # selection chain once the deferred-subtract restructure removed the
+    # op-launch tail it targeted, and was DELETED in round 4 —
+    # docs/PERFORMANCE.md records the measurements; git history has the
+    # code.)
     classifier: str = "heuristic"  # "heuristic" | "cnn"
     # Emitted-velocity source (CNN mode only; "gain" elsewhere):
     #   gain  - the joint-refit template gain through gain_to_velocity

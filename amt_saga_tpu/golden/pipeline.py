@@ -415,42 +415,8 @@ def transcribe_golden(wave: np.ndarray, cfg: Config,
 
     greedy_pass(res, cap)
 
-    if loop.rescan_iterations > 0 and count > 0:
-        # OMP debias-then-resweep (mirror of saga/loop._rescan): joint
-        # power-domain gain refit (f64 — the device runs the same
-        # coordinate descent in f32; the refit gains are decision-
-        # quantized before the rebuild so both paths subtract
-        # identically-bucketed values), one-shot residual rebuild from
-        # the pristine spectrogram, then more greedy iterations.
-        from ..core.notes import refit_gains_host
-        from ..synth.templates import gram_from_bank
-
-        gram_pow = gram_from_bank(
-            np.square(bank).reshape(n_i * n_p * n_d, tmax, -1))
-        qd_inc = ((programs[:count] * n_p + pitch_i[:count]) * n_d
-                  + d_idx[:count]).astype(np.int64)
-        spec0_sq = np.square(spec0)
-        bank_flat = bank.reshape(n_i * n_p * n_d, tmax, -1)
-        d0 = np.zeros(count, dtype=np.float64)
-        for a in range(count):
-            t_a = int(onset_f[a])
-            d0[a] = float(
-                spec0_sq[t_a:t_a + tmax].reshape(-1).astype(np.float64)
-                @ np.square(bank_flat[qd_inc[a]]).reshape(-1)
-                .astype(np.float64))
-        h = refit_gains_host(
-            onset_f[:count], qd_inc, d0,
-            np.square(gains[:count].astype(np.float64)), count,
-            gram_pow, loop.refit_sweeps)
-        g_refit = quantize_decisions_np(
-            np.sqrt(np.maximum(h, 0.0)).astype(np.float32))
-        res2 = spec0.copy()
-        for a in range(count):
-            t_a = int(onset_f[a])
-            res2[t_a:t_a + tmax] -= g_refit[a] * bank_flat[qd_inc[a]]
-        res2 = np.maximum(res2, 0.0)
-        res = res2
-        greedy_pass(res, loop.rescan_iterations)
+    # (The golden mirror of the device rescan pass lived here in round 3;
+    # deleted with it in round 4 — see saga/loop.py and git history.)
 
     emit_gains, emit_programs = gains, programs
     emit_d_idx, emit_dur = d_idx, dur_f

@@ -335,25 +335,10 @@ def neural_template_arrays(cfg: Config, trained: dict,
     flat = bank.reshape(n_i * n_p, n_d, tmax, f)
     prof = atoms["prof"].reshape(n_i * n_p, f)
     gram = gram_from_bank(flat.reshape(n_i * n_p * n_d, tmax, f))
-    if cfg.loop.rescan_iterations > 0:
-        # Squared-atom Gram of THIS bank for the on-device rescan refit
-        # (golden mirrors with the same bank override).
-        gram_pow = gram_from_bank(
-            np.square(flat).reshape(n_i * n_p * n_d, tmax, f))
-    else:
-        gram_pow = np.zeros((1, 1, 1), np.float32)
     if cfg.run.use_pallas and f % 128:
         pad = 128 - f % 128
         flat = np.pad(flat, ((0, 0), (0, 0), (0, 0), (0, pad)))
         prof = np.pad(prof, ((0, 0), (0, pad)))
-    gram_t = None
-    if cfg.run.use_pallas and cfg.run.pallas_select:
-        from ..ops.select_pallas import gram_transpose
-
-        n_qd = n_i * n_p * n_d
-        gram_t = jnp.asarray(gram_transpose(
-            np.asarray(gram), cfg.synth.template_frames,
-            n_qd + (-n_qd) % 128))
 
     return TemplateArrays(
         bank=jnp.asarray(flat),
@@ -362,6 +347,4 @@ def neural_template_arrays(cfg: Config, trained: dict,
         env=jnp.asarray(atoms["env"]),
         durs=jnp.asarray(duration_grid_frames(cfg.synth, cfg.dsp)),
         gram=jnp.asarray(gram),
-        gram_pow=jnp.asarray(gram_pow),
-        gram_t=gram_t,
     )

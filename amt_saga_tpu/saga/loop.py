@@ -99,14 +99,6 @@ class TemplateArrays(NamedTuple):
     env: jnp.ndarray     # [Tmax]
     durs: jnp.ndarray    # [D] int32
     gram: jnp.ndarray    # [2*Tmax-1, QD, QD] template-overlap Gram
-    # Squared-atom (power-domain) Gram for the on-device joint gain
-    # refit of the rescan pass (LoopConfig.rescan_iterations); a [1,1,1]
-    # placeholder when the rescan is off.
-    gram_pow: jnp.ndarray  # [2*Tmax-1, QD, QD] | [1, 1, 1]
-    # Winner-major transposed Gram for the fused selection kernel
-    # (ops/select_pallas.py): [QD, 2*Tmax, QDpad] with a zero sentinel
-    # row at dt index 2*Tmax-1.  None unless run.use_pallas.
-    gram_t: jnp.ndarray | None = None
 
 
 def load_template_arrays(cfg: Config) -> TemplateArrays:
@@ -117,14 +109,6 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
     # Gram from the UNPADDED bank: zero F-padding columns contribute zero
     # to every overlap, so padded/unpadded banks share one cache entry.
     gram = gram_from_bank(bank.reshape(n_i * n_p * n_d, tmax, f))
-    if cfg.loop.rescan_iterations > 0:
-        # Power-domain Gram for the on-device rescan refit — the SAME
-        # squared-atom Gram the host emission refit uses (shared
-        # content-addressed disk cache inside gram_from_bank).
-        gram_pow = gram_from_bank(
-            np.square(bank).reshape(n_i * n_p * n_d, tmax, f))
-    else:
-        gram_pow = np.zeros((1, 1, 1), np.float32)
     if cfg.run.use_pallas and f % 128:
         # The Pallas path carries F padded to the 128-lane tiling (sliced
         # DMA alignment).  Zero columns contribute zero to every dot
@@ -132,14 +116,6 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
         pad = 128 - f % 128
         bank = np.pad(bank, ((0, 0), (0, 0), (0, 0), (0, pad)))
         prof = np.pad(prof, ((0, 0), (0, pad)))
-    gram_t = None
-    if cfg.run.use_pallas and cfg.run.pallas_select:
-        from ..ops.select_pallas import gram_transpose
-
-        n_qd = n_i * n_p * n_d
-        gram_t = jnp.asarray(gram_transpose(
-            np.asarray(gram), cfg.synth.template_frames,
-            n_qd + (-n_qd) % 128))
     return TemplateArrays(
         bank=jnp.asarray(bank),
         norms=jnp.asarray(
@@ -148,8 +124,6 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
         env=jnp.asarray(onset_envelope(cfg.synth, cfg.dsp)),
         durs=jnp.asarray(duration_grid_frames(cfg.synth, cfg.dsp)),
         gram=jnp.asarray(gram),
-        gram_pow=jnp.asarray(gram_pow),
-        gram_t=gram_t,
     )
 
 
@@ -471,26 +445,16 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
     allowed = (None if loop.onset_refractory_frac <= 0 else
                _refractory_mask(coarse, t_cand, cfg, tmpl))
     with jax.named_scope("saga_select"):
-        # The opt-in fused kernel does not consume the refractory mask;
-        # the XLA chain (the faster path in production anyway — see
-        # docs/PERFORMANCE.md round-3 negative result) handles it.
-        if (cfg.run.use_pallas and cfg.run.pallas_select
-                and allowed is None and not loop.peak_rejection_mask):
-            # The fused kernel predates the rejection mask and does not
-            # report per-peak rejection flags — the XLA chain (the
-            # faster path in production anyway) serves when the mask
-            # is on.
-            from ..ops.select_pallas import select_chain_pallas
-
-            (t_st, q_st, d_st, g_st, acc_st, sd_st, acc_cum, sat,
-             any_acc) = select_chain_pallas(
-                dots0, t_cand, valid, active, thr, notes, cfg, tmpl)
-            rej_st = jnp.zeros_like(acc_st)
-        else:
-            (t_st, q_st, d_st, g_st, acc_st, sd_st, acc_cum, sat,
-             any_acc, rej_st) = _select_chain_xla(
-                dots0, t_cand, valid, active, thr, notes, cfg, tmpl,
-                allowed=allowed)
+        # XLA selection chain.  A fused Pallas selection kernel
+        # (ops/select_pallas.py, 435 lines) was built, measured ~4-27%
+        # SLOWER than this chain after the deferred-subtract
+        # restructure removed the op-launch tail it targeted, and
+        # DELETED in round 4 (docs/PERFORMANCE.md round-3 negative
+        # result; retrievable from git history).
+        (t_st, q_st, d_st, g_st, acc_st, sd_st, acc_cum, sat,
+         any_acc, rej_st) = _select_chain_xla(
+            dots0, t_cand, valid, active, thr, notes, cfg, tmpl,
+            allowed=allowed)
     count0 = notes.count
 
     with jax.named_scope("saga_subtract_append"):
@@ -647,10 +611,6 @@ def _select_chain_xla(dots0: jnp.ndarray, t_cand: jnp.ndarray,
     acc_cum [B] i32, sat [B] bool, any_acc [B] bool, rej_st [B,K]
     bool)``.  ``rej_st`` marks peaks whose best candidate failed a
     QUALITY gate (not capacity) — input to the peak-rejection mask.
-    The Pallas fast path (ops.select_pallas) must match the first nine
-    outputs bit-for-bit — it is the contract the kernel's parity tests
-    pin against (it predates rej_st and is only used with the
-    rejection mask disabled).
     """
     loop = cfg.loop
     tmax = cfg.synth.template_frames
@@ -893,11 +853,11 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
                    bank_mats=_group_bank_mats(cfg, tmpl))
     out = jax.lax.while_loop(
         lambda c: (c.it < lim) & jnp.any(~c.done), body, carry0)
-    if cfg.loop.rescan_iterations > 0 and max_iters is None:
-        # Second pass (debias-then-resweep); skipped on the
-        # transcribe_partial path, which exists to sample MID-loop
-        # states for classifier training.
-        out = _rescan(out, res, cfg, tmpl, body)
+    # (An OMP debias-then-resweep second pass lived here in round 3
+    # (loop.rescan_iterations), measured quality-NEGATIVE on the pinned
+    # suites — 4-voice F1 0.9501 -> 0.9463, multi-instrument FP bursts —
+    # shipped default-off, and was DELETED in round 4; see
+    # docs/PERFORMANCE.md and git history.)
     if cfg.loop.refit_gains:
         # Inputs for the host-side joint gain re-projection
         # (core.notes.refit_gains_host): each accepted note's atom dotted
@@ -976,103 +936,6 @@ def _original_spec_dots(spec_padded: jnp.ndarray, notes: NotesBatch,
         (jnp.zeros((), jnp.int32),
          jnp.zeros((b, cap, n_i * 3), jnp.float32)))
     return quantize_decisions(dots)
-
-
-def _rescan(out: _Carry, spec0_padded: jnp.ndarray, cfg: Config,
-            tmpl: TemplateArrays, body) -> _Carry:
-    """OMP debias-then-resweep (LoopConfig.rescan_iterations).
-
-    The greedy pass clamps the residual after EVERY subtraction, so a
-    note extracted early absorbs overlapping neighbors' energy and the
-    accumulated clamping shadows notes that should still be found.
-    Debias: (1) jointly refit the accepted gains on device — power-
-    domain coordinate descent over the squared-atom Gram, the f32
-    mirror of core.notes.refit_gains_power_host (the emission refit
-    itself stays on the host in f64); (2) rebuild the residual from the
-    pristine spectrogram minus ALL refit atoms, clamped ONCE; (3) run
-    up to rescan_iterations more iterations of the same loop body over
-    the rebuilt residual, seeded with the existing notes (shadow
-    suppression and capacity continue to apply).  Mirrored op-for-op in
-    golden/pipeline.py; the refit gains are decision-quantized before
-    the rebuild so both paths subtract identically-bucketed values.
-    """
-    loop = cfg.loop
-    tmax = cfg.synth.template_frames
-    n_q, n_d = tmpl.norms.shape
-    n_p = cfg.synth.n_pitches
-    notes = out.notes
-    b, cap = notes.onset.shape
-    bank_flat = tmpl.bank.reshape(n_q * n_d, tmax, -1)
-    n_used = jnp.max(notes.count)
-    slot_live = (jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
-                 < notes.count[:, None])                      # [B, cap]
-    qd = ((notes.program * n_p + notes.pitch) * n_d
-          + notes.d_idx)                                      # [B, cap]
-    qd = jnp.where(slot_live, qd, 0)
-
-    # (1a) incumbent power dots <spec0^2, W_a^2> per used slot.
-    spec0_sq = jnp.square(spec0_padded)
-
-    def pow_dot_slot(a, acc):
-        win2 = jax.vmap(lambda r, t: residual_section(r, t, tmax))(
-            spec0_sq, notes.onset[:, a])                      # [B,Tmax,F]
-        atoms = bank_flat[qd[:, a]]                           # [B,Tmax,F]
-        d = jnp.sum(jnp.square(atoms) * win2, axis=(1, 2))
-        return acc.at[:, a].set(d)
-
-    d0 = jax.lax.fori_loop(0, n_used, pow_dot_slot,
-                           jnp.zeros((b, cap), jnp.float32))
-
-    # (1b) pairwise squared-atom overlaps via the power Gram.
-    dt = notes.onset[:, None, :] - notes.onset[:, :, None]    # [B,C,C]
-    k_idx = jnp.clip(dt + (tmax - 1), 0, 2 * tmax - 2)
-    g_mat = tmpl.gram_pow[k_idx, qd[:, :, None], qd[:, None, :]]
-    pair_live = slot_live[:, :, None] & slot_live[:, None, :]
-    g_mat = jnp.where((jnp.abs(dt) < tmax) & pair_live, g_mat, 0.0)
-    g_aa = jnp.maximum(tmpl.gram_pow[tmax - 1, qd, qd], 1e-12)
-
-    # (1c) Gauss-Seidel sweeps on the squared gains (slot order — the
-    # same cyclic order as the host refit).
-    h0 = jnp.where(slot_live, jnp.square(notes.gain), 0.0)
-
-    def note_step(a, h):
-        s_a = (jnp.sum(g_mat[:, a, :] * h, axis=-1)
-               - g_mat[:, a, a] * h[:, a])
-        g_new = jnp.maximum(0.0, (d0[:, a] - s_a) / g_aa[:, a])
-        return h.at[:, a].set(jnp.where(slot_live[:, a], g_new, h[:, a]))
-
-    h = jax.lax.fori_loop(
-        0, loop.refit_sweeps,
-        lambda _, hh: jax.lax.fori_loop(0, n_used, note_step, hh), h0)
-    g_refit = quantize_decisions(jnp.sqrt(h))                 # [B, cap]
-
-    # (2) one-shot rebuild: pristine spec minus ALL refit atoms
-    # (unclamped accumulation), clamped once at the end.
-    def sub_slot(a, acc):
-        w = bank_flat[qd[:, a]]                               # [B,Tmax,F]
-
-        def lane(acc_b, t, w_b, g):
-            win = jax.lax.dynamic_slice(
-                acc_b, (t, 0), (tmax, acc_b.shape[1]))
-            return jax.lax.dynamic_update_slice(
-                acc_b, win - g * w_b, (t, 0))
-
-        g_eff = jnp.where(slot_live[:, a], g_refit[:, a], 0.0)
-        return jax.vmap(lane)(acc, notes.onset[:, a], w, g_eff)
-
-    res2 = jnp.maximum(
-        jax.lax.fori_loop(0, n_used, sub_slot, spec0_padded), 0.0)
-
-    # (3) resweep: same body, existing notes seeded, poison respected.
-    lim2 = out.it + loop.rescan_iterations
-    # Fresh rejection mask + patience for the resweep: the rebuilt
-    # residual re-arms every frame (golden mirrors by re-initializing
-    # per greedy pass).
-    carry2 = _Carry(res2, notes, notes.poison, out.e0, out.it,
-                    jnp.full_like(out.rej_val, jnp.nan),
-                    jnp.zeros_like(out.no_acc))
-    return jax.lax.while_loop(
-        lambda c: (c.it < lim2) & jnp.any(~c.done), body, carry2)
 
 
 def transcribe_spectrograms(spec: jnp.ndarray, cfg: Config,

@@ -915,14 +915,17 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
             return 0.0
         return lvl / f_p
 
+    notes_by_pitch: dict[int, list[Note]] = {}
+    for _m in notes:
+        notes_by_pitch.setdefault(_m.pitch, []).append(_m)
+
     def pitch_free(pitch: int) -> np.ndarray:
         """Frames NOT owned by a same-pitch emission (extent plus an
         onset guard band).  Rises inside owned frames belong to the
-        re-strike splitter, not the recovery scan."""
+        re-strike splitter, not the recovery scan.  (Grouped by pitch
+        once — the former all-notes scan per pitch was O(P x M).)"""
         free = np.ones(T, dtype=bool)
-        for m in notes:
-            if m.pitch != pitch:
-                continue
+        for m in notes_by_pitch.get(pitch, ()):
             t0 = int(round(m.onset / spf))
             t1 = int(round(m.offset / spf)) + rel_f
             free[max(0, t0 - _RA_GUARD):min(T, t1 + 1)] = False

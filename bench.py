@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import sys
 import time
@@ -97,21 +98,19 @@ def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
 def bench_tpu(batch: int, seconds: float, repeats: int,
               use_pallas: bool = True, stack: int = 8,
               classifier: str = "heuristic",
-              select_kernel: bool = False,
               cnn_gate: str = "residual") -> dict:
     import jax
 
     from amt_saga_tpu import default_config
     from amt_saga_tpu.saga.loop import Transcriber
 
-    # The fused Pallas kernels (K1 spectrogram, K2 subtract, K-select
-    # chain) are the fastest mode; decision-identical MIDI vs the golden
-    # oracle on clean fixtures (K1 deviates ~1e-4 relative from rfft —
-    # the exact-parity contract holds for the rfft path; see
+    # The fused Pallas kernels (K1 spectrogram, K2 subtract) are the
+    # fastest mode; decision-identical MIDI vs the golden oracle on
+    # clean fixtures (K1 deviates ~1e-4 relative from rfft — the
+    # exact-parity contract holds for the rfft path; see
     # ops/spectrogram_pallas.py).
     cfg = default_config().override(**{
         "run.use_pallas": use_pallas,
-        "run.pallas_select": use_pallas and select_kernel,
         "run.classifier": classifier,
         "run.cnn_gate": cnn_gate})
     waves = _make_waves(cfg, batch, seconds)
@@ -220,6 +219,7 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
             "startup_detail": startup_detail,
             "notes_emitted": total_notes,
             "iterations": iterations,
+            "refit_impl": _refit_impl(),
             "logical_gflops": round(flops / 1e9, 1),
             "logical_tflops_per_s": round(tflops_s, 2),
             "mfu": round(mfu, 4),
@@ -332,9 +332,20 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
             "emission_stages_s": stage_detail,
             "midi_bytes": midi_total,
             "startup_s": round(startup_s, 1),
+            "refit_impl": _refit_impl(),
             "device": str(jax.devices()[0]),
         },
     }
+
+
+def _refit_impl() -> str:
+    """Which joint-refit implementation ran (native:<digest> | numpy).
+    Recorded because native vs numpy-BLAS differ in summation-order
+    ulps; cross-machine golden-MIDI comparisons must pin AMT_NO_NATIVE=1
+    (see native.impl_id)."""
+    from amt_saga_tpu import native
+
+    return native.impl_id()
 
 
 def bench_golden(seconds: float, clips: int) -> dict:
@@ -414,14 +425,6 @@ def main() -> None:
     p.add_argument("--no-pallas", action="store_true",
                    help="use the plain-XLA (rfft) pipeline instead of the "
                         "fused Pallas kernels")
-    p.add_argument("--select-kernel", action="store_true",
-                   help="swap in the fused select kernel "
-                        "(ops/select_pallas.py).  Off by default: the "
-                        "kernel measures ~4%% slower at batch 64 and "
-                        "~27%% at batch 96 than the XLA selection chain "
-                        "inside the while_loop (the chain's op-launch "
-                        "tail was already removed by the deferred-"
-                        "subtract restructure; see docs/PERFORMANCE.md)")
     p.add_argument("--backend-timeout", type=float, default=1800.0,
                    help="seconds to wait for the device backend to "
                         "initialize before emitting an honest "
@@ -453,8 +456,21 @@ def main() -> None:
         rec = bench_tpu(args.batch, args.seconds, args.repeats,
                         use_pallas=not args.no_pallas, stack=args.stack,
                         classifier=args.classifier,
-                        select_kernel=args.select_kernel,
                         cnn_gate=args.cnn_gate)
+        # Record the honest END-TO-END (WAV -> MIDI bytes, host emission
+        # included) number alongside the device headline (VERDICT r3
+        # item 1) — same process, the compiled sub-batch program is
+        # warm.  Skippable for quick device-only iteration.
+        if not os.environ.get("AMT_NO_BENCH_E2E"):
+            try:
+                e2e = bench_e2e(args.batch, args.seconds, 2,
+                                use_pallas=not args.no_pallas,
+                                stack=args.stack,
+                                classifier=args.classifier)
+                rec["detail"]["e2e_audio_sec_per_sec"] = e2e["value"]
+                rec["detail"]["e2e_detail"] = e2e["detail"]
+            except Exception as e:  # device number still stands
+                rec["detail"]["e2e_error"] = repr(e)[:200]
 
     detail = rec.pop("detail", None)
     if detail:
