@@ -57,16 +57,20 @@ def _code_fingerprint() -> str:
 _CODE_FP: str | None = None
 
 
-def cache_key(cfg_json: str, shapes: Any) -> str:
-    """Content-addressed filename: device kind + jax version + package
-    code fingerprint + config + abstract input shapes/dtypes.  Python's
-    builtin hash() is randomized per process, so hash explicitly via
-    sha256."""
-    dev = jax.devices()[0]
+def cache_key(cfg_json: str, shapes: Any,
+              devices: list | None = None) -> str:
+    """Content-addressed filename: device kind/count + jax version +
+    package code fingerprint + config + abstract input shapes/dtypes.
+    Python's builtin hash() is randomized per process, so hash
+    explicitly via sha256.  ``devices`` is the execution device list —
+    a sharded executable (mesh mode) keys differently from the
+    single-device program of the same config/shapes."""
+    devs = devices if devices else jax.devices()[:1]
+    dev = devs[0]
     ident = "|".join([
         f"v{_FORMAT_VERSION}", jax.__version__, dev.platform,
-        getattr(dev, "device_kind", "?"), _code_fingerprint(),
-        cfg_json, repr(shapes),
+        getattr(dev, "device_kind", "?"), f"n{len(devs)}",
+        _code_fingerprint(), cfg_json, repr(shapes),
     ])
     return hashlib.sha256(ident.encode()).hexdigest()[:24] + ".aotx"
 
@@ -89,9 +93,14 @@ def try_save(compiled, path: str) -> bool:
         return False
 
 
-def try_load(path: str) -> Callable | None:
+def try_load(path: str, devices: list | None = None) -> Callable | None:
     """Deserialize a compiled executable; None on any failure (missing
-    file, backend/device mismatch, version skew)."""
+    file, backend/device mismatch, version skew).  ``devices`` must
+    match the device list the executable was compiled for — device 0
+    for the single-chip program (the default execution_devices is ALL
+    local devices, which mismatches a 1-shard executable on the
+    8-virtual-device test backend), the mesh's device list for a
+    sharded one."""
     if not os.path.exists(path):
         return None
     try:
@@ -99,12 +108,9 @@ def try_load(path: str) -> Callable | None:
 
         with open(path, "rb") as f:
             payload = pickle.load(f)
-        # The cached program is the single-device flagship executable;
-        # pin loading to device 0 (the default execution_devices is ALL
-        # local devices, which mismatches a 1-shard executable on the
-        # 8-virtual-device test backend).
         loaded = se.deserialize_and_load(
-            *payload, execution_devices=jax.devices()[:1])
+            *payload,
+            execution_devices=devices if devices else jax.devices()[:1])
         log.info("AOT executable loaded from %s (no compile)", path)
         return loaded
     except Exception as e:
@@ -130,11 +136,21 @@ class AotCache:
     honestly instead of folding it into "compile".
     """
 
-    def __init__(self, fn: Callable, cfg_json: str, directory: str):
+    def __init__(self, fn: Callable | None, cfg_json: str, directory: str,
+                 jit_fn: Callable | None = None,
+                 devices: list | None = None):
+        """``fn``: plain callable to wrap in jax.jit, OR pass an
+        already-jitted function via ``jit_fn`` (e.g. the sharded
+        transcriber with in/out_shardings — mesh mode).  ``devices``:
+        execution device list the executable compiles for; defaults to
+        device 0 (single-chip).  A mesh-mode cache entry keys on the
+        device count, so single- and multi-device programs of the same
+        config/shapes never collide."""
         import threading
 
         self._fn = fn
-        self._jit = jax.jit(fn)
+        self._jit = jit_fn if jit_fn is not None else jax.jit(fn)
+        self._devices = list(devices) if devices else None
         self._cfg_json = cfg_json
         self._dir = directory
         os.makedirs(directory, exist_ok=True)
@@ -148,7 +164,7 @@ class AotCache:
             lambda a: (getattr(a, "shape", ()), str(getattr(a, "dtype",
                                                             type(a)))),
             args)
-        return cache_key(self._cfg_json, shapes)
+        return cache_key(self._cfg_json, shapes, self._devices)
 
     def _lock_for(self, key: str):
         import threading
@@ -172,7 +188,7 @@ class AotCache:
         st = {"load_s": 0.0, "compile_s": 0.0, "first_exec_s": 0.0,
               "source": "compile"}
         t0 = time.time()
-        entry = try_load(path)
+        entry = try_load(path, self._devices)
         st["load_s"] = round(time.time() - t0, 3)
         out = None
         if entry is not None:

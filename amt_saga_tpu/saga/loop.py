@@ -1022,13 +1022,21 @@ class Transcriber:
         if mesh is not None:
             # Multi-device mode (SURVEY.md §2.3 DP row): batch shards
             # over the mesh's 'data' axis, note arrays likewise,
-            # templates replicate.  The AOT executable cache is
-            # single-device-only; multi-device recompiles are amortized
-            # across the whole corpus run.
+            # templates replicate.  With an AOT cache dir the SHARDED
+            # executable serializes too (keyed on the mesh's device
+            # count), so a later mesh-mode process skips the compile —
+            # round-3 verdict item 6: a v4-8 corpus run paid the
+            # worst-case axon compile on every launch.
             from ..parallel.sharding import sharded_transcribe_fn
 
-            self._call, repl, self.input_sharding = sharded_transcribe_fn(
+            fn, repl, self.input_sharding = sharded_transcribe_fn(
                 cfg, mesh, self.tmpl, self._score_fn)
+            if aot_dir:
+                from ..runtime.aot import AotCache
+
+                fn = AotCache(None, cfg.to_json(), aot_dir, jit_fn=fn,
+                              devices=list(mesh.devices.flat))
+            self._call = fn
             self._tmpl_dev = jax.device_put(self.tmpl, repl)
             return
         self._tmpl_dev = jax.device_put(self.tmpl)

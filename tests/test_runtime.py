@@ -185,3 +185,38 @@ def test_manifest_requeues_missing_outputs(tmp_path):
     assert m3.is_done("c0.wav")                        # legacy view
     assert not m3.is_done("c0.wav", verify_output=True)
     assert m3.is_done("c1.wav", verify_output=True)
+
+
+def test_aot_cache_sharded_mesh_mode(tiny_config, tmp_path):
+    """Mesh-mode AOT (round-3 verdict item 6): the SHARDED executable
+    serializes and a fresh mesh-mode Transcriber reloads it (source ==
+    'aot', compile_s == 0) and reproduces the notes.  Keys on the mesh
+    device count, so it never collides with the single-device entry."""
+    import numpy as np
+
+    from amt_saga_tpu.parallel.mesh import make_mesh
+    from amt_saga_tpu.runtime.aot import AotCache
+    from amt_saga_tpu.runtime.fixtures import make_clip
+    from amt_saga_tpu.saga.loop import Transcriber
+
+    cfg = tiny_config.override(**{"run.aot_cache": str(tmp_path)})
+    mesh = make_mesh(4)
+    wave, _ = make_clip(cfg, kind="isol", seconds=2.0, n_notes=2, seed=0)
+    waves = np.stack([wave] * 4)
+
+    tr = Transcriber(cfg, mesh=mesh)
+    assert isinstance(tr._call, AotCache)
+    seqs = tr.transcribe_batch(waves)
+    st = next(iter(tr.startup_stats().values()))
+    if st["source"] != "aot":  # first process: compiled + serialized
+        assert st["compile_s"] > 0.0
+
+    # "Second process": fresh Transcriber + fresh jit cache must load
+    # the sharded executable from disk without compiling.
+    tr2 = Transcriber(cfg, mesh=make_mesh(4))
+    seqs2 = tr2.transcribe_batch(waves)
+    st2 = next(iter(tr2.startup_stats().values()))
+    assert st2["source"] == "aot", st2
+    assert st2["compile_s"] == 0.0
+    for a, b in zip(seqs, seqs2):
+        assert a.sorted().notes == b.sorted().notes
