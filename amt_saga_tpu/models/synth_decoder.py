@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import Config
+from ..config import Config, runtime_use_pallas
 from ..utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -335,7 +335,7 @@ def neural_template_arrays(cfg: Config, trained: dict,
     flat = bank.reshape(n_i * n_p, n_d, tmax, f)
     prof = atoms["prof"].reshape(n_i * n_p, f)
     gram = gram_from_bank(flat.reshape(n_i * n_p * n_d, tmax, f))
-    if cfg.run.use_pallas and f % 128:
+    if runtime_use_pallas(cfg) and f % 128:
         pad = 128 - f % 128
         flat = np.pad(flat, ((0, 0), (0, 0), (0, 0), (0, pad)))
         prof = np.pad(prof, ((0, 0), (0, pad)))

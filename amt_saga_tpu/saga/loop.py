@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config
+from ..config import Config, runtime_use_pallas
 from ..core.notes import (
     NoteSequence,
     gain_to_velocity,
@@ -109,7 +109,7 @@ def load_template_arrays(cfg: Config) -> TemplateArrays:
     # Gram from the UNPADDED bank: zero F-padding columns contribute zero
     # to every overlap, so padded/unpadded banks share one cache entry.
     gram = gram_from_bank(bank.reshape(n_i * n_p * n_d, tmax, f))
-    if cfg.run.use_pallas and f % 128:
+    if runtime_use_pallas(cfg) and f % 128:
         # The Pallas path carries F padded to the 128-lane tiling (sliced
         # DMA alignment).  Zero columns contribute zero to every dot
         # product / energy, so all decisions are unchanged.
@@ -190,7 +190,7 @@ def spectrogram_batch(waves: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     With ``run.use_pallas`` the fused K1 kernel (framing + window + DFT +
     magnitude + log-binning in one VMEM pass) replaces the rfft path.
     """
-    if cfg.run.use_pallas:
+    if runtime_use_pallas(cfg):
         from ..ops.spectrogram_pallas import spectrogram_pallas
 
         # Keep the 128-aligned padded bins (see load_template_arrays).
@@ -482,7 +482,7 @@ def _loop_body(carry: _Carry, *, cfg: Config, tmpl: TemplateArrays,
 
         gain_eff_st = jnp.where(acc_st, g_st, 0.0)
         w_st = tmpl.bank[q_st, d_st]                      # [B, K, Tmax, F]
-        if cfg.run.use_pallas:
+        if runtime_use_pallas(cfg):
             from ..ops.subtract_pallas import subtract_multi_pallas
 
             res_new = subtract_multi_pallas(res, w_st, gain_eff_st, t_st)

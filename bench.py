@@ -47,10 +47,13 @@ def _loop_flops(cfg, batch: int, n_samples: int, iterations: int) -> float:
     """
     from amt_saga_tpu.synth.templates import template_lead
 
+    from amt_saga_tpu.config import runtime_use_pallas
+
     dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
     t = dsp.num_frames(n_samples)
     tp = t + template_lead(dsp) + synth.template_frames + 8
-    f = dsp.n_bins + (-dsp.n_bins) % 128 if cfg.run.use_pallas else dsp.n_bins
+    f = (dsp.n_bins + (-dsp.n_bins) % 128 if runtime_use_pallas(cfg)
+         else dsp.n_bins)
     q = synth.n_instruments * synth.n_pitches
     n_d = len(synth.duration_grid)
     qd = q * n_d

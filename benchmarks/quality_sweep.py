@@ -119,6 +119,12 @@ def main() -> None:
     ap.add_argument("--noise", type=float, default=0.0,
                     help="additive white noise on every suite's waves")
     ap.add_argument("--tag", default="", help="echoed in every record")
+    ap.add_argument("--gate", default="",
+                    help="path to a fresh-seed pins JSON "
+                         "(benchmarks/fresh_pins.json): run each pinned "
+                         "suite on its pinned NEVER-TUNED seeds and exit "
+                         "1 if any suite mean falls below pin - "
+                         "tolerance.  Overrides --suites/--seeds.")
     args = ap.parse_args()
 
     import numpy as np
@@ -132,6 +138,13 @@ def main() -> None:
     for kv in args.set:
         k, v = kv.split("=", 1)
         overrides[k] = _parse_value(v)
+    pins = None
+    if args.gate:
+        with open(args.gate) as f:
+            pins = json.load(f)
+        args.suites = ",".join(pins["suites"].keys())
+        args.seeds = ",".join(str(s) for s in pins["seeds"])
+        args.clips = int(pins.get("clips", args.clips))
     cfg = default_config()
     if any(s == "multi5" for s in args.suites.split(",")):
         # BASELINE config 5's multi-instrument configuration (the
@@ -176,6 +189,26 @@ def main() -> None:
     summary = {s: round(float(np.mean(v)), 4) for s, v in by_suite.items()}
     print(json.dumps({"summary": summary, "noise": args.noise,
                       "tag": args.tag}), flush=True)
+    if pins is not None:
+        # Fresh-seed regression gate (round-3 verdict item 2): the
+        # pinned means were measured on seeds NEVER used for tuning, so
+        # a regression here is generalization loss the tracked-seed
+        # pins cannot see.  Tolerance absorbs fixture variance
+        # (measured cross-seed std — see fresh_pins.json provenance).
+        failures = []
+        for suite, pin in pins["suites"].items():
+            got = summary.get(suite)
+            floor = pin["mean_f1"] - pin.get(
+                "tolerance", pins.get("tolerance", 0.015))
+            if got is None or got < floor:
+                failures.append({"suite": suite, "mean_f1": got,
+                                 "pin": pin["mean_f1"],
+                                 "floor": round(floor, 4)})
+        print(json.dumps({"gate": "fresh_seed",
+                          "ok": not failures,
+                          "failures": failures}), flush=True)
+        if failures:
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":
