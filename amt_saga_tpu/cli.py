@@ -702,6 +702,29 @@ def cmd_selftest(args) -> int:
         gate = _pallas_gate(cfg)
         failures += not gate["ok"]
         results.append(gate)
+    if getattr(args, "fresh_gate", False):
+        # Fresh-seed regression gate (round-3 verdict item 2): the
+        # tracked-seed pins above can be tuned-to; these seeds never
+        # were.  Subprocess keeps the sweep's own golden-oracle process
+        # semantics (and its exit-1-on-regression contract).
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "benchmarks", "quality_sweep.py"),
+             "--gate", os.path.join(repo, "benchmarks",
+                                    "fresh_pins.json")],
+            capture_output=True, text=True)
+        lines = [json.loads(ln) for ln in proc.stdout.splitlines()
+                 if ln.strip()]
+        gate_rec = next((r for r in lines if r.get("gate")), None)
+        ok_fg = proc.returncode == 0 and gate_rec is not None \
+            and gate_rec.get("ok", False)
+        failures += not ok_fg
+        results.append({"case": "fresh_gate", "ok": ok_fg,
+                        "detail": gate_rec if gate_rec is not None
+                        else {"stderr": proc.stderr[-500:]}})
     print(json.dumps({"selftest": "pass" if failures == 0 else "FAIL",
                       "cases": results}))
     return 1 if failures else 0
@@ -854,6 +877,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also gate the Pallas kernels compiled through "
                         "Mosaic on the real device (K1 tolerance, K2 "
                         "bit-exactness)")
+    p.add_argument("--fresh-gate", action="store_true",
+                   help="also run the fresh-seed regression gate "
+                        "(benchmarks/quality_sweep.py --gate "
+                        "benchmarks/fresh_pins.json): five never-tuned "
+                        "seeds per suite through the golden oracle; "
+                        "fails if any suite mean drops below its pin "
+                        "minus tolerance (~7 min on one CPU core)")
     _add_common(p)
     p.set_defaults(fn=cmd_selftest)
 

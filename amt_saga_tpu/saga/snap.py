@@ -915,22 +915,34 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
             return 0.0
         return lvl / f_p
 
-    notes_by_pitch: dict[int, list[Note]] = {}
-    for _m in notes:
-        notes_by_pitch.setdefault(_m.pitch, []).append(_m)
-
-    def pitch_free(pitch: int) -> np.ndarray:
+    def pitch_free(pitch: int,
+                   by_pitch: dict[int, list[Note]]) -> np.ndarray:
         """Frames NOT owned by a same-pitch emission (extent plus an
         onset guard band).  Rises inside owned frames belong to the
         re-strike splitter, not the recovery scan.  (Grouped by pitch
-        once — the former all-notes scan per pitch was O(P x M).)"""
+        once per round — the former all-notes scan per pitch was
+        O(P x M).)"""
         free = np.ones(T, dtype=bool)
-        for m in notes_by_pitch.get(pitch, ()):
+        for m in by_pitch.get(pitch, ()):
             t0 = int(round(m.onset / spf))
             t1 = int(round(m.offset / spf)) + rel_f
             free[max(0, t0 - _RA_GUARD):min(T, t1 + 1)] = False
         return free
 
+    # A single scan + greedy acceptance.  Multi-round re-scanning (re-
+    # running with accepted recoveries in the explained model) was
+    # built and measured in round 4: bit-identical output across 5
+    # never-tuned seeds on mus6 AND mus8 — structurally forced, because
+    # every acceptance gate is monotone NON-INCREASING in the explained
+    # model (explained power only grows, so unexp only shrinks) and the
+    # carries (adjacency, pitch-free, same-pitch guard) only suppress.
+    # A recovery can therefore never unlock another; chained-absence
+    # recall needs a different evidence channel, not iteration.
+    added: list[Note] = []
+    acc_pk: list[tuple[int, int]] = []   # (pitch, k) of accepted
+    by_pitch: dict[int, list[Note]] = {}
+    for _m in notes:
+        by_pitch.setdefault(_m.pitch, []).append(_m)
 
     # ---- pass 1: per-pitch candidate detection -----------------------
     # Vectorized over the frame axis (the former per-frame gates() loop
@@ -993,7 +1005,7 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
         eligible = okg & conf_ok
         if not eligible.any():
             continue
-        free = pitch_free(pitch)
+        free = pitch_free(pitch, by_pitch)
         next_free = -1
         for k in ks[eligible & free[ks]]:
             if k < next_free:
@@ -1009,8 +1021,6 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
     # ---- pass 2: strongest-first greedy acceptance -------------------
     # Deterministic order: absolute evidence desc, then (pitch, k).
     cands.sort(key=lambda c: (-c[0], c[1], c[3]))
-    added: list[Note] = []
-    acc_pk: list[tuple[int, int]] = []   # (pitch, k) of accepted
     for _, pitch, p_idx, k, f_p in cands:
         # Mainlobe-adjacency suppression: a stronger simultaneous
         # recovery within _RA_ADJ semitones owns this rise.
@@ -1070,7 +1080,18 @@ def recover_absent(seq: NoteSequence, wave: np.ndarray, cfg: Config,
 
 
 _OT_DROP = 0.35      # end detector: ratio falls below this...
-_OT_STAY = 0.6       # ...and STAYS below this for the rest of the extent
+_OT_STAY = 0.6       # ...and STAYS below this for _OT_STAY_FRAMES
+# How long the fundamental must STAY quiet after the drop before the
+# note is declared ended.  The original rule demanded quiet through the
+# REST OF THE EXTENT, which fails closed the right way for beating dips
+# but also vetoes every trim whose extent contains a LATER note's
+# harmonically-related onset (its leak re-energizes the region) — the
+# round-4 fresh-seed off-grid misses were exactly this class: true end
+# found, trim vetoed by an unrelated note 0.5 s later.  A 0.38 s
+# (12-frame) absence of fundamental cannot be a beating dip of a
+# sounding note (measured dips on the pinned suites last <= 5 frames);
+# same-pitch re-strikes re-onset THROUGH the splitter, not the trim.
+_OT_STAY_FRAMES = 12
 _OT_MIN_TRIM = 2     # frames; sub-tolerance differences stay untouched
 _OT_MIN_K = 4        # never trim into the onset region
 
@@ -1130,13 +1151,16 @@ def trim_offsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
         if float(ratio[:_OT_MIN_K].max()) < 0.5:
             out.append(note)
             continue
-        # First k >= _OT_MIN_K with ratio[k] < _OT_DROP whose ENTIRE
-        # suffix stays below _OT_STAY — the former per-frame python
-        # loop with below[k:].all() was O(K^2); the reversed-cumulative
-        # AND gives the identical suffix predicate in one pass.
+        # First k >= _OT_MIN_K with ratio[k] < _OT_DROP whose next
+        # _OT_STAY_FRAMES (clipped at the extent end) all stay below
+        # _OT_STAY — windowed via a cumulative count of below-frames.
         below = ratio < _OT_STAY
-        suffix_all = np.flip(np.logical_and.accumulate(np.flip(below)))
-        hits = np.nonzero((ratio < _OT_DROP) & suffix_all)[0]
+        cum = np.concatenate([[0], np.cumsum(below)])
+        n_r = len(ratio)
+        k_idx = np.arange(n_r)
+        w_end = np.minimum(k_idx + _OT_STAY_FRAMES, n_r)
+        stay = (cum[w_end] - cum[k_idx]) == (w_end - k_idx)
+        hits = np.nonzero((ratio < _OT_DROP) & stay)[0]
         hits = hits[hits >= _OT_MIN_K]
         k_trim = int(hits[0]) if hits.size else None
         if k_trim is None or k_trim > end_k - _OT_MIN_TRIM:
