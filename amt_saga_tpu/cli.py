@@ -394,6 +394,9 @@ def cmd_transcribe_corpus(args) -> int:
         # the device runs batch i, and JAX's async dispatch lets batch
         # i+1's device work start while the host converts/writes batch
         # i's MIDI (one-deep pipeline of un-fetched device results).
+        ev = tr.evidence_runner() if hasattr(tr, "evidence_runner") \
+            else None
+
         def finish(paths, notes, dev, t0, blen, host_batch):
             # Device OOM surfaces when the result is fetched; fall back to
             # the blocking halved-batch path for just that batch.
@@ -405,7 +408,13 @@ def cmd_transcribe_corpus(args) -> int:
                 seqs = notes_batch_to_sequences(
                     host_notes, cfg, gram=tr.host_gram(),
                     refiner=tr.duration_refiner(),
-                    snap_waves=host_batch if tr.snaps_onsets() else None)
+                    snap_waves=host_batch
+                    if tr.snaps_onsets() and ev is None else None)
+                if ev is not None:
+                    # Device emission-evidence pass (saga/evidence.py):
+                    # trace extraction + vectorizable gating ride the
+                    # accelerator; dev still holds this batch's waves.
+                    seqs = ev.refine_batch(seqs, dev, host_batch)
             except jax.errors.JaxRuntimeError:
                 seqs = with_oom_retry(tr.transcribe_batch, dev)
             postprocess(paths, seqs[:len(paths)])

@@ -423,6 +423,19 @@ class RunConfig:
     # ``true`` forces the kernels (interpret mode on CPU).  On-chip
     # parity/tolerance gates: ``selftest --on-chip``.
     use_pallas: bool | None = None
+    # Device-side emission evidence pass (saga/evidence.py): the
+    # spectral-evidence refinement chain's trace extraction and
+    # vectorizable gating run on the accelerator as one jitted program
+    # per batch shape, shipping only compact per-note stats and bounded
+    # candidate lists; the host keeps the sequential decision logic.
+    # None = AUTO: device pass on an accelerator backend, pure-host
+    # NumPy chain (saga/snap.py) on CPU — on a 1-core host the chain
+    # costs ~18 ms/lane, ~50x the device time of the transcription
+    # itself (VERDICT r3 item 1).  Tolerance class as use_pallas: the
+    # decisions read f32 device traces instead of f64 filterbank dots,
+    # so gate-margin ties can flip vs the golden oracle;
+    # ``false`` restores the strict host chain.
+    emission_evidence: bool | None = None
     # (A fused selection-chain kernel flag, pallas_select, lived here in
     # round 3: the 435-line kernel measured 4-27% SLOWER than the XLA
     # selection chain once the deferred-subtract restructure removed the

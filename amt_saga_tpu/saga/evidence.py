@@ -1,0 +1,1113 @@
+"""Device-side emission evidence pass (SURVEY.md C9/L3 emission stage;
+VERDICT r3 item 1 — no reference file:line possible, empty mount).
+
+The emission refinement chain (saga/snap.py) reads pitch-region traces
+of the ORIGINAL spectrogram and applies absolute template-scaled gates.
+As pure host NumPy it costs ~18 ms/lane on a 1-core host — 50x the
+device time of the transcription itself — because the work is thousands
+of tiny per-note/per-pitch NumPy calls (measured round 4: 502k Python
+calls for 48 lanes), not FLOPs.
+
+This module moves the TRACE EXTRACTION and the vectorizable GATING onto
+the TPU as one jitted program per batch shape and ships only compact
+per-note stats and bounded candidate lists back; the host keeps exactly
+the sequential decision logic the chain cannot vectorize (cross-leak
+attribution over a growing note list, greedy strongest-first recovery,
+MIDI assembly).  Decision logic on the host is the SAME code/constants
+as snap.py — only the trace VALUES differ (device f32 spectrogram
+columns vs the host's f64 filterbank dots), the same tolerance class as
+the K1 Pallas spectrogram (RunConfig.use_pallas docs): threshold
+decisions flip only at gate-margin ties.  ``run.emission_evidence``
+is tri-state like use_pallas: None = auto (device pass on an
+accelerator backend, pure-host chain on CPU — CPU XLA would pay the
+[B,T,P] sweeps in host time and lose), explicit "host"/"device" wins.
+
+Staleness contract: the device pass sees the note list as of chain
+START.  Stages that MUTATE earlier chain state (onset snap, twin dedup,
+instrument re-pick) are replayed host-side from shipped windows as
+DETECTORS; any lane where one fires falls back to the pure-host chain
+for that lane (measured rare — gross-early onsets / same-frame twins).
+Additive stages (re-strike split, absent recovery) re-evaluate every
+gate host-side in f64 with the TRUE evolving pool, so device candidate
+lists only need to be SUPERSETS; offset trim of notes ADDED mid-chain
+is recomputed host-side from shipped suffix windows.  Candidate-list
+overflow (rs_n/rc_n beyond the static caps) also falls back — no
+silent truncation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..core.notes import Note, NoteSequence, gain_to_velocity
+from .snap import (
+    _OT_DROP,
+    _OT_MIN_K,
+    _OT_MIN_TRIM,
+    _OT_STAY,
+    _OT_STAY_FRAMES,
+    _RA_ADJ,
+    _RA_GUARD,
+    _RA_H_CONF,
+    _RA_MIN_GAIN,
+    _RA_PERSIST,
+    _RA_RISE,
+    _RS_ABS,
+    _RS_H_CONF,
+    _RS_LEAK,
+    _RS_LEAK_SUM,
+    _RS_MIN_GAIN,
+    _RS_MIN_K,
+    _RS_OVER,
+    _RS_PE_FLOOR,
+    _RS_RISE,
+    _fundamental_region,
+    _fundamental_strengths,
+    _leak_matrix,
+    _region_trace,
+    _regions,
+    refine_emission,
+)
+
+__all__ = ["EvidenceRunner", "runtime_emission_device"]
+
+# Static shipping caps (per lane).  Chosen ~4x above the largest counts
+# observed on the dense 8-voice suites; overflow falls back per lane.
+KMAX = 96      # per-note extent frames (duration grid max is 63 frames)
+RS_CAP = 48    # re-strike rise candidates
+RC_CAP = 64    # recovery pass-1 candidates
+_BIG = np.int32(2**30)
+
+
+def runtime_emission_device(cfg: Config) -> bool:
+    """Resolve ``run.emission_evidence`` (tri-state) for this backend."""
+    if cfg.run.emission_evidence is not None:
+        return bool(cfg.run.emission_evidence)
+    return jax.default_backend() != "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Small template-derived tables (host-built once per cfg, uploaded once).
+# ---------------------------------------------------------------------------
+
+
+class EvidenceTables(NamedTuple):
+    """Device copies (f32/i32) of the yardstick tables the gates read."""
+
+    ch: jnp.ndarray        # [P, 3] i32 center filterbank bin, h = 1..3
+    ch_valid: jnp.ndarray  # [P, 3] bool
+    ft: jnp.ndarray        # [I, P, D, KMAX] f32 fundamental-region trace
+    hr0: jnp.ndarray       # [I, P, D, 3] f32 region-trace value at frame 0
+    fund: jnp.ndarray      # [P] f32 max-over-instruments fundamental level
+    leak: jnp.ndarray      # [I, P, P] f32 peak leak into target fund region
+
+
+class _HostTables(NamedTuple):
+    """f64 versions for the host decision replay (identical to snap.py's
+    own memoized tables — built by the same functions)."""
+
+    fund: np.ndarray       # [I, P]
+    leak: np.ndarray       # [I, P, P]
+    sh: np.ndarray         # [P, 3] conf yardstick _region_trace(p,0,gmax,h,1)[0]
+
+
+def _build_tables(cfg: Config) -> tuple[EvidenceTables, _HostTables]:
+    synth = cfg.synth
+    n_p, n_i, grid = synth.n_pitches, synth.n_instruments, synth.duration_grid
+    n_d = len(grid)
+    ch = np.zeros((n_p, 3), dtype=np.int32)
+    ch_valid = np.zeros((n_p, 3), dtype=bool)
+    ft = np.zeros((n_i, n_p, n_d, KMAX), dtype=np.float32)
+    hr0 = np.zeros((n_i, n_p, n_d, 3), dtype=np.float32)
+    sh = np.zeros((n_p, 3), dtype=np.float64)
+    for p in range(n_p):
+        pitch = synth.pitch_min + p
+        for h, reg in _regions(pitch, cfg):
+            ch[p, h - 1] = reg[0] + 1
+            ch_valid[p, h - 1] = True
+            sh[p, h - 1] = float(_region_trace(
+                pitch, 0, float(grid[-1]), reg, 1, cfg)[0])
+            for i in range(n_i):
+                for d in range(n_d):
+                    tr0 = _region_trace(pitch, i, float(grid[d]),
+                                        reg, KMAX if h == 1 else 1, cfg)
+                    hr0[i, p, d, h - 1] = tr0[0]
+                    if h == 1:
+                        ft[i, p, d] = tr0
+    fund = _fundamental_strengths(cfg)                  # [I, P] f64
+    leak = _leak_matrix(cfg)                            # [I, P, P] f64
+    dev = EvidenceTables(
+        ch=jnp.asarray(ch), ch_valid=jnp.asarray(ch_valid),
+        ft=jnp.asarray(ft), hr0=jnp.asarray(hr0),
+        fund=jnp.asarray(fund.max(axis=0).astype(np.float32)),
+        leak=jnp.asarray(leak.astype(np.float32)))
+    return dev, _HostTables(fund=fund, leak=leak, sh=sh)
+
+
+# ---------------------------------------------------------------------------
+# Packed note arrays (host -> device, all integers pre-rounded on host so
+# the frame indexing is bit-identical to the host chain's own rounding).
+# ---------------------------------------------------------------------------
+
+
+class PackedNotes(NamedTuple):
+    t0: jnp.ndarray      # [B, M] i32 round(onset / spf)
+    end_k: jnp.ndarray   # [B, M] i32 round(duration / spf)
+    t_end: jnp.ndarray   # [B, M] i32 min(round(offset / spf), T-1)
+    p_idx: jnp.ndarray   # [B, M] i32 pitch - pitch_min (clipped, see valid)
+    prog: jnp.ndarray    # [B, M] i32 program % n_instruments
+    d_idx: jnp.ndarray   # [B, M] i32 argmin |grid - duration|
+    g: jnp.ndarray       # [B, M] f32 velocity / 127
+    g_sat: jnp.ndarray   # [B, M] f32 2.0 when velocity >= 127 (leak bound)
+    valid: jnp.ndarray   # [B, M] bool (real note, pitch in range)
+
+
+def _pack(seqs: list[NoteSequence], cfg: Config, T: int,
+          cap: int) -> PackedNotes:
+    spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
+    grid = np.asarray(cfg.synth.duration_grid)
+    n_p, n_i = cfg.synth.n_pitches, cfg.synth.n_instruments
+    B = len(seqs)
+    t0 = np.zeros((B, cap), np.int32)
+    end_k = np.zeros((B, cap), np.int32)
+    t_end = np.zeros((B, cap), np.int32)
+    p_idx = np.zeros((B, cap), np.int32)
+    prog = np.zeros((B, cap), np.int32)
+    d_idx = np.zeros((B, cap), np.int32)
+    g = np.zeros((B, cap), np.float32)
+    g_sat = np.zeros((B, cap), np.float32)
+    valid = np.zeros((B, cap), bool)
+    for b, seq in enumerate(seqs):
+        ns = seq.notes[:cap]
+        if not ns:
+            continue
+        k = len(ns)
+        # Vectorized over the lane's notes; np.round is round-half-even
+        # like Python's round(), so the frame indices are bit-identical
+        # to the host chain's own int(round(...)) per note.
+        on = np.array([n.onset for n in ns], np.float64)
+        du = np.array([n.duration for n in ns], np.float64)
+        pi = np.array([n.pitch for n in ns], np.int64) - cfg.synth.pitch_min
+        ve = np.array([n.velocity for n in ns], np.float64)
+        t0[b, :k] = np.round(on / spf)
+        end_k[b, :k] = np.round(du / spf)
+        t_end[b, :k] = np.minimum(np.round((on + du) / spf), T - 1)
+        p_idx[b, :k] = np.clip(pi, 0, n_p - 1)
+        prog[b, :k] = np.array([n.program for n in ns], np.int64) % n_i
+        d_idx[b, :k] = np.abs(grid[None, :] - du[:, None]).argmin(axis=1)
+        g[b, :k] = ve / 127.0
+        g_sat[b, :k] = np.where(ve >= 127, 2.0, ve / 127.0)
+        valid[b, :k] = (pi >= 0) & (pi < n_p)
+    return PackedNotes(*(jnp.asarray(a) for a in
+                         (t0, end_k, t_end, p_idx, prog, d_idx,
+                          g, g_sat, valid)))
+
+
+# ---------------------------------------------------------------------------
+# The jitted device program.
+# ---------------------------------------------------------------------------
+
+
+class EvidenceOut(NamedTuple):
+    snap_w: jnp.ndarray   # [B, M, W+1] f32 fundamental trace at t0..t0+W
+    inst_obs: jnp.ndarray  # [B, M, 3] f32 max of 3-frame onset window / harm
+    trim_k: jnp.ndarray   # [B, M] i32 trim frame, -1 = keep
+    rs_m: jnp.ndarray     # [B, RS_CAP] i32 note index (-1 = empty)
+    rs_k: jnp.ndarray     # [B, RS_CAP] i32 candidate frame (rel. t0)
+    rs_sfx: jnp.ndarray   # [B, RS_CAP, KMAX+8] f32 e1 from k-4 (abs frames)
+    rs_n: jnp.ndarray     # [B] i32 total ok cells (overflow detector)
+    rc_p: jnp.ndarray     # [B, RC_CAP] i32 pitch index (-1 = empty)
+    rc_k: jnp.ndarray     # [B, RC_CAP] i32 absolute frame
+    rc_w1: jnp.ndarray    # [B, RC_CAP, RC_WIN] f32 e1 from k-4
+    rc_wh: jnp.ndarray    # [B, RC_CAP, 2, 7] f32 harmonic traces from k-4
+    rc_n: jnp.ndarray     # [B] i32 eligible cells (overflow detector)
+
+
+def _gather_trace(tr: jnp.ndarray, t_idx: jnp.ndarray,
+                  p_idx: jnp.ndarray) -> jnp.ndarray:
+    """tr [T, P], t_idx [..., K] frames, p_idx [...] -> [..., K]."""
+    t_c = jnp.clip(t_idx, 0, tr.shape[0] - 1)
+    return tr[t_c, p_idx[..., None]]
+
+
+def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
+                      tb: EvidenceTables, cfg: Config) -> EvidenceOut:
+    from .loop import spectrogram_batch
+
+    dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
+    n_p = synth.n_pitches
+    tmax = synth.template_frames
+    spf = dsp.hop / float(dsp.sample_rate)
+    lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
+    rel_f = int(round(4 * synth.release_seconds / spf)) + 2
+    W = int(loop.onset_snap_frames)
+    RC_WIN = tmax + 5
+
+    # Slice to the host chain's frame count: the device STFT may cover
+    # trailing partial windows the host's raw_num_frames excludes, and
+    # phantom tail frames would satisfy trim stay-windows the host
+    # never evaluates (measured: spurious end-of-clip trims).
+    t_raw = dsp.raw_num_frames(int(waves.shape[-1]))
+    spec = spectrogram_batch(waves, cfg)[:, :t_raw, :dsp.n_bins]
+    B, T, _ = spec.shape
+    M = pk.t0.shape[1]
+
+    # [B, T, P] region traces per harmonic: sum of the 3 filterbank
+    # columns around the harmonic's center bin — the same linear map as
+    # snap._ColCache.region, evaluated in f32 from the device's own
+    # log-f spectrogram instead of f64 filterbank dots on a host rfft.
+    def _h_trace(h: int) -> jnp.ndarray:
+        c = tb.ch[:, h]                                   # [P]
+        cols = jnp.stack([jnp.take(spec, jnp.clip(c + o, 0,
+                                                  dsp.n_bins - 1), axis=2)
+                          for o in (-1, 0, 1)], axis=-1).sum(-1)
+        return jnp.where(tb.ch_valid[None, None, :, h], cols, 0.0)
+
+    tr1, tr2, tr3 = _h_trace(0), _h_trace(1), _h_trace(2)
+
+    vb = jax.vmap  # per-lane mapping below
+
+    # ---- onset-snap windows: e1[t0 .. t0+W] --------------------------------
+    j = jnp.arange(W + 1)
+    snap_w = vb(lambda t, n: _gather_trace(t, n.t0[:, None] + j[None, :],
+                                           n.p_idx))(tr1, pk)
+
+    # ---- instrument re-pick onset windows ----------------------------------
+    j3 = jnp.arange(3)
+    def _obs(tr, n):
+        w = _gather_trace(tr, n.t0[:, None] + j3[None, :], n.p_idx)
+        return w.max(axis=-1)
+    inst_obs = jnp.stack([vb(_obs, in_axes=(0, 0))(t, pk)
+                          for t in (tr1, tr2, tr3)], axis=-1)
+
+    # ---- offset trim (fully device-decided for chain-start notes) ----------
+    kx = jnp.arange(KMAX)
+
+    def _trim(tr, n):
+        # mirrors snap.trim_offsets exactly (f32 values)
+        hi = jnp.minimum(n.t0 + n.end_k + 2, T)           # [M]
+        n_r = jnp.maximum(hi - n.t0, 0)
+        e1 = _gather_trace(tr, n.t0[:, None] + kx[None, :], n.p_idx)
+        held = (n.g[:, None]
+                * tb.ft[n.prog, n.p_idx, -1, :])          # [M, KMAX]
+        ratio = e1 / jnp.maximum(held, 1e-9)
+        inframe = kx[None, :] < n_r[:, None]
+        trust = jnp.max(jnp.where(inframe & (kx[None, :] < _OT_MIN_K),
+                                  ratio, -jnp.inf), axis=1) >= 0.5
+        below = (ratio < _OT_STAY) & inframe
+        cum = jnp.concatenate([jnp.zeros((M, 1), jnp.int32),
+                               jnp.cumsum(below.astype(jnp.int32), axis=1)],
+                              axis=1)                     # [M, KMAX+1]
+        idx_k = jnp.broadcast_to(kx[None, :], (M, KMAX))
+        w_end = jnp.minimum(idx_k + _OT_STAY_FRAMES, n_r[:, None])
+        cnt = jnp.take_along_axis(cum, jnp.clip(w_end, 0, KMAX), axis=1) \
+            - jnp.take_along_axis(cum, idx_k, axis=1)
+        stay = cnt == jnp.maximum(w_end - idx_k, 0)
+        hit = ((ratio < _OT_DROP) & stay & inframe
+               & (kx[None, :] >= _OT_MIN_K))
+        k_trim = jnp.argmax(hit, axis=1)
+        has = hit.any(axis=1)
+        fund_ok = tb.ch_valid[n.p_idx, 0]
+        ok = (has & trust & fund_ok & (n.t0 >= 0)
+              & (n.end_k >= _OT_MIN_K + _OT_MIN_TRIM)
+              & (n.t0 + 2 < T) & n.valid
+              & (k_trim <= n.end_k - _OT_MIN_TRIM))
+        return jnp.where(ok, k_trim, -1).astype(jnp.int32)
+
+    trim_k = vb(_trim)(tr1, pk)
+
+    # ---- re-strike rise candidates -----------------------------------------
+    SFXW = KMAX + 8
+
+    def _restrike(t1, t2, t3, n):
+        K = n.t_end - n.t0                                # [M]
+        note_ok = (n.valid & tb.ch_valid[n.p_idx, 0]
+                   & (n.t0 >= 0) & (K >= _RS_MIN_K + 2)
+                   & (K <= KMAX - 4))
+        tt = n.t0[:, None] + kx[None, :]
+        inK = kx[None, :] < K[:, None]
+        e1 = jnp.where(inK, _gather_trace(t1, tt, n.p_idx), jnp.inf)
+        e2 = jnp.where(inK, _gather_trace(t2, tt, n.p_idx), jnp.inf)
+        e3 = jnp.where(inK, _gather_trace(t3, tt, n.p_idx), jnp.inf)
+        pe1 = (n.g[:, None] * jnp.take_along_axis(
+            tb.ft[n.prog, n.p_idx], n.d_idx[:, None, None],
+            axis=1)[:, 0, :])                             # [M, KMAX]
+        hr = tb.hr0[n.prog, n.p_idx]                      # [M, D, 3]
+        hr = jnp.take_along_axis(hr, n.d_idx[:, None, None], axis=1)[:, 0]
+        x0 = jnp.maximum(n.g * hr[:, 0], 1e-9)[:, None]   # [M, 1]
+        ks_ok = (kx[None, :] >= _RS_MIN_K) & (kx[None, :] < K[:, None] - 1)
+
+        def shift(a, d):
+            # a[:, k+d] along the extent axis; wrap values land only at
+            # frames the ok mask excludes (k < 4 or k >= K-1, and the
+            # runner refuses configs whose extents approach KMAX).
+            return jnp.roll(a, -d, axis=1)
+
+        lm = jnp.minimum(jnp.minimum(shift(e1, -4), shift(e1, -3)),
+                         shift(e1, -2))
+        rise = e1 - lm
+        base = jnp.maximum(jnp.minimum(pe1, lm), _RS_PE_FLOOR * x0)
+        ok = ((rise >= _RS_RISE * x0) & (e1 >= _RS_ABS * x0)
+              & (e1 / base >= _RS_OVER) & (e1 > shift(e1, -1)))
+        seg_min = jnp.minimum(jnp.minimum(e1, shift(e1, 1)),
+                              jnp.minimum(shift(e1, 2), shift(e1, 3)))
+        ok &= ((kx[None, :] <= K[:, None] - 3)
+               & (seg_min >= 0.8 * _RS_ABS * x0)
+               & (shift(e1, 2) >= 0.6 * e1))
+        conf = jnp.zeros_like(ok)
+        for eh, hcol in ((e2, 1), (e3, 2)):
+            lm_h = jnp.minimum(jnp.minimum(shift(eh, -4), shift(eh, -3)),
+                               shift(eh, -2))
+            c = (eh - lm_h) / jnp.maximum(n.g * hr[:, hcol], 1e-9)[:, None]
+            conf |= jnp.where(tb.ch_valid[n.p_idx, hcol][:, None],
+                              c >= _RS_H_CONF, False)
+        n_regs = 1 + tb.ch_valid[n.p_idx, 1].astype(jnp.int32) \
+            + tb.ch_valid[n.p_idx, 2].astype(jnp.int32)
+        ok &= jnp.where((n_regs > 1)[:, None], conf, True)
+        ok &= ks_ok & note_ok[:, None] & jnp.isfinite(rise)
+        # top-RS_CAP by (m, k) ascending -> host replays in list order.
+        key = jnp.where(ok.reshape(-1),
+                        jnp.arange(M * KMAX, dtype=jnp.int32), _BIG)
+        kk = -jax.lax.top_k(-key, RS_CAP)[0]
+        m_sel = jnp.where(kk < _BIG, kk // KMAX, -1)
+        k_sel = jnp.where(kk < _BIG, kk % KMAX, 0)
+        # suffix window from k-4 (raw trace, unclipped by the extent —
+        # the host replay re-masks with the true extent/T itself).
+        sf = jnp.arange(SFXW)
+        t_sfx = (jnp.take(n.t0, jnp.maximum(m_sel, 0))[:, None]
+                 + k_sel[:, None] - 4 + sf[None, :])
+        sfx = _gather_trace(t1, t_sfx, jnp.take(n.p_idx,
+                                                jnp.maximum(m_sel, 0)))
+        return m_sel, k_sel, sfx, ok.sum().astype(jnp.int32)
+
+    rs_m, rs_k, rs_sfx, rs_n = vb(_restrike)(tr1, tr2, tr3, pk)
+
+    # ---- absent-note recovery pass 1 ---------------------------------------
+    # explained power over [T, P] per lane: scan over the (masked) notes,
+    # replicating snap.recover_absent.explained_pow_all's "pair" model.
+    t_axis = jnp.arange(T)
+
+    def _exp_scan(n):
+        lk_rows = (n.g_sat[:, None]
+                   * tb.leak[n.prog, n.p_idx, :])         # [M, P]
+        lk_rows = jnp.where(n.valid[:, None], lk_rows, 0.0)
+        t0c = jnp.maximum(0, n.t0 - lead_corr - 1)
+        t1c = n.t0 + jnp.minimum(tmax, n.end_k + rel_f)
+
+        def step(carry, xs):
+            quad, m1, m2, on_lin = carry
+            lk, a, bnd, on_hi = xs
+            mask = ((t_axis >= a) & (t_axis < bnd))[:, None]
+            o = jnp.where(mask, lk[None, :], 0.0)
+            quad = quad + o * o
+            m2 = jnp.maximum(m2, jnp.minimum(m1, o))
+            m1 = jnp.maximum(m1, o)
+            on_mask = ((t_axis >= a) & (t_axis < on_hi))[:, None]
+            on_lin = on_lin + jnp.where(on_mask, lk[None, :], 0.0)
+            return (quad, m1, m2, on_lin), None
+
+        z = jnp.zeros((T, n_p), jnp.float32)
+        on_hi = jnp.maximum(t0c, jnp.minimum(T, n.t0 + 4))
+        (quad, m1, m2, on_lin), _ = jax.lax.scan(
+            step, (z, z, z, z), (lk_rows, t0c, t1c, on_hi))
+        return jnp.maximum(quad + 2.0 * m1 * m2, jnp.square(on_lin))
+
+    exp_all = vb(_exp_scan)(pk)                            # [B, T, P]
+    RC_WINJ = jnp.arange(RC_WIN)
+
+    def _recover(t1, t2, t3, expp):
+        e1 = t1                                            # [T, P]
+        unexp = jnp.sqrt(jnp.maximum(jnp.square(e1) - expp, 0.0))
+        ks = jnp.arange(4, max(T - 4, 5))
+        lvl = unexp[ks]
+        lm = jnp.minimum(jnp.minimum(unexp[ks - 4], unexp[ks - 3]),
+                         unexp[ks - 2])
+        pers = jnp.minimum(jnp.minimum(unexp[ks + 1], unexp[ks + 2]),
+                           unexp[ks + 3])
+        f_p = tb.fund[None, :]
+        okg = ((lvl >= _RA_MIN_GAIN * f_p)
+               & (lvl - lm >= _RA_RISE * lvl)
+               & (pers >= _RA_PERSIST * lvl))
+        g_c = lvl / jnp.maximum(f_p, 1e-20)
+        conf = jnp.zeros_like(okg)
+        for tr_h, hcol in ((t2, 1), (t3, 2)):
+            mx = jnp.maximum(jnp.maximum(tr_h[ks], tr_h[ks + 1]),
+                             tr_h[ks + 2])
+            lm_h = jnp.minimum(jnp.minimum(tr_h[ks - 4], tr_h[ks - 3]),
+                               tr_h[ks - 2])
+            s_h = tb.hr0[0, :, -1, hcol][None, :]
+            conf |= jnp.where((tb.ch_valid[:, hcol] & (s_h[0] > 0))[None, :],
+                              mx - lm_h >= _RA_H_CONF * g_c * s_h, False)
+        pitch_ok = (tb.ch_valid[:, 0]
+                    & (tb.ch_valid[:, 1] | tb.ch_valid[:, 2])
+                    & (tb.fund > 0.0))[None, :]
+        eligible = okg & conf & pitch_ok
+        # ship ordered by (pitch, k): key = p * T + k ascending
+        keys = jnp.where(eligible,
+                         (jnp.arange(n_p)[None, :] * T
+                          + ks[:, None]).astype(jnp.int32), _BIG)
+        kk = -jax.lax.top_k(-keys.reshape(-1), RC_CAP)[0]
+        p_sel = jnp.where(kk < _BIG, kk // T, -1)
+        k_sel = jnp.where(kk < _BIG, kk % T, 0)
+        w1 = _gather_trace(e1, k_sel[:, None] - 4 + RC_WINJ[None, :],
+                           jnp.maximum(p_sel, 0))
+        j7 = jnp.arange(7)
+        wh = jnp.stack([
+            _gather_trace(t, k_sel[:, None] - 4 + j7[None, :],
+                          jnp.maximum(p_sel, 0)) for t in (t2, t3)], axis=1)
+        return (p_sel.astype(jnp.int32), k_sel.astype(jnp.int32), w1, wh,
+                eligible.sum().astype(jnp.int32))
+
+    rc_p, rc_k, rc_w1, rc_wh, rc_n = vb(_recover)(tr1, tr2, tr3, exp_all)
+
+    return EvidenceOut(snap_w=snap_w, inst_obs=inst_obs, trim_k=trim_k,
+                       rs_m=rs_m, rs_k=rs_k, rs_sfx=rs_sfx, rs_n=rs_n,
+                       rc_p=rc_p, rc_k=rc_k, rc_w1=rc_w1, rc_wh=rc_wh,
+                       rc_n=rc_n)
+
+
+# ---------------------------------------------------------------------------
+# Host decision replay.  SAME logic and constants as snap.py, consuming the
+# shipped f32 trace windows instead of host-computed f64 filterbank dots.
+# Mutating stages (snap / dedup / instrument re-pick) are DETECTORS: a lane
+# where one fires falls back to the pure-host chain (the device outputs for
+# later stages assume the chain-start note list).
+# ---------------------------------------------------------------------------
+
+
+def _snap_would_fire(notes: list[Note], snap_w_b: np.ndarray,
+                     cfg: Config, T: int, ht: _HostTables) -> bool:
+    """snap.snap_onsets guards on shipped windows; True if any note snaps."""
+    loop, dsp, synth = cfg.loop, cfg.dsp, cfg.synth
+    W = int(loop.onset_snap_frames)
+    if W <= 0 or not notes or T == 0:
+        return False
+    spf = dsp.hop / float(dsp.sample_rate)
+    lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
+    min_snap = 2
+    n_i, n_p = ht.fund.shape
+    onsets_by_pitch: dict[int, list[float]] = {}
+    for n in notes:
+        onsets_by_pitch.setdefault(n.pitch, []).append(n.onset)
+    for m, note in enumerate(notes):
+        t0 = int(round(note.onset / spf))
+        fwd_hi = min(t0 + W, T - 1)
+        dur_frames = note.duration / spf
+        p_idx = note.pitch - synth.pitch_min
+        if (t0 < 0 or t0 >= T or fwd_hi - t0 < min_snap
+                or not (0 <= p_idx < n_p)):
+            continue
+        horizon = note.onset + (W + lead_corr + 1) * spf
+        if any(o > note.onset + 0.5 * spf and o <= horizon
+               for o in onsets_by_pitch[note.pitch]):
+            continue
+        reg = _fundamental_region(note.pitch, cfg)
+        e_exp = (note.velocity / 127.0) * float(
+            ht.fund[note.program % n_i, p_idx])
+        if reg is None or e_exp <= 0.0:
+            continue
+        e1 = snap_w_b[m, :fwd_hi + 1 - t0].astype(np.float64)
+        if float(e1[0]) >= loop.onset_snap_active_ratio * e_exp:
+            continue
+        cross = np.nonzero(
+            e1[1:] >= loop.onset_snap_rise_frac * e_exp)[0]
+        if cross.size == 0:
+            continue
+        delta = int(cross[0]) + 1 + lead_corr
+        if (delta < min_snap or delta > W
+                or delta >= dur_frames - 0.5):
+            continue
+        return True
+    return False
+
+
+def _inst_would_change(notes: list[Note], inst_obs_b: np.ndarray,
+                       cfg: Config, T: int,
+                       idx: list[int] | None = None) -> bool:
+    """snap.reassign_instruments decision on shipped 3-frame onset maxima.
+
+    ``idx`` maps each note to its device note index (post-dedup lists)."""
+    margin = cfg.loop.instrument_evidence_margin
+    n_i = cfg.synth.n_instruments
+    if margin <= 0 or n_i < 2 or not notes:
+        return False
+    spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
+    for mi, note in enumerate(notes):
+        mi = idx[mi] if idx is not None else mi
+        t0 = int(round(note.onset / spf))
+        regs = _regions(note.pitch, cfg)
+        if t0 < 0 or t0 + 3 > T or len(regs) < 2:
+            continue
+        obs, clean, exp = [], [], [[] for _ in range(n_i)]
+        for hj, (h, r) in enumerate(regs):
+            o = float(inst_obs_b[mi, h - 1])
+            pol = 0.0
+            for m in notes:
+                if m is note or m.offset < note.onset - 2 * spf \
+                        or m.onset > note.onset + 3 * spf:
+                    continue
+                dt = int(round((note.onset - m.onset) / spf))
+                if dt < 0:
+                    continue
+                tr_m = _region_trace(m.pitch, m.program, m.duration,
+                                     r, dt + 3, cfg)[dt:]
+                if tr_m.size:
+                    pol += (m.velocity / 127.0) * float(tr_m.max())
+            obs.append(o)
+            clean.append(pol < 0.5 * o)
+            for i in range(n_i):
+                exp[i].append(float(_region_trace(
+                    note.pitch, i, note.duration, r, 3, cfg).max()))
+        obs, clean = np.asarray(obs), np.asarray(clean)
+        if clean.sum() < 2 or (obs[clean] <= 0).any():
+            continue
+        scores = {}
+        for i in range(n_i):
+            e = np.asarray(exp[i])[clean]
+            if (e <= 0).any():
+                continue
+            d = np.log(obs[clean]) - np.log(e)
+            d = d - d.mean()
+            scores[i] = float(np.abs(d).sum())
+        cur = scores.get(note.program % n_i)
+        if not scores or cur is None:
+            continue
+        best = min(scores, key=lambda i: scores[i])
+        if best != note.program % n_i and cur - scores[best] >= margin:
+            return True
+    return False
+
+
+def _dedup_keep(seq: NoteSequence, cfg: Config) -> list[int] | None:
+    """snap.dedup_twins as a keep-index list over ``seq.notes``.
+
+    Returns None when nothing drops (pure-host keeps the original
+    object/order); otherwise the kept notes' ORIGINAL indices in the
+    sorted order the pure-host stage emits."""
+    spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
+    order = sorted(range(len(seq.notes)),
+                   key=lambda i: seq.notes[i].sort_key())
+    notes = [seq.notes[i] for i in order]
+    keep = []
+    for i, n in enumerate(notes):
+        twin = any(
+            j != i and m.pitch == n.pitch and m.program == n.program
+            and abs(m.onset - n.onset) <= 1.5 * spf
+            and (m.velocity, -j) > (n.velocity, -i)
+            for j, m in enumerate(notes))
+        if not twin:
+            keep.append(order[i])
+    return keep if len(keep) < len(notes) else None
+
+
+def _replay_restrike(pairs: list, cands_by_m: dict,
+                     rs_sfx: np.ndarray, cfg: Config, T: int
+                     ) -> list[tuple[Note, np.ndarray, int]]:
+    """snap.split_restrikes acceptance on shipped candidates.
+
+    ``pairs`` is the post-dedup note list as (note, device_note_index)
+    in the order the pure-host stage would iterate; ``cands_by_m`` maps
+    a device note index to its shipped candidates [(k, row)] ascending
+    in k.  Returns [(added_note, e1_suffix_window,
+    window_abs_start_frame)] so the trim stage can re-read the added
+    note's own trace."""
+    dsp = cfg.dsp
+    spf = dsp.hop / float(dsp.sample_rate)
+    ref_off = max(0, dsp.n_fft // dsp.hop - 2)
+    notes = [p[0] for p in pairs]
+    added: list[tuple[Note, np.ndarray, int]] = []
+    added_notes: list[Note] = []
+    for note, m in pairs:
+        cands = cands_by_m.get(m)
+        if not cands:
+            continue
+        regs = _regions(note.pitch, cfg)
+        t0 = int(round(note.onset / spf))
+        t_end = min(int(round(note.offset / spf)), T - 1)
+        K = t_end - t0
+        next_ok = -1
+        for k, c in cands:
+            if k < next_ok:
+                continue
+            win = rs_sfx[c].astype(np.float64)    # e1 from k-4 (abs)
+            lm = float(min(win[0], win[1], win[2]))
+            rise_amt = float(win[4]) - lm
+            tt = (t0 + k) * spf
+            explained = False
+            leak_pow = 0.0
+            for mm in notes + added_notes:
+                if mm is note or abs(mm.onset - tt) > 4 * spf:
+                    continue
+                if mm.pitch == note.pitch:
+                    explained = True
+                    break
+                lk = (mm.velocity / 127.0) * _region_trace(
+                    mm.pitch, mm.program, mm.duration,
+                    regs[0][1], 3, cfg).max()
+                if lk >= _RS_LEAK * rise_amt:
+                    explained = True
+                    break
+                leak_pow += lk * lk
+            if _RS_LEAK_SUM and leak_pow >= (_RS_LEAK * rise_amt) ** 2:
+                explained = True
+            if explained:
+                continue
+            if any(mm is not note and mm.pitch == note.pitch
+                   and abs(mm.onset - tt) <= 6 * spf
+                   for mm in notes + added_notes):
+                continue
+            lo_r = max(k - 3, 1)
+            hi_r = min(k + 4, K)
+            thr = lm + 0.5 * rise_amt
+            seg = win[lo_r - (k - 4):hi_r - (k - 4)]
+            idx = np.nonzero(seg >= thr)[0]
+            t_ref = (lo_r + int(idx[0]) if idx.size else k) + ref_off
+            on2 = float(t0 + t_ref) * spf
+            mag2 = float(np.sqrt(max(float(win[4]) ** 2 - lm ** 2, 0.0)))
+            g_raw = mag2 / max(_region_trace(
+                note.pitch, note.program, note.duration,
+                regs[0][1], 1, cfg)[0], 1e-9)
+            if g_raw < _RS_MIN_GAIN:
+                continue
+            g2 = min(max(g_raw, 0.08), 1.0)
+            new = Note(on2, max(note.offset - on2, 2 * spf), note.pitch,
+                       int(max(1, min(127, round(g2 * 127.0)))),
+                       note.program)
+            added.append((new, win, t0 + k - 4))
+            added_notes.append(new)
+            next_ok = t_ref + 6
+    return added
+
+
+def _explained_window(p_idx: int, pool: list[Note], lo: int, hi: int,
+                      cfg: Config, ht: _HostTables) -> np.ndarray:
+    """Bitwise copy of snap.recover_absent.explained_pow (pair model)."""
+    dsp, synth = cfg.dsp, cfg.synth
+    spf = dsp.hop / float(dsp.sample_rate)
+    lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
+    tmax = synth.template_frames
+    rel_f = int(round(4 * synth.release_seconds / spf)) + 2
+    n_i, n_p = ht.fund.shape
+    quad = np.zeros(hi - lo, dtype=np.float64)
+    m1 = np.zeros(hi - lo, dtype=np.float64)
+    m2 = np.zeros(hi - lo, dtype=np.float64)
+    on_lin = np.zeros(hi - lo, dtype=np.float64)
+    for m in pool:
+        pm = m.pitch - synth.pitch_min
+        if not (0 <= pm < n_p):
+            continue
+        g_m = 2.0 if m.velocity >= 127 else m.velocity / 127.0
+        lk = g_m * ht.leak[m.program % n_i, pm, p_idx]
+        if lk <= 0.0:
+            continue
+        t0n = int(round(m.onset / spf))
+        t0 = max(lo, t0n - lead_corr - 1)
+        t1 = min(hi, t0n
+                 + min(tmax, int(round(m.duration / spf)) + rel_f))
+        if t1 <= t0:
+            continue
+        s = slice(t0 - lo, t1 - lo)
+        quad[s] += lk * lk
+        m2[s] = np.maximum(m2[s], np.minimum(m1[s], lk))
+        m1[s] = np.maximum(m1[s], lk)
+        s_on = slice(t0 - lo, max(t0 - lo, min(hi, t0n + 4) - lo))
+        on_lin[s_on] += lk
+    return np.maximum(quad + 2.0 * m1 * m2, np.square(on_lin))
+
+
+def _gates(unexp: np.ndarray, k: int, f_p: float) -> float:
+    """Copy of snap.recover_absent.gates on a window-indexed trace."""
+    if k < 4 or k + 4 > len(unexp):
+        return 0.0
+    lvl = float(unexp[k])
+    lm = float(min(unexp[k - 4], unexp[k - 3], unexp[k - 2]))
+    if lvl < _RA_MIN_GAIN * f_p or lvl - lm < _RA_RISE * lvl:
+        return 0.0
+    if float(min(unexp[k + 1], unexp[k + 2], unexp[k + 3])) \
+            < _RA_PERSIST * lvl:
+        return 0.0
+    return lvl / f_p
+
+
+def _replay_recover(pool: list[Note], rc_p: np.ndarray, rc_k: np.ndarray,
+                    rc_w1: np.ndarray, rc_wh: np.ndarray, cfg: Config,
+                    T: int, ht: _HostTables
+                    ) -> list[tuple[Note, np.ndarray, int]]:
+    """snap.recover_absent passes 1-2 on shipped candidates.
+
+    The device list is a SUPERSET (its explained model lacks restrike
+    additions and f32/f64 may flip marginal gates), so pass-1 gates are
+    re-evaluated here in f64 with the true pool before the free-mask /
+    spacing / greedy acceptance — the same order of operations as the
+    pure-host chain."""
+    dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
+    spf = dsp.hop / float(dsp.sample_rate)
+    lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
+    tmax = synth.template_frames
+    rel_f = int(round(4 * synth.release_seconds / spf)) + 2
+    grid = np.asarray(synth.duration_grid, dtype=np.float64)
+    n_i, n_p = ht.fund.shape
+
+    by_pitch: dict[int, list[Note]] = {}
+    for m in pool:
+        by_pitch.setdefault(m.pitch, []).append(m)
+
+    # pass 1 re-evaluation + per-pitch spacing (shipped order = (p, k) asc)
+    cands = []          # (strength, pitch, p_idx, k, e1_win)
+    next_free: dict[int, int] = {}
+    for c in range(rc_p.shape[0]):
+        p_idx = int(rc_p[c])
+        if p_idx < 0:
+            break
+        k = int(rc_k[c])
+        pitch = synth.pitch_min + p_idx
+        if k < next_free.get(p_idx, -1):
+            continue
+        # free mask: frames owned by a same-pitch emission are skipped
+        free = True
+        for m in by_pitch.get(pitch, ()):
+            mt0 = int(round(m.onset / spf))
+            mt1 = int(round(m.offset / spf)) + rel_f
+            if max(0, mt0 - _RA_GUARD) <= k <= min(T - 1, mt1):
+                free = False
+                break
+        if not free:
+            continue
+        lo = k - 4
+        hi = min(T, k + tmax + 1)
+        e1w = rc_w1[c, :hi - lo].astype(np.float64)
+        unexp = np.sqrt(np.maximum(
+            np.square(e1w) - _explained_window(p_idx, pool, lo, hi,
+                                               cfg, ht), 0.0))
+        f_p = float(ht.fund[:, p_idx].max())
+        if f_p <= 0.0 or len(unexp) < 8:
+            continue
+        lvl = float(unexp[4])
+        lm = float(min(unexp[0], unexp[1], unexp[2]))
+        pers = float(min(unexp[5], unexp[6], unexp[7]))
+        if (lvl < _RA_MIN_GAIN * f_p or lvl - lm < _RA_RISE * lvl
+                or pers < _RA_PERSIST * lvl):
+            continue
+        g_c_v = lvl / f_p
+        conf = False
+        for hj in (0, 1):
+            s_h = float(ht.sh[p_idx, hj + 1])
+            if s_h <= 0.0:
+                continue
+            eh = rc_wh[c, hj].astype(np.float64)
+            mx = float(max(eh[4], eh[5], eh[6]))
+            lm_h = float(min(eh[0], eh[1], eh[2]))
+            if mx - lm_h >= _RA_H_CONF * g_c_v * s_h:
+                conf = True
+                break
+        if not conf:
+            continue
+        cands.append((lvl, pitch, p_idx, k, e1w))
+        next_free[p_idx] = k + _RA_GUARD
+
+    if not cands:
+        return []
+
+    # pass 2: strongest-first greedy acceptance (identical ordering rule)
+    cands.sort(key=lambda c: (-c[0], c[1], c[3]))
+    added: list[tuple[Note, np.ndarray, int]] = []
+    added_notes: list[Note] = []
+    acc_pk: list[tuple[int, int]] = []
+    for _, pitch, p_idx, k, e1w in cands:
+        if any(abs(pa - pitch) <= _RA_ADJ and abs(ka - k) <= 3
+               for pa, ka in acc_pk):
+            continue
+        pool2 = pool + added_notes
+        lo = max(0, k - 4)
+        hi = min(T, k + max(4, tmax) + 1)
+        unexp = np.zeros(T, dtype=np.float64)
+        unexp[lo:hi] = np.sqrt(np.maximum(
+            np.square(e1w[:hi - lo])
+            - _explained_window(p_idx, pool2, lo, hi, cfg, ht), 0.0))
+        if any(m.pitch == pitch and
+               int(round(m.onset / spf)) - _RA_GUARD <= k
+               <= int(round(m.offset / spf)) + rel_f
+               for m in added_notes):
+            continue
+        f_p = float(ht.fund[:, p_idx].max())
+        g_c = _gates(unexp, k, f_p)
+        if g_c <= 0.0:
+            continue
+        lm = float(min(unexp[k - 4], unexp[k - 3], unexp[k - 2]))
+        thr = lm + 0.5 * (float(unexp[k]) - lm)
+        lo_r = max(k - 3, 1)
+        idx = np.nonzero(unexp[lo_r:k + 1] >= thr)[0]
+        t_on = max(0, (lo_r + int(idx[0]) if idx.size else k)
+                   + lead_corr - 1)
+        if t_on >= T:
+            continue
+        ext = min(hi - k, tmax)
+        below = np.nonzero(unexp[k:k + ext] < _OT_DROP
+                           * float(unexp[k]))[0]
+        k_end = int(below[0]) if below.size else ext
+        dur_s = max(float(k_end) * spf, float(grid[0]))
+        d_i = int(np.argmin(np.abs(grid - dur_s)))
+        dur_s = float(grid[d_i])
+        prog = 0
+        if n_i > 1:
+            prog = int(np.argmax(ht.fund[:, p_idx]))
+        new = Note(float(t_on) * spf, dur_s, pitch,
+                   gain_to_velocity(min(g_c, 1.0)), prog)
+        added.append((new, e1w, k - 4))
+        added_notes.append(new)
+        acc_pk.append((pitch, k))
+    return added
+
+
+def _trim_host_window(note: Note, e1_win: np.ndarray, win_start: int,
+                      cfg: Config, T: int) -> Note:
+    """snap.trim_offsets for one chain-ADDED note, reading its shipped
+    window (abs frames [win_start, win_start+len))."""
+    dsp = cfg.dsp
+    spf = dsp.hop / float(dsp.sample_rate)
+    grid_max = float(max(cfg.synth.duration_grid))
+    t0 = int(round(note.onset / spf))
+    end_k = int(round(note.duration / spf))
+    reg = _fundamental_region(note.pitch, cfg)
+    if (reg is None or t0 < 0
+            or end_k < _OT_MIN_K + _OT_MIN_TRIM or t0 + 2 >= T):
+        return note
+    hi = min(t0 + end_k + 2, T)
+    s = t0 - win_start
+    if s < 0 or hi - win_start > len(e1_win):
+        return note                     # window does not cover: fail closed
+    e1 = e1_win[s:hi - win_start].astype(np.float64)
+    held = (note.velocity / 127.0) * _region_trace(
+        note.pitch, note.program, grid_max, reg, hi - t0, cfg)
+    ratio = e1 / np.maximum(held, 1e-9)
+    if float(ratio[:_OT_MIN_K].max()) < 0.5:
+        return note
+    below = ratio < _OT_STAY
+    cum = np.concatenate([[0], np.cumsum(below)])
+    n_r = len(ratio)
+    k_idx = np.arange(n_r)
+    w_end = np.minimum(k_idx + _OT_STAY_FRAMES, n_r)
+    stay = (cum[w_end] - cum[k_idx]) == (w_end - k_idx)
+    hits = np.nonzero((ratio < _OT_DROP) & stay)[0]
+    hits = hits[hits >= _OT_MIN_K]
+    k_trim = int(hits[0]) if hits.size else None
+    if k_trim is None or k_trim > end_k - _OT_MIN_TRIM:
+        return note
+    return Note(note.onset, float(k_trim) * spf, note.pitch,
+                note.velocity, note.program)
+
+
+# ---------------------------------------------------------------------------
+# Runner: one jitted program per (B, N) shape + per-lane replay/fallback.
+# ---------------------------------------------------------------------------
+
+
+class EvidenceRunner:
+    """Device evidence pass + host decision replay for a fixed Config.
+
+    ``refine_batch(seqs, waves_dev, waves_host)`` is the drop-in
+    equivalent of mapping snap.refine_emission over the lanes.  Lanes
+    where a mutating stage fires (or a candidate cap overflows) fall
+    back to the pure-host chain; ``stats`` counts them."""
+
+    def __init__(self, cfg: Config, aot_dir: str | None = None,
+                 mesh=None):
+        self.cfg = cfg
+        self._tables_dev, self._tables_host = _build_tables(cfg)
+        fn = lambda waves, pk, tb: _evidence_program(  # noqa: E731
+            waves, pk, tb, cfg)
+        aot_dir = aot_dir or cfg.run.aot_cache or None
+        self._pk_sharding = None
+        devices = None
+        if mesh is not None:
+            # Mesh mode: lanes shard over the data axis exactly like the
+            # main transcriber's waves/note arrays; the small yardstick
+            # tables replicate.  Every per-lane computation is batch-
+            # parallel (gathers, the note scan, per-lane top_k), so no
+            # cross-device collective is needed.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            lane = NamedSharding(mesh, P(DATA_AXIS))
+            repl = NamedSharding(mesh, P())
+            in_pk = PackedNotes(*([lane] * len(PackedNotes._fields)))
+            in_tb = EvidenceTables(*([repl] * len(EvidenceTables._fields)))
+            out_s = EvidenceOut(*([lane] * len(EvidenceOut._fields)))
+            jit_fn = jax.jit(fn, in_shardings=(lane, in_pk, in_tb),
+                             out_shardings=out_s)
+            self._pk_sharding = in_pk
+            self._tables_dev = jax.device_put(self._tables_dev, in_tb)
+            devices = list(mesh.devices.flat)
+        else:
+            jit_fn = jax.jit(fn)
+        if aot_dir:
+            # Same executable cache as the main program (runtime/aot.py):
+            # without it every process pays an axon compile for the
+            # evidence program too (measured 27 s - 5 min).
+            from ..runtime.aot import AotCache
+
+            self._jit = AotCache(None if mesh is not None else fn,
+                                 cfg.to_json() + "|evidence", aot_dir,
+                                 jit_fn=jit_fn if mesh is not None
+                                 else None, devices=devices)
+        else:
+            self._jit = jit_fn
+        self.stats = {"lanes": 0, "fallback": 0, "fb_snap": 0,
+                      "fb_dedup": 0, "fb_inst": 0, "fb_overflow": 0,
+                      "fb_cap": 0}
+        spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
+        # Device trim/restrike windows are KMAX frames; longer extents
+        # (custom duration grids) would silently truncate -> refuse and
+        # let the caller use the host chain instead.
+        self._max_extent = int(round(max(cfg.synth.duration_grid) / spf)) + 10
+        self.usable = self._max_extent <= KMAX
+
+    def warmup_async(self, batch: int, n_samples: int) -> None:
+        """Resolve the compiled evidence program for this (batch,
+        n_samples) shape off the serving path (mirrors
+        Transcriber.warmup)."""
+        T = self.cfg.dsp.raw_num_frames(int(n_samples))
+        if T < 16:
+            return
+        pk = _pack([NoteSequence() for _ in range(batch)],
+                   self.cfg, T, self.cfg.loop.max_notes)
+        waves0 = jnp.zeros((batch, int(n_samples)), jnp.float32)
+        from ..runtime.aot import AotCache
+
+        if isinstance(self._jit, AotCache):
+            self._jit.warmup_async(waves0, pk, self._tables_dev)
+        else:
+            import threading
+
+            def run():
+                try:
+                    jax.block_until_ready(
+                        self._jit(waves0, pk, self._tables_dev))
+                except Exception:   # surfaces on the real call
+                    pass
+
+            threading.Thread(target=run, daemon=True,
+                             name="evidence-warmup").start()
+
+    def dispatch(self, seqs: list[NoteSequence], waves_dev) -> tuple:
+        """Async-dispatch the device pass; returns an opaque handle for
+        ``finish`` (lets the pipeline overlap it with other work)."""
+        from ..utils import stages
+
+        T = self.cfg.dsp.raw_num_frames(int(waves_dev.shape[-1]))
+        with stages.timed("ev.pack"):
+            pk = _pack(seqs, self.cfg, T, self.cfg.loop.max_notes)
+        out = self._jit(waves_dev, pk, self._tables_dev)   # async
+        return (out, T)
+
+    def finish(self, handle, seqs: list[NoteSequence],
+               waves_host: np.ndarray) -> list[NoteSequence]:
+        from ..utils import stages
+
+        out, T = handle
+        with stages.timed("ev.fetch"):
+            out = jax.device_get(out)
+        with stages.timed("ev.replay"):
+            result = [self._replay_lane(b, seq, out, T, waves_host[b])
+                      for b, seq in enumerate(seqs)]
+        return result
+
+    def refine_batch(self, seqs: list[NoteSequence], waves_dev,
+                     waves_host: np.ndarray) -> list[NoteSequence]:
+        if not any(len(s) for s in seqs) or T_small(self.cfg, waves_host):
+            return [refine_emission(s, waves_host[b], self.cfg)
+                    for b, s in enumerate(seqs)]
+        return self.finish(self.dispatch(seqs, waves_dev), seqs, waves_host)
+
+    # -- per-lane replay ----------------------------------------------------
+
+    def _replay_lane(self, b: int, seq: NoteSequence, out: EvidenceOut,
+                     T: int, wave_host: np.ndarray) -> NoteSequence:
+        cfg, ht = self.cfg, self._tables_host
+        loop = cfg.loop
+        self.stats["lanes"] += 1
+        if len(seq) == 0:
+            return seq
+        notes = list(seq.notes)
+
+        def fallback(why: str) -> NoteSequence:
+            self.stats["fallback"] += 1
+            self.stats["fb_" + why] += 1
+            from ..utils import stages
+
+            with stages.timed("ev.fallback"):
+                return refine_emission(seq, wave_host, cfg)
+
+        if len(notes) > loop.max_notes:
+            return fallback("cap")
+        # mutating-stage detectors -> pure-host lane (the device saw
+        # the chain-start note list; these stages would change it)
+        if (loop.onset_snap_frames > 0
+                and _snap_would_fire(notes, out.snap_w[b], cfg, T, ht)):
+            return fallback("snap")
+        # twin dedup replays INLINE (it only drops notes and every
+        # later device per-note stat stays valid; the dropped twin's
+        # residual leak contribution in the device recover pass only
+        # SHRINKS unexplained evidence near a kept same-pitch emission
+        # the free-mask owns anyway — fail-closed).
+        pairs = [(n, m) for m, n in enumerate(notes)]
+        changed = False
+        if loop.dedup_twins:
+            keep = _dedup_keep(seq, cfg)
+            if keep is not None:
+                pairs = [(notes[i], i) for i in keep]
+                changed = True
+        if (loop.instrument_evidence_margin > 0
+                and cfg.synth.n_instruments > 1
+                and _inst_would_change([p[0] for p in pairs],
+                                       out.inst_obs[b], cfg, T,
+                                       idx=[p[1] for p in pairs])):
+            return fallback("inst")
+        if ((loop.restrike_split and int(out.rs_n[b]) > RS_CAP)
+                or (loop.recover_absent and int(out.rc_n[b]) > RC_CAP)):
+            return fallback("overflow")
+
+        added: list[tuple[Note, np.ndarray, int]] = []
+        if loop.restrike_split:
+            cands_by_m: dict[int, list] = {}
+            for c in range(out.rs_m.shape[1]):
+                m = int(out.rs_m[b, c])
+                if m < 0:
+                    break               # candidates are front-packed
+                cands_by_m.setdefault(m, []).append((int(out.rs_k[b, c]),
+                                                     c))
+            added += _replay_restrike(pairs, cands_by_m,
+                                      out.rs_sfx[b], cfg, T)
+        if loop.recover_absent and T >= 8:
+            pool = [p[0] for p in pairs] + [a[0] for a in added]
+            added += _replay_recover(pool, out.rc_p[b], out.rc_k[b],
+                                     out.rc_w1[b], out.rc_wh[b], cfg, T, ht)
+        changed = changed or bool(added)
+        final: list[Note] = []
+        if loop.offset_trim:
+            spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
+            for n, m in pairs:
+                kt = int(out.trim_k[b, m])
+                if kt >= 0:
+                    n = Note(n.onset, float(kt) * spf, n.pitch,
+                             n.velocity, n.program)
+                    changed = True
+                final.append(n)
+            for n, win, start in added:
+                final.append(_trim_host_window(n, win, start, cfg, T))
+        else:
+            final = [p[0] for p in pairs] + [a[0] for a in added]
+        if not changed:
+            return seq
+        return NoteSequence(final).sorted()
+
+
+def T_small(cfg: Config, waves_host: np.ndarray) -> bool:
+    return cfg.dsp.raw_num_frames(int(waves_host.shape[-1])) < 16

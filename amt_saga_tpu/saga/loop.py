@@ -1066,6 +1066,10 @@ class Transcriber:
         (per-key lock — never duplicated)."""
         from ..runtime.aot import AotCache
 
+        ev = self.evidence_runner()
+        if ev is not None:
+            for n in lengths:
+                ev.warmup_async(batch, int(n))
         if isinstance(self._call, AotCache):
             for n in lengths:
                 self._call.warmup_async(
@@ -1139,9 +1143,33 @@ class Transcriber:
                  or loop.dedup_twins)
                 and not self._tmpl_overridden)
 
+    def evidence_runner(self):
+        """The device emission-evidence pass for this transcriber, or
+        None when the pure-host chain applies (CPU backend /
+        run.emission_evidence=False / template-bank override / extents
+        beyond the device window cap) — saga/evidence.py."""
+        if not self.snaps_onsets():
+            return None
+        if getattr(self, "_evidence", None) is None:
+            from .evidence import EvidenceRunner, runtime_emission_device
+
+            if not runtime_emission_device(self.cfg):
+                self._evidence = False
+            else:
+                runner = EvidenceRunner(self.cfg, mesh=self.mesh)
+                self._evidence = runner if runner.usable else False
+        return self._evidence or None
+
     def transcribe_batch(self, waves: np.ndarray) -> list[NoteSequence]:
         waves = np.asarray(waves)
-        notes = jax.device_get(self._fn(jnp.asarray(waves)))
+        dev = jnp.asarray(waves)
+        notes = jax.device_get(self._fn(dev))
+        ev = self.evidence_runner()
+        if ev is not None:
+            seqs = notes_batch_to_sequences(
+                notes, self.cfg, gram=self.host_gram(),
+                refiner=self.duration_refiner(), snap_waves=None)
+            return ev.refine_batch(seqs, dev, waves)
         return notes_batch_to_sequences(
             notes, self.cfg, gram=self.host_gram(),
             refiner=self.duration_refiner(),

@@ -160,15 +160,19 @@ def transcribe_long(wave: np.ndarray, transcriber, cfg: Config,
     snap = (transcriber.snaps_onsets()
             if hasattr(transcriber, "snaps_onsets")
             else cfg.loop.onset_snap_frames > 0)
+    ev = (transcriber.evidence_runner()
+          if hasattr(transcriber, "evidence_runner") else None)
 
-    def fetch(pending, n_keep, host_batch):
+    def fetch(pending, n_keep, host_batch, dev_batch):
         host = jax.device_get(pending)
-        seqs.extend(
-            notes_batch_to_sequences(
-                host, cfg, gram=gram, refiner=refiner,
-                snap_waves=host_batch if snap else None)[:n_keep])
+        out = notes_batch_to_sequences(
+            host, cfg, gram=gram, refiner=refiner,
+            snap_waves=host_batch if snap and ev is None else None)
+        if ev is not None:
+            out = ev.refine_batch(out, dev_batch, host_batch)
+        seqs.extend(out[:n_keep])
 
-    pending = None  # (device NotesBatch, n_real, host wave batch)
+    pending = None  # (device NotesBatch, n_real, host batch, dev batch)
     for i in range(0, len(chunks), bs):
         batch = chunks[i:i + bs]
         n_real = len(batch)
@@ -176,10 +180,11 @@ def transcribe_long(wave: np.ndarray, transcriber, cfg: Config,
             # pad the tail batch so one compiled program serves all batches
             pad = np.zeros((bs - n_real, chunks.shape[1]), np.float32)
             batch = np.concatenate([batch, pad])
-        notes = transcriber._fn(jax.numpy.asarray(batch))  # async dispatch
+        dev_batch = jax.numpy.asarray(batch)
+        notes = transcriber._fn(dev_batch)  # async dispatch
         if pending is not None:
             fetch(*pending)
-        pending = (notes, n_real, batch)
+        pending = (notes, n_real, batch, dev_batch)
     if pending is not None:
         fetch(*pending)
     return stitch(seqs, starts, cfg)

@@ -286,13 +286,16 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
     startup_s = time.time() - t0
 
     emit_walls = []
+    ev = tr.evidence_runner() if hasattr(tr, "evidence_runner") else None
 
-    def emit(notes_dev, host_batch) -> int:
+    def emit(notes_dev, host_batch, dev_batch) -> int:
         t0 = time.time()
         host_notes = jax.device_get(notes_dev)
         seqs = notes_batch_to_sequences(
             host_notes, cfg, gram=gram, refiner=refiner,
-            snap_waves=host_batch if snaps else None)
+            snap_waves=host_batch if snaps and ev is None else None)
+        if ev is not None:
+            seqs = ev.refine_batch(seqs, dev_batch, host_batch)
         n_bytes = sum(len(notes_to_midi_bytes(s)) for s in seqs)
         emit_walls.append(time.time() - t0)
         return n_bytes
@@ -309,7 +312,7 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
             notes = tr._fn(dev_waves[i])     # async dispatch
             if pending is not None:
                 midi_total += emit(*pending)
-            pending = (notes, waves[i])
+            pending = (notes, waves[i], dev_waves[i])
         midi_total += emit(*pending)
         walls.append(time.time() - t0)
     stages.enable(False)
@@ -335,6 +338,7 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
             "emission_stages_s": stage_detail,
             "midi_bytes": midi_total,
             "startup_s": round(startup_s, 1),
+            "evidence": dict(ev.stats) if ev is not None else None,
             "refit_impl": _refit_impl(),
             "device": str(jax.devices()[0]),
         },
