@@ -142,6 +142,51 @@ def note_arrays_to_sequence(
     spf = hop / float(sample_rate)  # seconds per frame
     n = int(count)
     refine = d_idx is not None and sd is not None and refiner is not None
+    refined = None
+    if refine and n and hasattr(refiner, "refine_many"):
+        # One vectorized fit for the lane (bit-identical per note to the
+        # scalar call — see DurationRefiner.refine_many); the per-note
+        # scalar path below stays for custom refiners and is the
+        # equality oracle in tests.
+        rp = refine_programs if refine_programs is not None else programs
+        refined = refiner.refine_many(
+            np.asarray(d_idx[:n], np.int64),
+            np.asarray(pitches[:n], np.int64),
+            np.asarray(rp[:n], np.int64), np.asarray(sd[:n]))
+    if refined is not None:
+        # Fully vectorized lane: same f64 expressions as the scalar
+        # loop below, batched (np.round / np ufuncs are elementwise-
+        # identical to Python round on f64 — round-half-even both).
+        on_v = (np.asarray(onset_frames[:n], np.int64).astype(np.float64)
+                * spf)
+        dur_v = (np.maximum(np.asarray(dur_frames[:n], np.int64), 1)
+                 .astype(np.float64) * spf)
+        use = ~np.isnan(refined)
+        if refine_mask is not None:
+            use &= np.asarray(refine_mask[:n], bool)
+        with np.errstate(invalid="ignore"):
+            # Snap to the frame lattice: durations stay frame-quantized
+            # like the grid path (a frame is ~32 ms, far inside the
+            # 50 ms offset tolerance), and rare one-bucket differences
+            # in sd between backends must also cross a frame boundary
+            # before they can move the emitted tick.
+            snap_v = np.maximum(
+                np.round(np.where(use, refined, 1.0) / spf), 1.0) * spf
+        dur_v = np.where(use, snap_v, dur_v)
+        g_v = np.maximum(0.0, np.minimum(1.0, np.asarray(
+            gains[:n], np.float64)))
+        g_v = np.round(g_v * 512.0) / 512.0
+        vel_v = np.maximum(1, np.minimum(127, np.round(
+            g_v * 127.0))).astype(np.int64)
+        if velocity_override is not None:
+            ov = np.asarray(velocity_override[:n], np.int64)
+            vel_v = np.where(ov > 0, ov, vel_v)
+        pit_v = (np.asarray(pitches[:n], np.int64) + pitch_min).tolist()
+        prg_v = np.asarray(programs[:n], np.int64).tolist()
+        for o, du, pi, ve, pg in zip(on_v.tolist(), dur_v.tolist(),
+                                     pit_v, vel_v.tolist(), prg_v):
+            seq.add(o, du, pi, ve, pg)
+        return seq
     for i in range(n):
         onset = float(int(onset_frames[i])) * spf
         dur = float(max(1, int(dur_frames[i]))) * spf
@@ -155,11 +200,7 @@ def note_arrays_to_sequence(
             r = refiner(int(d_idx[i]), int(pitches[i]), int(rp[i]),
                         sd[i])
             if r is not None:
-                # Snap to the frame lattice: durations stay frame-
-                # quantized like the grid path (a frame is ~32 ms, far
-                # inside the 50 ms offset tolerance), and rare one-bucket
-                # differences in sd between backends must also cross a
-                # frame boundary before they can move the emitted tick.
+                # (see the lattice-snap comment above)
                 dur = float(max(1, round(r / spf))) * spf
         vel = gain_to_velocity(float(gains[i]))
         if velocity_override is not None and int(velocity_override[i]) > 0:
@@ -225,7 +266,12 @@ def refit_gains_host(
     # refit_gains_variants_host for the parity argument).
     from .. import native
 
-    if native.available():
+    # Native only when the in-place target is already f64 C-contiguous:
+    # the wrapper asserts (loud), but this path should degrade to the
+    # identical numpy descent instead (ADVICE r3: mirror the variants-
+    # path guard).  G/diag/d0 are copied by the wrapper as needed.
+    if (native.available() and g.dtype == np.float64
+            and g.flags.c_contiguous and d0.flags.c_contiguous):
         native.refit_gains(np.ascontiguousarray(G), diag, d0, g,
                            int(sweeps))
         return out

@@ -67,6 +67,7 @@ from .snap import (
     _RS_OVER,
     _RS_PE_FLOOR,
     _RS_RISE,
+    _rs_rise_explained,
     _fundamental_region,
     _fundamental_strengths,
     _leak_matrix,
@@ -80,8 +81,8 @@ __all__ = ["EvidenceRunner", "runtime_emission_device"]
 # Static shipping caps (per lane).  Chosen ~4x above the largest counts
 # observed on the dense 8-voice suites; overflow falls back per lane.
 KMAX = 96      # per-note extent frames (duration grid max is 63 frames)
-RS_CAP = 48    # re-strike rise candidates
-RC_CAP = 64    # recovery pass-1 candidates
+RS_CAP = 64    # re-strike rise candidates
+RC_CAP = 96    # recovery pass-1 candidates
 _BIG = np.int32(2**30)
 
 
@@ -399,10 +400,24 @@ def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
         lk_rows = jnp.where(n.valid[:, None], lk_rows, 0.0)
         t0c = jnp.maximum(0, n.t0 - lead_corr - 1)
         t1c = n.t0 + jnp.minimum(tmax, n.end_k + rel_f)
+        # pitch-free ownership (snap.recover_absent.pitch_free): frames
+        # inside a same-pitch emission's extent + guard band.  Applied
+        # on device only to bound the shipped candidate count; the host
+        # replay re-applies it with the TRUE (post-restrike) pool, and
+        # the D1 pool is a subset, so device filtering never removes a
+        # candidate the host would keep.
+        # One frame narrower on each side than the host's window: the
+        # host derives the extent end from round(offset/spf) which can
+        # differ by +-1 from t0 + end_k — the device veto must be a
+        # SUBSET of the host's.
+        own_lo = jnp.maximum(0, n.t0 - _RA_GUARD + 1)
+        own_hi = n.t0 + n.end_k + rel_f
+        p_onehot = (jax.nn.one_hot(n.p_idx, n_p, dtype=jnp.float32)
+                    * n.valid[:, None].astype(jnp.float32))
 
         def step(carry, xs):
-            quad, m1, m2, on_lin = carry
-            lk, a, bnd, on_hi = xs
+            quad, m1, m2, on_lin, owned = carry
+            lk, a, bnd, on_hi, olo, ohi, oh = xs
             mask = ((t_axis >= a) & (t_axis < bnd))[:, None]
             o = jnp.where(mask, lk[None, :], 0.0)
             quad = quad + o * o
@@ -410,18 +425,23 @@ def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
             m1 = jnp.maximum(m1, o)
             on_mask = ((t_axis >= a) & (t_axis < on_hi))[:, None]
             on_lin = on_lin + jnp.where(on_mask, lk[None, :], 0.0)
-            return (quad, m1, m2, on_lin), None
+            owned = owned | (((t_axis >= olo) & (t_axis <= ohi))[:, None]
+                             & (oh > 0)[None, :])
+            return (quad, m1, m2, on_lin, owned), None
 
         z = jnp.zeros((T, n_p), jnp.float32)
+        zb = jnp.zeros((T, n_p), bool)
         on_hi = jnp.maximum(t0c, jnp.minimum(T, n.t0 + 4))
-        (quad, m1, m2, on_lin), _ = jax.lax.scan(
-            step, (z, z, z, z), (lk_rows, t0c, t1c, on_hi))
-        return jnp.maximum(quad + 2.0 * m1 * m2, jnp.square(on_lin))
+        (quad, m1, m2, on_lin, owned), _ = jax.lax.scan(
+            step, (z, z, z, z, zb),
+            (lk_rows, t0c, t1c, on_hi, own_lo, own_hi - 1, p_onehot))
+        return (jnp.maximum(quad + 2.0 * m1 * m2, jnp.square(on_lin)),
+                owned)
 
-    exp_all = vb(_exp_scan)(pk)                            # [B, T, P]
+    exp_all, owned_all = vb(_exp_scan)(pk)                 # [B, T, P] x2
     RC_WINJ = jnp.arange(RC_WIN)
 
-    def _recover(t1, t2, t3, expp):
+    def _recover(t1, t2, t3, expp, owned):
         e1 = t1                                            # [T, P]
         unexp = jnp.sqrt(jnp.maximum(jnp.square(e1) - expp, 0.0))
         ks = jnp.arange(4, max(T - 4, 5))
@@ -447,7 +467,7 @@ def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
         pitch_ok = (tb.ch_valid[:, 0]
                     & (tb.ch_valid[:, 1] | tb.ch_valid[:, 2])
                     & (tb.fund > 0.0))[None, :]
-        eligible = okg & conf & pitch_ok
+        eligible = okg & conf & pitch_ok & ~owned[ks]
         # ship ordered by (pitch, k): key = p * T + k ascending
         keys = jnp.where(eligible,
                          (jnp.arange(n_p)[None, :] * T
@@ -464,7 +484,8 @@ def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
         return (p_sel.astype(jnp.int32), k_sel.astype(jnp.int32), w1, wh,
                 eligible.sum().astype(jnp.int32))
 
-    rc_p, rc_k, rc_w1, rc_wh, rc_n = vb(_recover)(tr1, tr2, tr3, exp_all)
+    rc_p, rc_k, rc_w1, rc_wh, rc_n = vb(_recover)(tr1, tr2, tr3, exp_all,
+                                                  owned_all)
 
     return EvidenceOut(snap_w=snap_w, inst_obs=inst_obs, trim_k=trim_k,
                        rs_m=rs_m, rs_k=rs_k, rs_sfx=rs_sfx, rs_n=rs_n,
@@ -492,10 +513,28 @@ def _snap_would_fire(notes: list[Note], snap_w_b: np.ndarray,
     lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
     min_snap = 2
     n_i, n_p = ht.fund.shape
+    # Vectorized guard-1 prefilter: a note whose fundamental evidence is
+    # already at its expected level at the detected onset never snaps —
+    # the common case (measured ~97% of notes) — so the scalar guard
+    # walk below only runs for the survivors.
+    k = len(notes)
+    vel = np.fromiter((n.velocity for n in notes), np.float64, k)
+    pi = np.fromiter((n.pitch for n in notes), np.int64, k) - synth.pitch_min
+    pr = np.fromiter((n.program for n in notes), np.int64, k) % n_i
+    pin = np.clip(pi, 0, n_p - 1)
+    e_exp_v = (vel / 127.0) * ht.fund[pr, pin]
+    survivors = np.nonzero(
+        (snap_w_b[:k, 0].astype(np.float64)
+         < loop.onset_snap_active_ratio * np.maximum(e_exp_v, 1e-300))
+        & (pi >= 0) & (pi < n_p) & (e_exp_v > 0.0))[0]
+    if survivors.size == 0:
+        return False
     onsets_by_pitch: dict[int, list[float]] = {}
     for n in notes:
         onsets_by_pitch.setdefault(n.pitch, []).append(n.onset)
-    for m, note in enumerate(notes):
+    for m in survivors:
+        m = int(m)
+        note = notes[m]
         t0 = int(round(note.onset / spf))
         fwd_hi = min(t0 + W, T - 1)
         dur_frames = note.duration / spf
@@ -589,21 +628,29 @@ def _dedup_keep(seq: NoteSequence, cfg: Config) -> list[int] | None:
 
     Returns None when nothing drops (pure-host keeps the original
     object/order); otherwise the kept notes' ORIGINAL indices in the
-    sorted order the pure-host stage emits."""
+    sorted order the pure-host stage emits.  Decision-identical to the
+    scalar loop, vectorized (the O(n^2) Python ``any`` was the largest
+    fixed replay cost per lane)."""
     spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
-    order = sorted(range(len(seq.notes)),
-                   key=lambda i: seq.notes[i].sort_key())
+    n = len(seq.notes)
+    order = sorted(range(n), key=lambda i: seq.notes[i].sort_key())
     notes = [seq.notes[i] for i in order]
-    keep = []
-    for i, n in enumerate(notes):
-        twin = any(
-            j != i and m.pitch == n.pitch and m.program == n.program
-            and abs(m.onset - n.onset) <= 1.5 * spf
-            and (m.velocity, -j) > (n.velocity, -i)
-            for j, m in enumerate(notes))
-        if not twin:
-            keep.append(order[i])
-    return keep if len(keep) < len(notes) else None
+    pitch = np.fromiter((m.pitch for m in notes), np.int64, n)
+    prog = np.fromiter((m.program for m in notes), np.int64, n)
+    onset = np.fromiter((m.onset for m in notes), np.float64, n)
+    vel = np.fromiter((m.velocity for m in notes), np.int64, n)
+    idx = np.arange(n)
+    # (m.velocity, -j) > (n.velocity, -i)  <=>  vel_j > vel_i, or
+    # equal velocity and j < i.
+    louder = (vel[None, :] > vel[:, None]) | (
+        (vel[None, :] == vel[:, None]) & (idx[None, :] < idx[:, None]))
+    twin = ((pitch[None, :] == pitch[:, None])
+            & (prog[None, :] == prog[:, None])
+            & (np.abs(onset[None, :] - onset[:, None]) <= 1.5 * spf)
+            & (idx[None, :] != idx[:, None]) & louder).any(axis=1)
+    if not twin.any():
+        return None
+    return [order[i] for i in np.nonzero(~twin)[0]]
 
 
 def _replay_restrike(pairs: list, cands_by_m: dict,
@@ -639,24 +686,9 @@ def _replay_restrike(pairs: list, cands_by_m: dict,
             lm = float(min(win[0], win[1], win[2]))
             rise_amt = float(win[4]) - lm
             tt = (t0 + k) * spf
-            explained = False
-            leak_pow = 0.0
-            for mm in notes + added_notes:
-                if mm is note or abs(mm.onset - tt) > 4 * spf:
-                    continue
-                if mm.pitch == note.pitch:
-                    explained = True
-                    break
-                lk = (mm.velocity / 127.0) * _region_trace(
-                    mm.pitch, mm.program, mm.duration,
-                    regs[0][1], 3, cfg).max()
-                if lk >= _RS_LEAK * rise_amt:
-                    explained = True
-                    break
-                leak_pow += lk * lk
-            if _RS_LEAK_SUM and leak_pow >= (_RS_LEAK * rise_amt) ** 2:
-                explained = True
-            if explained:
+            if _rs_rise_explained(note, tt, rise_amt,
+                                  notes + added_notes, regs[0][1],
+                                  cfg, spf):
                 continue
             if any(mm is not note and mm.pitch == note.pitch
                    and abs(mm.onset - tt) <= 6 * spf
@@ -960,8 +992,12 @@ class EvidenceRunner:
         else:
             self._jit = jit_fn
         self.stats = {"lanes": 0, "fallback": 0, "fb_snap": 0,
-                      "fb_dedup": 0, "fb_inst": 0, "fb_overflow": 0,
-                      "fb_cap": 0}
+                      "fb_dedup": 0, "fb_inst": 0, "fb_overflow_rs": 0,
+                      "fb_overflow_rc": 0, "fb_cap": 0}
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._fetcher = ThreadPoolExecutor(max_workers=1,
+                                           thread_name_prefix="ev-fetch")
         spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
         # Device trim/restrike windows are KMAX frames; longer extents
         # (custom duration grids) would silently truncate -> refuse and
@@ -997,23 +1033,29 @@ class EvidenceRunner:
                              name="evidence-warmup").start()
 
     def dispatch(self, seqs: list[NoteSequence], waves_dev) -> tuple:
-        """Async-dispatch the device pass; returns an opaque handle for
-        ``finish`` (lets the pipeline overlap it with other work)."""
+        """Async-dispatch the device pass AND a threaded device_get of
+        its outputs; returns an opaque handle for ``finish``.
+
+        The fetch thread blocks on backend RPC/transfer I/O with the
+        GIL released, so on the 1-core host it overlaps with the
+        replay/refit Python of the PREVIOUS batch (measured: ev.fetch
+        was ~3 s per 768 lanes when paid synchronously)."""
         from ..utils import stages
 
         T = self.cfg.dsp.raw_num_frames(int(waves_dev.shape[-1]))
         with stages.timed("ev.pack"):
             pk = _pack(seqs, self.cfg, T, self.cfg.loop.max_notes)
         out = self._jit(waves_dev, pk, self._tables_dev)   # async
-        return (out, T)
+        fut = self._fetcher.submit(jax.device_get, out)
+        return (fut, T)
 
     def finish(self, handle, seqs: list[NoteSequence],
                waves_host: np.ndarray) -> list[NoteSequence]:
         from ..utils import stages
 
-        out, T = handle
+        fut, T = handle
         with stages.timed("ev.fetch"):
-            out = jax.device_get(out)
+            out = fut.result()
         with stages.timed("ev.replay"):
             result = [self._replay_lane(b, seq, out, T, waves_host[b])
                       for b, seq in enumerate(seqs)]
@@ -1070,9 +1112,10 @@ class EvidenceRunner:
                                        out.inst_obs[b], cfg, T,
                                        idx=[p[1] for p in pairs])):
             return fallback("inst")
-        if ((loop.restrike_split and int(out.rs_n[b]) > RS_CAP)
-                or (loop.recover_absent and int(out.rc_n[b]) > RC_CAP)):
-            return fallback("overflow")
+        if loop.restrike_split and int(out.rs_n[b]) > RS_CAP:
+            return fallback("overflow_rs")
+        if loop.recover_absent and int(out.rc_n[b]) > RC_CAP:
+            return fallback("overflow_rc")
 
         added: list[tuple[Note, np.ndarray, int]] = []
         if loop.restrike_split:

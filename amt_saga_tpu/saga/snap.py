@@ -388,6 +388,67 @@ _RS_LEAK_SUM = True
 # 0.8837 -> 0.8855 (P +0.4pt, R unchanged) with the other suites
 # bit-identical; 0.20 starts killing a true split (mus8 R -0.2pt).
 _RS_MIN_GAIN = 0.15
+# Beat-swing veto (round 4): a note SOUNDING through the rise (no
+# onset near it — the onset-gated cross-leak cannot see it) whose
+# decayed template level in our fundamental region is lk interferes
+# with our own tone, swinging the region magnitude by up to 2*lk
+# peak-to-trough; a rise inside that bound is beating, not a strike.
+# Attribution on 2 never-tuned mus8 seeds: the splitter's false
+# splits (+42 dup FPs for +40 recovered swallows, F1 +0.6pt net)
+# were exactly this class.  Swept {off, 0.7, 1.0, 1.4, 2.0} on fresh
+# seeds 777/888: 0.7 is best on every suite — mus8 F1 0.8399->0.8450
+# (dup 85->62), etude 0.9272->0.9333 (P +3pt), mus4 0.9408->0.9483.
+_RS_BEAT_FRAC = 0.7    # veto when 2*lk_t >= frac * rise; <=0 disables
+
+
+def _rs_rise_explained(note, tt: float, rise_amt: float, pool,
+                       reg1: tuple[int, int], cfg: Config,
+                       spf: float) -> bool:
+    """Concurrent-emission attribution of a fundamental-region rise at
+    time ``tt`` inside ``note``'s extent — shared VERBATIM by the host
+    chain (split_restrikes) and the device-evidence replay
+    (saga/evidence.py) so the two paths cannot diverge in logic.
+
+    Onset-gated leak: an emission ONSETTING within +-4 frames whose
+    template magnitude in our region covers _RS_LEAK of the rise (or
+    several in quadrature — _RS_LEAK_SUM).  Same-pitch onsets there
+    own the rise outright.  Beat swing: an emission SOUNDING through
+    ``tt`` at decayed level lk can swing the region magnitude by
+    2*lk; a rise within _RS_BEAT_FRAC of that bound is interference.
+    """
+    explained = False
+    leak_pow = 0.0
+    for m in pool:
+        if m is note:
+            continue
+        if abs(m.onset - tt) <= 4 * spf:
+            if m.pitch == note.pitch:
+                return True
+            lk = (m.velocity / 127.0) * _region_trace(
+                m.pitch, m.program, m.duration, reg1, 3, cfg).max()
+            if lk >= _RS_LEAK * rise_amt:
+                return True
+            leak_pow += lk * lk
+        elif (_RS_BEAT_FRAC > 0 and m.pitch != note.pitch
+                and m.onset < tt < m.offset):
+            # Same-pitch sounding emissions are excluded: in repeated-
+            # note content the PREVIOUS strike is still sounding when
+            # the next one rises, and its own-region leak would veto
+            # every genuine re-strike (measured on the etude pin seeds:
+            # swallow FN 20 -> 33 with no dup removed; the masker's
+            # pitch-class delta was 0 in every etude veto event).
+            # Same-pitch proximity is owned by the covered-check and
+            # the onset-gated branch above.
+            dt = int(round((tt - m.onset) / spf))
+            tr = _region_trace(m.pitch, m.program, m.duration,
+                               reg1, dt + 1, cfg)
+            lk_t = (m.velocity / 127.0) * float(tr[dt]) \
+                if dt < len(tr) else 0.0
+            if 2.0 * lk_t >= _RS_BEAT_FRAC * rise_amt:
+                return True
+    if _RS_LEAK_SUM and leak_pow >= (_RS_LEAK * rise_amt) ** 2:
+        explained = True
+    return explained
 
 
 def _regions(pitch: int, cfg: Config) -> list[tuple[int, tuple[int, int]]]:
@@ -635,28 +696,10 @@ def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
                 continue
             k = int(k)
             tt = (t0 + k) * spf
-            # Cross-leak: another emitted note onsets at the rise and
-            # its template explains the fundamental-region jump
-            # (sub-octave / harmonic-aligned maskers hit every region
-            # of ours).
-            explained = False
-            leak_pow = 0.0
-            for m in notes + added:
-                if m is note or abs(m.onset - tt) > 4 * spf:
-                    continue
-                if m.pitch == note.pitch:
-                    explained = True
-                    break
-                lk = (m.velocity / 127.0) * _region_trace(
-                    m.pitch, m.program, m.duration,
-                    regs[0][1], 3, cfg).max()
-                if lk >= _RS_LEAK * rise_amt:
-                    explained = True
-                    break
-                leak_pow += lk * lk
-            if _RS_LEAK_SUM and leak_pow >= (_RS_LEAK * rise_amt) ** 2:
-                explained = True
-            if explained:
+            # Cross-leak + beat-swing attribution (shared helper — the
+            # device-evidence replay runs the same function).
+            if _rs_rise_explained(note, tt, float(rise_amt),
+                                  notes + added, regs[0][1], cfg, spf):
                 continue
             covered = any(
                 m is not note and m.pitch == note.pitch

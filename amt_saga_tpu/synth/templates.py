@@ -408,6 +408,70 @@ class DurationRefiner:
                     tau = float(np.exp(v))
         return max(float(lo), min(float(hi), tau))
 
+    def refine_many(self, d_idx: np.ndarray, pitch_idx: np.ndarray,
+                    program: np.ndarray, svec: np.ndarray) -> np.ndarray:
+        """Vectorized ``__call__`` over n notes -> [n] seconds (NaN =
+        None).  BIT-IDENTICAL per note (pinned by
+        tests/test_core.py): the per-note ``dvec @ table[q]`` BLAS call
+        is kept per note (a batched einsum could change accumulation
+        order), and every later step is the same f64 elementwise
+        expression batched — np ufuncs produce the same values
+        regardless of array length.  The per-note Python came to ~46 us
+        x ~27 notes x lane on the 1-core host — half of
+        emit.to_sequence (VERDICT r3 item 1)."""
+        n_d = len(self.grid)
+        n = len(d_idx)
+        out = np.full(n, np.nan)
+        if n_d < 2 or n == 0:
+            return out
+        s = np.asarray(svec, dtype=np.float64)
+        q = (np.asarray(program, np.int64) * self.n_p
+             + np.asarray(pitch_idx, np.int64))
+        ok = (s.shape[-1] == n_d) & np.all(np.isfinite(s), axis=-1)
+        dvec = np.sqrt(np.maximum(s, 0.0) * self.norms[q])
+        ok &= dvec.max(axis=-1) > 0.0
+        if not ok.any():
+            return out
+        n_f = self.table.shape[-1]
+        num = np.empty((n, n_f))
+        for a in np.nonzero(ok)[0]:        # same dgemv as __call__
+            num[a] = dvec[a] @ self.table[int(q[a])]
+        num[~ok] = 0.0
+        r = np.square(np.maximum(num, 0.0)) / self.den[q]
+        d = np.asarray(d_idx, np.int64)
+        lo = self.grid[np.maximum(d - 1, 0)]
+        hi = self.grid[np.minimum(d + 1, n_d - 1)]
+        masked = np.where((self.fine[None, :] >= lo[:, None])
+                          & (self.fine[None, :] <= hi[:, None]),
+                          r, -np.inf)
+        j = np.argmax(masked, axis=-1)
+        ok &= np.isfinite(masked[np.arange(n), j])
+        tau = self.fine[j].astype(np.float64)
+        # Parabolic vertex (same expressions, batched; edge/finite
+        # conditions keep the argmax tau exactly as __call__ does).
+        inner = ok & (j > 0) & (j < len(self.fine) - 1)
+        jm = np.clip(j, 1, len(self.fine) - 2)
+        inner &= (np.isfinite(masked[np.arange(n), jm - 1])
+                  & np.isfinite(masked[np.arange(n), jm + 1]))
+        x = np.log(self.fine[(jm[:, None]
+                              + np.arange(-1, 2)[None, :])])   # [n, 3]
+        y = r[np.arange(n)[:, None],
+              jm[:, None] + np.arange(-1, 2)[None, :]]
+        d01 = x[:, 1] - x[:, 0]
+        d12 = x[:, 2] - x[:, 1]
+        d02 = x[:, 2] - x[:, 0]
+        denom = d01 * d12 * d02
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a_c = (y[:, 0] * d12 - y[:, 1] * d02 + y[:, 2] * d01) / denom
+            b_c = (y[:, 2] - y[:, 0]) / d02 - a_c * (x[:, 0] + x[:, 2])
+            v = -b_c / (2.0 * a_c)
+        use = inner & (denom > 0.0) & (a_c < 0.0)
+        v = np.maximum(x[:, 0], np.minimum(x[:, 2], v))
+        tau = np.where(use, np.exp(np.where(use, v, 0.0)), tau)
+        res = np.maximum(lo, np.minimum(hi, tau))
+        out[ok] = res[ok]
+        return out
+
 
 @lru_cache(maxsize=4)
 def make_duration_refiner(synth: SynthConfig,

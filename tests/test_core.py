@@ -290,3 +290,33 @@ def test_harmonic_phantom_gate_golden(tiny_config):
     seq = transcribe_golden(wave, cfg).sequence
     pitches = sorted(n.pitch for n in seq)
     assert 60 in pitches and 72 in pitches  # real octave note survives
+
+
+def test_refine_many_bitwise_matches_scalar():
+    """DurationRefiner.refine_many must reproduce __call__ BIT-FOR-BIT
+    per note: note_arrays_to_sequence uses the batch form on the
+    production path while the scalar form remains the oracle — any ulp
+    drift would move emitted ticks and break golden parity."""
+    import numpy as np
+
+    from amt_saga_tpu import default_config
+    from amt_saga_tpu.synth.templates import make_duration_refiner
+
+    cfg = default_config()
+    ref = make_duration_refiner(cfg.synth, cfg.dsp)
+    rng = np.random.default_rng(123)
+    n = 512
+    n_d = len(cfg.synth.duration_grid)
+    d_idx = rng.integers(0, n_d, n)
+    pitch = rng.integers(0, cfg.synth.n_pitches, n)
+    prog = np.zeros(n, np.int64)
+    sv = rng.uniform(0.0, 1e-3, (n, n_d))
+    sv[rng.random(n) < 0.1] = 0.0                 # all-zero rows -> None
+    sv[rng.random((n, n_d)) < 0.02] = np.nan      # non-finite -> None
+    batch = ref.refine_many(d_idx, pitch, prog, sv)
+    for i in range(n):
+        scalar = ref(int(d_idx[i]), int(pitch[i]), int(prog[i]), sv[i])
+        if scalar is None:
+            assert np.isnan(batch[i])
+        else:
+            assert batch[i] == scalar, (i, batch[i], scalar)
