@@ -28,6 +28,13 @@ import numpy as np
 # Measured 2026-08-16 on this machine's 1 CPU core (see BASELINE.md):
 # golden path, default config, 4x10s clips (2 ISOL + 2 MUS), warm caches.
 GOLDEN_CPU_AUDIO_SEC_PER_SEC = 31.0
+# The CURRENT golden oracle (v7 algorithm: virtual-residual Gram
+# bookkeeping, refit dots, duration-fit recording — functionally
+# identical to the TPU path) measures far slower than the pinned v1
+# denominator above; ratios against 31.0 UNDERSTATE the like-for-like
+# speedup by ~6.5x.  Both are reported so neither can mislead
+# (BASELINE.md row 1; re-measure with `python bench.py --golden`).
+GOLDEN_CPU_CURRENT_MEASURED = 4.74
 
 # TPU v5e (v5 lite) peak: ~197 TFLOP/s bf16 on the MXU.  The pipeline's
 # hot matmuls run at Precision.HIGHEST (six bf16 passes per f32 product
@@ -228,6 +235,9 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
             "mfu": round(mfu, 4),
             "device": str(jax.devices()[0]),
             "baseline_cpu_audio_sec_per_sec": GOLDEN_CPU_AUDIO_SEC_PER_SEC,
+            "baseline_cpu_current_golden": GOLDEN_CPU_CURRENT_MEASURED,
+            "vs_current_golden": round(
+                value / GOLDEN_CPU_CURRENT_MEASURED, 2),
         },
     }
 
@@ -358,6 +368,10 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
             "evidence": dict(ev.stats) if ev is not None else None,
             "refit_impl": _refit_impl(),
             "device": str(jax.devices()[0]),
+            "baseline_cpu_audio_sec_per_sec": GOLDEN_CPU_AUDIO_SEC_PER_SEC,
+            "baseline_cpu_current_golden": GOLDEN_CPU_CURRENT_MEASURED,
+            "vs_current_golden": round(
+                value / GOLDEN_CPU_CURRENT_MEASURED, 2),
         },
     }
 
