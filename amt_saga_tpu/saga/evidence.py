@@ -1,38 +1,56 @@
 """Device-side emission evidence pass (SURVEY.md C9/L3 emission stage;
-VERDICT r3 item 1 — no reference file:line possible, empty mount).
+VERDICT r3 item 1 / r4 item 1 — no reference file:line possible, empty
+mount).
 
 The emission refinement chain (saga/snap.py) reads pitch-region traces
 of the ORIGINAL spectrogram and applies absolute template-scaled gates.
-As pure host NumPy it costs ~18 ms/lane on a 1-core host — 50x the
+As pure host NumPy it costs ~15 ms/lane on a 1-core host — 50x the
 device time of the transcription itself — because the work is thousands
-of tiny per-note/per-pitch NumPy calls (measured round 4: 502k Python
-calls for 48 lanes), not FLOPs.
+of tiny per-note/per-pitch NumPy calls, not FLOPs.
 
 This module moves the TRACE EXTRACTION and the vectorizable GATING onto
-the TPU as one jitted program per batch shape and ships only compact
-per-note stats and bounded candidate lists back; the host keeps exactly
-the sequential decision logic the chain cannot vectorize (cross-leak
-attribution over a growing note list, greedy strongest-first recovery,
-MIDI assembly).  Decision logic on the host is the SAME code/constants
-as snap.py — only the trace VALUES differ (device f32 spectrogram
-columns vs the host's f64 filterbank dots), the same tolerance class as
-the K1 Pallas spectrogram (RunConfig.use_pallas docs): threshold
-decisions flip only at gate-margin ties.  ``run.emission_evidence``
-is tri-state like use_pallas: None = auto (device pass on an
-accelerator backend, pure-host chain on CPU — CPU XLA would pay the
-[B,T,P] sweeps in host time and lose), explicit "host"/"device" wins.
+the TPU and ships only compact per-note stats and bounded candidate
+lists back; the host keeps exactly the sequential decision logic the
+chain cannot vectorize (cross-leak attribution over a growing note
+list, greedy strongest-first recovery, MIDI assembly).  Decision logic
+on the host is the SAME code/constants as snap.py — only the trace
+VALUES differ (device f32 spectrogram columns vs the host's f64
+filterbank dots), the same tolerance class as the K1 Pallas spectrogram
+(RunConfig.use_pallas docs): threshold decisions flip only at
+gate-margin ties.  ``run.emission_evidence`` is tri-state like
+use_pallas: None = auto (device pass on an accelerator backend,
+pure-host chain on CPU — CPU XLA would pay the [B,T,P] sweeps in host
+time and lose), explicit "host"/"device" wins.
 
-Staleness contract: the device pass sees the note list as of chain
-START.  Stages that MUTATE earlier chain state (onset snap, twin dedup,
-instrument re-pick) are replayed host-side from shipped windows as
-DETECTORS; any lane where one fires falls back to the pure-host chain
-for that lane (measured rare — gross-early onsets / same-frame twins).
-Additive stages (re-strike split, absent recovery) re-evaluate every
-gate host-side in f64 with the TRUE evolving pool, so device candidate
-lists only need to be SUPERSETS; offset trim of notes ADDED mid-chain
-is recomputed host-side from shipped suffix windows.  Candidate-list
-overflow (rs_n/rc_n beyond the static caps) also falls back — no
-silent truncation.
+Two-round structure (round 5; replaces the round-4 staleness contract
+whose detectors ADVICE r4 flagged as tie-fragile):
+
+ROUND A ships the onset-snap windows (e1 at t0..t0+W per note) and,
+for multi-instrument configs, the harmonic onset strips.  Between the
+rounds the host applies the three MUTATING stages — onset snap, twin
+dedup, instrument re-pick — EXACTLY (same code paths/arithmetic as
+snap.py, f64, true evolving note list; only the trace values are the
+shipped device f32).  ROUND B then runs offset trim, re-strike
+candidate detection and absent-recovery candidate detection against
+the POST-mutation note table, so those stages see the same pool the
+pure-host chain would — no stale-pool detectors, no snap/dedup/inst
+fallbacks.
+
+The one remaining staleness source is ADDITIVE: re-strike splitting
+(host, after round B) grows the pool that absent recovery's explained
+model should see.  Additions only ever INCREASE explained power, so
+host unexplained <= device unexplained pointwise; the device therefore
+ships recovery candidates under MONOTONE-ONLY gates — the full level
+gate (host-pass implies device-pass), persistence and harmonic
+confirmation relaxed to their _RA_MIN_GAIN floors (implied by the host
+level gate), and NO rise gate (no device-testable implication exists)
+— and the host replay re-evaluates every gate in f64 with the true
+pool.  The device explained model itself drops the pairwise in-phase
+term (max(quad, on_lin^2) <= snap.py's pair model), keeping the bound
+one-sided.  This closes ADVICE r4's superset violation.  Candidate-
+list overflow (rs_n/rc_n beyond the static caps) still falls back per
+lane — no silent truncation.  Lanes shorter than 16 frames take the
+pure-host chain from ``dispatch`` itself (ADVICE r4 item 3).
 """
 
 from __future__ import annotations
@@ -81,8 +99,13 @@ __all__ = ["EvidenceRunner", "runtime_emission_device"]
 # Static shipping caps (per lane).  Chosen ~4x above the largest counts
 # observed on the dense 8-voice suites; overflow falls back per lane.
 KMAX = 96      # per-note extent frames (duration grid max is 63 frames)
-RS_CAP = 64    # re-strike rise candidates
-RC_CAP = 96    # recovery pass-1 candidates
+RS_CAP = 160   # re-strike rise candidates (dense 8-voice lanes measured
+#                up to 90 ok-cells — the round-4 cap of 64 made exactly
+#                those lanes, where the fallback is most expensive, fall
+#                back; ~35 KB/lane of extra suffix windows buys them in)
+RC_CAP = 128   # recovery pass-1 candidates (monotone-relaxed gates ship
+#                more than the round-4 full-gate list — measured <= 24
+#                on 8-voice content; headroom ~5x)
 _BIG = np.int32(2**30)
 
 
@@ -210,14 +233,39 @@ def _pack(seqs: list[NoteSequence], cfg: Config, T: int,
                           g, g_sat, valid)))
 
 
+def _pack_a(seqs: list[NoteSequence], cfg: Config,
+            cap: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Round-A inputs: onset frames + pitch indices only (the snap and
+    instrument windows are pure gathers; invalid rows gather clipped
+    junk that the host decisions never read)."""
+    spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
+    n_p = cfg.synth.n_pitches
+    B = len(seqs)
+    t0 = np.zeros((B, cap), np.int32)
+    p_idx = np.zeros((B, cap), np.int32)
+    for b, seq in enumerate(seqs):
+        ns = seq.notes[:cap]
+        if not ns:
+            continue
+        k = len(ns)
+        on = np.array([n.onset for n in ns], np.float64)
+        pi = np.array([n.pitch for n in ns], np.int64) - cfg.synth.pitch_min
+        t0[b, :k] = np.round(on / spf)
+        p_idx[b, :k] = np.clip(pi, 0, n_p - 1)
+    return jnp.asarray(t0), jnp.asarray(p_idx)
+
+
 # ---------------------------------------------------------------------------
-# The jitted device program.
+# The jitted device programs.
 # ---------------------------------------------------------------------------
 
 
-class EvidenceOut(NamedTuple):
+class RoundAOut(NamedTuple):
     snap_w: jnp.ndarray   # [B, M, W+1] f32 fundamental trace at t0..t0+W
-    inst_obs: jnp.ndarray  # [B, M, 3] f32 max of 3-frame onset window / harm
+    obs_w: jnp.ndarray    # [B, M, 3, W+3] f32 harmonic strips (n_i > 1)
+
+
+class RoundBOut(NamedTuple):
     trim_k: jnp.ndarray   # [B, M] i32 trim frame, -1 = keep
     rs_m: jnp.ndarray     # [B, RS_CAP] i32 note index (-1 = empty)
     rs_k: jnp.ndarray     # [B, RS_CAP] i32 candidate frame (rel. t0)
@@ -237,32 +285,24 @@ def _gather_trace(tr: jnp.ndarray, t_idx: jnp.ndarray,
     return tr[t_c, p_idx[..., None]]
 
 
-def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
-                      tb: EvidenceTables, cfg: Config) -> EvidenceOut:
+def _traces(waves: jnp.ndarray, tb: EvidenceTables,
+            cfg: Config, harmonics: int = 3
+            ) -> tuple[list[jnp.ndarray], int]:
+    """[B, T, P] region traces per harmonic: sum of the 3 filterbank
+    columns around the harmonic's center bin — the same linear map as
+    snap._ColCache.region, evaluated in f32 from the device's own
+    log-f spectrogram instead of f64 filterbank dots on a host rfft.
+
+    Slices to the host chain's frame count: the device STFT may cover
+    trailing partial windows the host's raw_num_frames excludes, and
+    phantom tail frames would satisfy trim stay-windows the host
+    never evaluates (measured: spurious end-of-clip trims)."""
     from .loop import spectrogram_batch
 
-    dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
-    n_p = synth.n_pitches
-    tmax = synth.template_frames
-    spf = dsp.hop / float(dsp.sample_rate)
-    lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
-    rel_f = int(round(4 * synth.release_seconds / spf)) + 2
-    W = int(loop.onset_snap_frames)
-    RC_WIN = tmax + 5
-
-    # Slice to the host chain's frame count: the device STFT may cover
-    # trailing partial windows the host's raw_num_frames excludes, and
-    # phantom tail frames would satisfy trim stay-windows the host
-    # never evaluates (measured: spurious end-of-clip trims).
+    dsp = cfg.dsp
     t_raw = dsp.raw_num_frames(int(waves.shape[-1]))
     spec = spectrogram_batch(waves, cfg)[:, :t_raw, :dsp.n_bins]
-    B, T, _ = spec.shape
-    M = pk.t0.shape[1]
 
-    # [B, T, P] region traces per harmonic: sum of the 3 filterbank
-    # columns around the harmonic's center bin — the same linear map as
-    # snap._ColCache.region, evaluated in f32 from the device's own
-    # log-f spectrogram instead of f64 filterbank dots on a host rfft.
     def _h_trace(h: int) -> jnp.ndarray:
         c = tb.ch[:, h]                                   # [P]
         cols = jnp.stack([jnp.take(spec, jnp.clip(c + o, 0,
@@ -270,24 +310,53 @@ def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
                           for o in (-1, 0, 1)], axis=-1).sum(-1)
         return jnp.where(tb.ch_valid[None, None, :, h], cols, 0.0)
 
-    tr1, tr2, tr3 = _h_trace(0), _h_trace(1), _h_trace(2)
+    return [_h_trace(h) for h in range(harmonics)], t_raw
+
+
+def _round_a_program(waves: jnp.ndarray, t0a: jnp.ndarray,
+                     p_idx: jnp.ndarray, tb: EvidenceTables,
+                     cfg: Config) -> RoundAOut:
+    """Pre-mutation windows: the onset-snap e1 window per note and (for
+    multi-instrument configs) harmonic strips wide enough to cover any
+    post-snap onset shift (delta <= W)."""
+    n_h = 3 if cfg.synth.n_instruments > 1 else 1
+    trs, _ = _traces(waves, tb, cfg, harmonics=n_h)
+    W = max(int(cfg.loop.onset_snap_frames), 0)
+    B, M = t0a.shape
+    j = jnp.arange(W + 1)
+    snap_w = jax.vmap(lambda t, n0, np_: _gather_trace(
+        t, n0[:, None] + j[None, :], np_))(trs[0], t0a, p_idx)
+    if cfg.synth.n_instruments > 1:
+        js = jnp.arange(W + 3)
+        obs_w = jnp.stack([jax.vmap(lambda t, n0, np_: _gather_trace(
+            t, n0[:, None] + js[None, :], np_))(tr, t0a, p_idx)
+            for tr in trs], axis=2)                       # [B, M, 3, W+3]
+    else:
+        obs_w = jnp.zeros((B, 0, 0, 0), jnp.float32)
+    return RoundAOut(snap_w=snap_w, obs_w=obs_w)
+
+
+def _round_b_program(waves: jnp.ndarray, pk: PackedNotes,
+                     tb: EvidenceTables, cfg: Config) -> RoundBOut:
+    """Post-mutation stages: offset trim (device-decided for the pool
+    notes), re-strike candidates, absent-recovery candidates.  ``pk``
+    is the POST-snap/dedup/instrument note table, so these mirror the
+    host chain's own stage inputs exactly."""
+    dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
+    n_p = synth.n_pitches
+    tmax = synth.template_frames
+    spf = dsp.hop / float(dsp.sample_rate)
+    lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
+    rel_f = int(round(4 * synth.release_seconds / spf)) + 2
+    RC_WIN = tmax + 5
+
+    (tr1, tr2, tr3), t_raw = _traces(waves, tb, cfg)
+    T = t_raw
+    B, M = pk.t0.shape
 
     vb = jax.vmap  # per-lane mapping below
 
-    # ---- onset-snap windows: e1[t0 .. t0+W] --------------------------------
-    j = jnp.arange(W + 1)
-    snap_w = vb(lambda t, n: _gather_trace(t, n.t0[:, None] + j[None, :],
-                                           n.p_idx))(tr1, pk)
-
-    # ---- instrument re-pick onset windows ----------------------------------
-    j3 = jnp.arange(3)
-    def _obs(tr, n):
-        w = _gather_trace(tr, n.t0[:, None] + j3[None, :], n.p_idx)
-        return w.max(axis=-1)
-    inst_obs = jnp.stack([vb(_obs, in_axes=(0, 0))(t, pk)
-                          for t in (tr1, tr2, tr3)], axis=-1)
-
-    # ---- offset trim (fully device-decided for chain-start notes) ----------
+    # ---- offset trim (fully device-decided for pool notes) -----------------
     kx = jnp.arange(KMAX)
 
     def _trim(tr, n):
@@ -324,6 +393,9 @@ def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
     trim_k = vb(_trim)(tr1, pk)
 
     # ---- re-strike rise candidates -----------------------------------------
+    # Exact stage parity: pk is the post-mutation pool, which is what
+    # snap.split_restrikes iterates, so the vectorized gates below ARE
+    # the host stage's candidate set (in the device's f32 trace values).
     SFXW = KMAX + 8
 
     def _restrike(t1, t2, t3, n):
@@ -390,71 +462,75 @@ def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
     rs_m, rs_k, rs_sfx, rs_n = vb(_restrike)(tr1, tr2, tr3, pk)
 
     # ---- absent-note recovery pass 1 ---------------------------------------
-    # explained power over [T, P] per lane: scan over the (masked) notes,
-    # replicating snap.recover_absent.explained_pow_all's "pair" model.
+    # Explained power over [T, P] per lane as three interval matmuls
+    # (replacing the round-4 lax.scan over M=max_notes steps): each note
+    # contributes lk^2 over its leak window and lk over its onset
+    # window; owned frames are an interval OR.  The device model is
+    # max(quad, on_lin^2) — a LOWER bound on snap.py's pair model
+    # (which adds 2*m1*m2 to quad) — so device unexp >= host unexp
+    # pointwise, which the monotone shipping gates below require.
     t_axis = jnp.arange(T)
 
-    def _exp_scan(n):
-        lk_rows = (n.g_sat[:, None]
-                   * tb.leak[n.prog, n.p_idx, :])         # [M, P]
-        lk_rows = jnp.where(n.valid[:, None], lk_rows, 0.0)
-        t0c = jnp.maximum(0, n.t0 - lead_corr - 1)
-        t1c = n.t0 + jnp.minimum(tmax, n.end_k + rel_f)
+    def _exp_win(n):
+        lk = (n.g_sat[:, None]
+              * tb.leak[n.prog, n.p_idx, :])               # [M, P]
+        lk = jnp.where(n.valid[:, None], lk, 0.0)
+        a = jnp.maximum(0, n.t0 - lead_corr - 1)
+        bnd = n.t0 + jnp.minimum(tmax, n.end_k + rel_f)
+        on_hi = jnp.maximum(a, jnp.minimum(T, n.t0 + 4))
+        w_full = ((t_axis[None, :] >= a[:, None])
+                  & (t_axis[None, :] < bnd[:, None]))      # [M, T]
+        w_on = ((t_axis[None, :] >= a[:, None])
+                & (t_axis[None, :] < on_hi[:, None]))
+        quad = w_full.T.astype(jnp.float32) @ (lk * lk)    # [T, P]
+        on_lin = w_on.T.astype(jnp.float32) @ lk
         # pitch-free ownership (snap.recover_absent.pitch_free): frames
         # inside a same-pitch emission's extent + guard band.  Applied
         # on device only to bound the shipped candidate count; the host
         # replay re-applies it with the TRUE (post-restrike) pool, and
-        # the D1 pool is a subset, so device filtering never removes a
-        # candidate the host would keep.
+        # the device pool is a subset whose per-note windows are
+        # identical, so device-owned is a subset of host-owned —
+        # filtering here never removes a candidate the host would keep.
         # One frame narrower on each side than the host's window: the
         # host derives the extent end from round(offset/spf) which can
         # differ by +-1 from t0 + end_k — the device veto must be a
         # SUBSET of the host's.
         own_lo = jnp.maximum(0, n.t0 - _RA_GUARD + 1)
         own_hi = n.t0 + n.end_k + rel_f
+        w_own = ((t_axis[None, :] >= own_lo[:, None])
+                 & (t_axis[None, :] <= own_hi[:, None] - 1))
         p_onehot = (jax.nn.one_hot(n.p_idx, n_p, dtype=jnp.float32)
                     * n.valid[:, None].astype(jnp.float32))
+        owned = (w_own.T.astype(jnp.float32) @ p_onehot) > 0.0
+        return jnp.maximum(quad, jnp.square(on_lin)), owned
 
-        def step(carry, xs):
-            quad, m1, m2, on_lin, owned = carry
-            lk, a, bnd, on_hi, olo, ohi, oh = xs
-            mask = ((t_axis >= a) & (t_axis < bnd))[:, None]
-            o = jnp.where(mask, lk[None, :], 0.0)
-            quad = quad + o * o
-            m2 = jnp.maximum(m2, jnp.minimum(m1, o))
-            m1 = jnp.maximum(m1, o)
-            on_mask = ((t_axis >= a) & (t_axis < on_hi))[:, None]
-            on_lin = on_lin + jnp.where(on_mask, lk[None, :], 0.0)
-            owned = owned | (((t_axis >= olo) & (t_axis <= ohi))[:, None]
-                             & (oh > 0)[None, :])
-            return (quad, m1, m2, on_lin, owned), None
-
-        z = jnp.zeros((T, n_p), jnp.float32)
-        zb = jnp.zeros((T, n_p), bool)
-        on_hi = jnp.maximum(t0c, jnp.minimum(T, n.t0 + 4))
-        (quad, m1, m2, on_lin, owned), _ = jax.lax.scan(
-            step, (z, z, z, z, zb),
-            (lk_rows, t0c, t1c, on_hi, own_lo, own_hi - 1, p_onehot))
-        return (jnp.maximum(quad + 2.0 * m1 * m2, jnp.square(on_lin)),
-                owned)
-
-    exp_all, owned_all = vb(_exp_scan)(pk)                 # [B, T, P] x2
+    exp_all, owned_all = vb(_exp_win)(pk)                  # [B, T, P] x2
     RC_WINJ = jnp.arange(RC_WIN)
 
     def _recover(t1, t2, t3, expp, owned):
         e1 = t1                                            # [T, P]
         unexp = jnp.sqrt(jnp.maximum(jnp.square(e1) - expp, 0.0))
-        ks = jnp.arange(4, max(T - 4, 5))
+        # T >= 16 is guaranteed by the dispatch-side T_small guard
+        # (ADVICE r4 item 3), so this range is the host chain's exact
+        # arange(4, T-4) and never empty.
+        ks = jnp.arange(4, T - 4)
         lvl = unexp[ks]
-        lm = jnp.minimum(jnp.minimum(unexp[ks - 4], unexp[ks - 3]),
-                         unexp[ks - 2])
         pers = jnp.minimum(jnp.minimum(unexp[ks + 1], unexp[ks + 2]),
                            unexp[ks + 3])
         f_p = tb.fund[None, :]
+        # MONOTONE-ONLY shipping gates (see module docstring): restrike
+        # additions after round B only shrink host unexp, so any gate
+        # the device applies must be implied by the host's acceptance
+        # under unexp_host <= unexp_dev.  Level: host lvl >= MIN_GAIN*f_p
+        # implies device lvl >= the same.  Persistence: host pers >=
+        # PERSIST*lvl_host >= PERSIST*MIN_GAIN*f_p, and device pers >=
+        # host pers.  The rise gate has NO device-testable implication
+        # (a restrike addition can explain away the pre-onset frames,
+        # sharpening the host's rise where the device saw none) and is
+        # NOT applied — the host replay evaluates it in f64 with the
+        # true pool.
         okg = ((lvl >= _RA_MIN_GAIN * f_p)
-               & (lvl - lm >= _RA_RISE * lvl)
-               & (pers >= _RA_PERSIST * lvl))
-        g_c = lvl / jnp.maximum(f_p, 1e-20)
+               & (pers >= _RA_PERSIST * _RA_MIN_GAIN * f_p))
         conf = jnp.zeros_like(okg)
         for tr_h, hcol in ((t2, 1), (t3, 2)):
             mx = jnp.maximum(jnp.maximum(tr_h[ks], tr_h[ks + 1]),
@@ -462,8 +538,13 @@ def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
             lm_h = jnp.minimum(jnp.minimum(tr_h[ks - 4], tr_h[ks - 3]),
                                tr_h[ks - 2])
             s_h = tb.hr0[0, :, -1, hcol][None, :]
+            # Confirmation relaxed to its level-gate floor: the host
+            # threshold is H_CONF * (lvl_host/f_p) * s_h with
+            # lvl_host >= MIN_GAIN*f_p, and mx/lm_h are the same raw
+            # trace values both sides, so host-pass implies this.
             conf |= jnp.where((tb.ch_valid[:, hcol] & (s_h[0] > 0))[None, :],
-                              mx - lm_h >= _RA_H_CONF * g_c * s_h, False)
+                              mx - lm_h >= _RA_H_CONF * _RA_MIN_GAIN * s_h,
+                              False)
         pitch_ok = (tb.ch_valid[:, 0]
                     & (tb.ch_valid[:, 1] | tb.ch_valid[:, 2])
                     & (tb.fund > 0.0))[None, :]
@@ -487,28 +568,29 @@ def _evidence_program(waves: jnp.ndarray, pk: PackedNotes,
     rc_p, rc_k, rc_w1, rc_wh, rc_n = vb(_recover)(tr1, tr2, tr3, exp_all,
                                                   owned_all)
 
-    return EvidenceOut(snap_w=snap_w, inst_obs=inst_obs, trim_k=trim_k,
-                       rs_m=rs_m, rs_k=rs_k, rs_sfx=rs_sfx, rs_n=rs_n,
-                       rc_p=rc_p, rc_k=rc_k, rc_w1=rc_w1, rc_wh=rc_wh,
-                       rc_n=rc_n)
+    return RoundBOut(trim_k=trim_k,
+                     rs_m=rs_m, rs_k=rs_k, rs_sfx=rs_sfx, rs_n=rs_n,
+                     rc_p=rc_p, rc_k=rc_k, rc_w1=rc_w1, rc_wh=rc_wh,
+                     rc_n=rc_n)
 
 
 # ---------------------------------------------------------------------------
-# Host decision replay.  SAME logic and constants as snap.py, consuming the
-# shipped f32 trace windows instead of host-computed f64 filterbank dots.
-# Mutating stages (snap / dedup / instrument re-pick) are DETECTORS: a lane
-# where one fires falls back to the pure-host chain (the device outputs for
-# later stages assume the chain-start note list).
+# Host mid-chain decisions (between rounds A and B).  SAME logic and
+# constants as snap.py, consuming the shipped f32 trace windows instead
+# of host-computed f64 filterbank dots — and applied for real, not as
+# fallback detectors: the round-B device stages run on the post-decision
+# note table, so there is no stale-pool class left to detect.
 # ---------------------------------------------------------------------------
 
 
-def _snap_would_fire(notes: list[Note], snap_w_b: np.ndarray,
-                     cfg: Config, T: int, ht: _HostTables) -> bool:
-    """snap.snap_onsets guards on shipped windows; True if any note snaps."""
+def _snap_decide(notes: list[Note], snap_w_b: np.ndarray,
+                 cfg: Config, T: int,
+                 ht: _HostTables) -> list[tuple[int, int]]:
+    """snap.snap_onsets decisions on shipped windows: [(index, delta)]."""
     loop, dsp, synth = cfg.loop, cfg.dsp, cfg.synth
     W = int(loop.onset_snap_frames)
     if W <= 0 or not notes or T == 0:
-        return False
+        return []
     spf = dsp.hop / float(dsp.sample_rate)
     lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
     min_snap = 2
@@ -528,10 +610,11 @@ def _snap_would_fire(notes: list[Note], snap_w_b: np.ndarray,
          < loop.onset_snap_active_ratio * np.maximum(e_exp_v, 1e-300))
         & (pi >= 0) & (pi < n_p) & (e_exp_v > 0.0))[0]
     if survivors.size == 0:
-        return False
+        return []
     onsets_by_pitch: dict[int, list[float]] = {}
     for n in notes:
         onsets_by_pitch.setdefault(n.pitch, []).append(n.onset)
+    out: list[tuple[int, int]] = []
     for m in survivors:
         m = int(m)
         note = notes[m]
@@ -562,30 +645,33 @@ def _snap_would_fire(notes: list[Note], snap_w_b: np.ndarray,
         if (delta < min_snap or delta > W
                 or delta >= dur_frames - 0.5):
             continue
-        return True
-    return False
+        out.append((m, delta))
+    return out
 
 
-def _inst_would_change(notes: list[Note], inst_obs_b: np.ndarray,
-                       cfg: Config, T: int,
-                       idx: list[int] | None = None) -> bool:
-    """snap.reassign_instruments decision on shipped 3-frame onset maxima.
+def _inst_decide(notes: list[Note], obs_of: list[np.ndarray | None],
+                 cfg: Config, T: int) -> list[tuple[int, int]]:
+    """snap.reassign_instruments decisions on shipped onset strips:
+    [(index, new_program)].
 
-    ``idx`` maps each note to its device note index (post-dedup lists)."""
+    ``obs_of[i]`` is note i's [3] array of 3-frame onset maxima per
+    harmonic (computed from the round-A strip at the note's POST-snap
+    onset), or None when the strip does not cover it (never happens for
+    deltas <= W by construction)."""
     margin = cfg.loop.instrument_evidence_margin
     n_i = cfg.synth.n_instruments
     if margin <= 0 or n_i < 2 or not notes:
-        return False
+        return []
     spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
+    out: list[tuple[int, int]] = []
     for mi, note in enumerate(notes):
-        mi = idx[mi] if idx is not None else mi
         t0 = int(round(note.onset / spf))
         regs = _regions(note.pitch, cfg)
-        if t0 < 0 or t0 + 3 > T or len(regs) < 2:
+        if t0 < 0 or t0 + 3 > T or len(regs) < 2 or obs_of[mi] is None:
             continue
         obs, clean, exp = [], [], [[] for _ in range(n_i)]
         for hj, (h, r) in enumerate(regs):
-            o = float(inst_obs_b[mi, h - 1])
+            o = float(obs_of[mi][h - 1])
             pol = 0.0
             for m in notes:
                 if m is note or m.offset < note.onset - 2 * spf \
@@ -612,15 +698,15 @@ def _inst_would_change(notes: list[Note], inst_obs_b: np.ndarray,
             if (e <= 0).any():
                 continue
             d = np.log(obs[clean]) - np.log(e)
-            d = d - d.mean()
+            d = d - d.mean()              # optimal gain folded out
             scores[i] = float(np.abs(d).sum())
         cur = scores.get(note.program % n_i)
         if not scores or cur is None:
             continue
         best = min(scores, key=lambda i: scores[i])
         if best != note.program % n_i and cur - scores[best] >= margin:
-            return True
-    return False
+            out.append((mi, best))
+    return out
 
 
 def _dedup_keep(seq: NoteSequence, cfg: Config) -> list[int] | None:
@@ -630,7 +716,7 @@ def _dedup_keep(seq: NoteSequence, cfg: Config) -> list[int] | None:
     object/order); otherwise the kept notes' ORIGINAL indices in the
     sorted order the pure-host stage emits.  Decision-identical to the
     scalar loop, vectorized (the O(n^2) Python ``any`` was the largest
-    fixed replay cost per lane)."""
+    fixed mid-chain cost per lane)."""
     spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
     n = len(seq.notes)
     order = sorted(range(n), key=lambda i: seq.notes[i].sort_key())
@@ -653,12 +739,19 @@ def _dedup_keep(seq: NoteSequence, cfg: Config) -> list[int] | None:
     return [order[i] for i in np.nonzero(~twin)[0]]
 
 
+# ---------------------------------------------------------------------------
+# Host replay of the round-B stages.  SAME logic and constants as
+# snap.py; the device candidate lists are supersets (see module
+# docstring) and every gate is re-evaluated in f64 with the true pool.
+# ---------------------------------------------------------------------------
+
+
 def _replay_restrike(pairs: list, cands_by_m: dict,
                      rs_sfx: np.ndarray, cfg: Config, T: int
                      ) -> list[tuple[Note, np.ndarray, int]]:
     """snap.split_restrikes acceptance on shipped candidates.
 
-    ``pairs`` is the post-dedup note list as (note, device_note_index)
+    ``pairs`` is the post-mutation note list as (note, device_note_index)
     in the order the pure-host stage would iterate; ``cands_by_m`` maps
     a device note index to its shipped candidates [(k, row)] ascending
     in k.  Returns [(added_note, e1_suffix_window,
@@ -668,6 +761,10 @@ def _replay_restrike(pairs: list, cands_by_m: dict,
     spf = dsp.hop / float(dsp.sample_rate)
     ref_off = max(0, dsp.n_fft // dsp.hop - 2)
     notes = [p[0] for p in pairs]
+    n_all = len(notes)
+    onset_v = np.fromiter((m.onset for m in notes), np.float64, n_all)
+    offset_v = np.fromiter((m.offset for m in notes), np.float64, n_all)
+    pitch_v = np.fromiter((m.pitch for m in notes), np.int64, n_all)
     added: list[tuple[Note, np.ndarray, int]] = []
     added_notes: list[Note] = []
     for note, m in pairs:
@@ -686,13 +783,34 @@ def _replay_restrike(pairs: list, cands_by_m: dict,
             lm = float(min(win[0], win[1], win[2]))
             rise_amt = float(win[4]) - lm
             tt = (t0 + k) * spf
+            # Vectorized pool prefilter for the attribution scan: only
+            # notes onsetting within +-4 frames of tt or SOUNDING
+            # through tt can contribute to _rs_rise_explained; every
+            # other pool note matches neither branch and adds exactly
+            # nothing, so restricting the scan to this subset (in pool
+            # order) is decision-identical — and skips the O(pool)
+            # Python walk for the common empty case (measured: the
+            # _rs_rise_explained walk was ~25% of the replay wall).
+            near = np.nonzero((np.abs(onset_v - tt) <= 4 * spf)
+                              | ((onset_v < tt) & (tt < offset_v)
+                                 & (pitch_v != note.pitch)))[0]
+            sub = [notes[i] for i in near if notes[i] is not note]
             if _rs_rise_explained(note, tt, rise_amt,
-                                  notes + added_notes, regs[0][1],
+                                  sub + added_notes, regs[0][1],
                                   cfg, spf):
                 continue
-            if any(mm is not note and mm.pitch == note.pitch
-                   and abs(mm.onset - tt) <= 6 * spf
-                   for mm in notes + added_notes):
+            cov = np.abs(onset_v - tt) <= 6 * spf
+            cov &= pitch_v == note.pitch
+            covered = False
+            for i in np.nonzero(cov)[0]:
+                if notes[i] is not note:
+                    covered = True
+                    break
+            if not covered:
+                covered = any(mm.pitch == note.pitch
+                              and abs(mm.onset - tt) <= 6 * spf
+                              for mm in added_notes)
+            if covered:
                 continue
             lo_r = max(k - 3, 1)
             hi_r = min(k + 4, K)
@@ -773,11 +891,11 @@ def _replay_recover(pool: list[Note], rc_p: np.ndarray, rc_k: np.ndarray,
                     ) -> list[tuple[Note, np.ndarray, int]]:
     """snap.recover_absent passes 1-2 on shipped candidates.
 
-    The device list is a SUPERSET (its explained model lacks restrike
-    additions and f32/f64 may flip marginal gates), so pass-1 gates are
-    re-evaluated here in f64 with the true pool before the free-mask /
-    spacing / greedy acceptance — the same order of operations as the
-    pure-host chain."""
+    The device list is a SUPERSET (monotone-relaxed shipping gates; see
+    module docstring), so pass-1 gates — including the rise gate the
+    device does not apply — are evaluated here in f64 with the true
+    pool before the free-mask / spacing / greedy acceptance — the same
+    order of operations as the pure-host chain."""
     dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
     spf = dsp.hop / float(dsp.sample_rate)
     lead_corr = max(0, dsp.n_fft // dsp.hop - 2)
@@ -936,33 +1054,42 @@ def _trim_host_window(note: Note, e1_win: np.ndarray, win_start: int,
 
 
 # ---------------------------------------------------------------------------
-# Runner: one jitted program per (B, N) shape + per-lane replay/fallback.
+# Runner: two jitted programs per (B, N) shape + the host mid-chain and
+# replay stages, pipelined on the fetcher thread.
 # ---------------------------------------------------------------------------
 
 
 class EvidenceRunner:
-    """Device evidence pass + host decision replay for a fixed Config.
+    """Device evidence pass + host decision stages for a fixed Config.
 
     ``refine_batch(seqs, waves_dev, waves_host)`` is the drop-in
-    equivalent of mapping snap.refine_emission over the lanes.  Lanes
-    where a mutating stage fires (or a candidate cap overflows) fall
-    back to the pure-host chain; ``stats`` counts them."""
+    equivalent of mapping snap.refine_emission over the lanes.  The
+    async form is ``dispatch`` -> ``finish``: ``dispatch`` launches
+    round A and hands the rest of the chain (round-A fetch, exact host
+    snap/dedup/instrument decisions, round-B dispatch and fetch) to the
+    fetcher thread, so on a 1-core host the device I/O waits overlap
+    the caller's Python for the PREVIOUS batch.  Lanes fall back to the
+    pure-host chain only on candidate-cap overflow or note-count
+    overflow; ``stats`` counts them."""
 
     def __init__(self, cfg: Config, aot_dir: str | None = None,
                  mesh=None):
         self.cfg = cfg
         self._tables_dev, self._tables_host = _build_tables(cfg)
-        fn = lambda waves, pk, tb: _evidence_program(  # noqa: E731
+        self._need_inst = (cfg.loop.instrument_evidence_margin > 0
+                           and cfg.synth.n_instruments > 1)
+        self._need_a = cfg.loop.onset_snap_frames > 0 or self._need_inst
+        fn_a = lambda waves, t0a, p_idx, tb: _round_a_program(  # noqa: E731
+            waves, t0a, p_idx, tb, cfg)
+        fn_b = lambda waves, pk, tb: _round_b_program(  # noqa: E731
             waves, pk, tb, cfg)
         aot_dir = aot_dir or cfg.run.aot_cache or None
-        self._pk_sharding = None
-        devices = None
         if mesh is not None:
             # Mesh mode: lanes shard over the data axis exactly like the
             # main transcriber's waves/note arrays; the small yardstick
             # tables replicate.  Every per-lane computation is batch-
-            # parallel (gathers, the note scan, per-lane top_k), so no
-            # cross-device collective is needed.
+            # parallel (gathers, the interval matmuls, per-lane top_k),
+            # so no cross-device collective is needed.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import DATA_AXIS
@@ -971,29 +1098,36 @@ class EvidenceRunner:
             repl = NamedSharding(mesh, P())
             in_pk = PackedNotes(*([lane] * len(PackedNotes._fields)))
             in_tb = EvidenceTables(*([repl] * len(EvidenceTables._fields)))
-            out_s = EvidenceOut(*([lane] * len(EvidenceOut._fields)))
-            jit_fn = jax.jit(fn, in_shardings=(lane, in_pk, in_tb),
-                             out_shardings=out_s)
-            self._pk_sharding = in_pk
+            out_a = RoundAOut(*([lane] * len(RoundAOut._fields)))
+            out_b = RoundBOut(*([lane] * len(RoundBOut._fields)))
+            jit_a = jax.jit(fn_a, in_shardings=(lane, lane, lane, in_tb),
+                            out_shardings=out_a)
+            jit_b = jax.jit(fn_b, in_shardings=(lane, in_pk, in_tb),
+                            out_shardings=out_b)
             self._tables_dev = jax.device_put(self._tables_dev, in_tb)
             devices = list(mesh.devices.flat)
         else:
-            jit_fn = jax.jit(fn)
+            jit_a, jit_b, devices = jax.jit(fn_a), jax.jit(fn_b), None
         if aot_dir:
             # Same executable cache as the main program (runtime/aot.py):
             # without it every process pays an axon compile for the
-            # evidence program too (measured 27 s - 5 min).
+            # evidence programs too (measured 27 s - 5 min).
             from ..runtime.aot import AotCache
 
-            self._jit = AotCache(None if mesh is not None else fn,
-                                 cfg.to_json() + "|evidence", aot_dir,
-                                 jit_fn=jit_fn if mesh is not None
-                                 else None, devices=devices)
+            self._jit_a = AotCache(None if mesh is not None else fn_a,
+                                   cfg.to_json() + "|evidenceA", aot_dir,
+                                   jit_fn=jit_a if mesh is not None
+                                   else None, devices=devices)
+            self._jit_b = AotCache(None if mesh is not None else fn_b,
+                                   cfg.to_json() + "|evidenceB", aot_dir,
+                                   jit_fn=jit_b if mesh is not None
+                                   else None, devices=devices)
         else:
-            self._jit = jit_fn
-        self.stats = {"lanes": 0, "fallback": 0, "fb_snap": 0,
-                      "fb_dedup": 0, "fb_inst": 0, "fb_overflow_rs": 0,
-                      "fb_overflow_rc": 0, "fb_cap": 0}
+            self._jit_a, self._jit_b = jit_a, jit_b
+        self.stats = {"lanes": 0, "fallback": 0, "fb_cap": 0,
+                      "fb_overflow_rs": 0, "fb_overflow_rc": 0,
+                      "fb_tsmall": 0, "snapped": 0, "deduped": 0,
+                      "inst_changed": 0}
         from concurrent.futures import ThreadPoolExecutor
 
         self._fetcher = ThreadPoolExecutor(max_workers=1,
@@ -1006,78 +1140,176 @@ class EvidenceRunner:
         self.usable = self._max_extent <= KMAX
 
     def warmup_async(self, batch: int, n_samples: int) -> None:
-        """Resolve the compiled evidence program for this (batch,
+        """Resolve the compiled evidence programs for this (batch,
         n_samples) shape off the serving path (mirrors
         Transcriber.warmup)."""
         T = self.cfg.dsp.raw_num_frames(int(n_samples))
         if T < 16:
             return
-        pk = _pack([NoteSequence() for _ in range(batch)],
-                   self.cfg, T, self.cfg.loop.max_notes)
+        cap = self.cfg.loop.max_notes
+        empty = [NoteSequence() for _ in range(batch)]
+        pk = _pack(empty, self.cfg, T, cap)
+        t0a, p_idx = _pack_a(empty, self.cfg, cap)
         waves0 = jnp.zeros((batch, int(n_samples)), jnp.float32)
         from ..runtime.aot import AotCache
 
-        if isinstance(self._jit, AotCache):
-            self._jit.warmup_async(waves0, pk, self._tables_dev)
-        else:
-            import threading
+        for jit_fn, args in (((self._jit_a,
+                               (waves0, t0a, p_idx, self._tables_dev)),)
+                             if self._need_a else ()) + (
+                (self._jit_b, (waves0, pk, self._tables_dev)),):
+            if isinstance(jit_fn, AotCache):
+                jit_fn.warmup_async(*args)
+            else:
+                import threading
 
-            def run():
-                try:
-                    jax.block_until_ready(
-                        self._jit(waves0, pk, self._tables_dev))
-                except Exception:   # surfaces on the real call
-                    pass
+                def run(fn=jit_fn, a=args):
+                    try:
+                        jax.block_until_ready(fn(*a))
+                    except Exception:   # surfaces on the real call
+                        pass
 
-            threading.Thread(target=run, daemon=True,
-                             name="evidence-warmup").start()
+                threading.Thread(target=run, daemon=True,
+                                 name="evidence-warmup").start()
 
     def dispatch(self, seqs: list[NoteSequence], waves_dev) -> tuple:
-        """Async-dispatch the device pass AND a threaded device_get of
-        its outputs; returns an opaque handle for ``finish``.
+        """Async-dispatch round A and hand the mid-chain + round B to
+        the fetcher thread; returns an opaque handle for ``finish``.
 
-        The fetch thread blocks on backend RPC/transfer I/O with the
+        The fetcher thread blocks on backend RPC/transfer I/O with the
         GIL released, so on the 1-core host it overlaps with the
-        replay/refit Python of the PREVIOUS batch (measured: ev.fetch
-        was ~3 s per 768 lanes when paid synchronously)."""
+        replay/refit Python of the PREVIOUS batch.  Short inputs
+        (T < 16 frames: below the recovery scan's frame horizon and the
+        host chain's own small-T special cases) take the pure-host
+        chain instead — applied HERE so direct dispatch/finish callers
+        get the same guard as refine_batch (ADVICE r4 item 3)."""
         from ..utils import stages
 
         T = self.cfg.dsp.raw_num_frames(int(waves_dev.shape[-1]))
+        if T < 16:
+            return ("host",)
+        out_a = None
+        if self._need_a:
+            with stages.timed("ev.pack"):
+                t0a, p_idx = _pack_a(seqs, self.cfg,
+                                     self.cfg.loop.max_notes)
+            out_a = self._jit_a(waves_dev, t0a, p_idx, self._tables_dev)
+        fut = self._fetcher.submit(self._advance, out_a, seqs,
+                                   waves_dev, T)
+        return ("dev", fut, T)
+
+    def _advance(self, out_a, seqs: list[NoteSequence], waves_dev,
+                 T: int):
+        """Fetcher-thread stage: fetch round A, apply the mutating
+        stages exactly (host f64 decisions on shipped f32 windows),
+        pack + dispatch + fetch round B."""
+        from ..utils import stages
+
+        cfg, ht = self.cfg, self._tables_host
+        loop = cfg.loop
+        cap = loop.max_notes
+        spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
+        a = jax.device_get(out_a) if out_a is not None else None
+        mid: list[NoteSequence] = []
+        changed: list[bool] = []
+        fell: list[str | None] = []
+        with stages.timed("ev.mid"):
+            for b, seq in enumerate(seqs):
+                notes = list(seq.notes)
+                ch = False
+                fb = None
+                if len(notes) > cap:
+                    fb = "cap"
+                elif notes:
+                    om = list(range(len(notes)))   # round-A row per note
+                    delta_of: dict[int, int] = {}
+                    if loop.onset_snap_frames > 0:
+                        dl = _snap_decide(notes, a.snap_w[b], cfg, T, ht)
+                        if dl:
+                            for i, d in dl:
+                                n = notes[i]
+                                t0 = int(round(n.onset / spf))
+                                notes[i] = Note(
+                                    float(t0 + d) * spf,
+                                    max(n.duration - d * spf, spf),
+                                    n.pitch, n.velocity, n.program)
+                                delta_of[om[i]] = d
+                            order = sorted(range(len(notes)),
+                                           key=lambda i:
+                                           notes[i].sort_key())
+                            notes = [notes[i] for i in order]
+                            om = [om[i] for i in order]
+                            ch = True
+                            self.stats["snapped"] += len(dl)
+                    if loop.dedup_twins:
+                        keep = _dedup_keep(NoteSequence(list(notes)), cfg)
+                        if keep is not None:
+                            self.stats["deduped"] += len(notes) - len(keep)
+                            notes = [notes[i] for i in keep]
+                            om = [om[i] for i in keep]
+                            ch = True
+                    if self._need_inst:
+                        strip = a.obs_w[b]            # [M, 3, W+3]
+                        obs_of = []
+                        for i in range(len(notes)):
+                            d = delta_of.get(om[i], 0)
+                            obs_of.append(
+                                strip[om[i], :, d:d + 3].max(axis=1))
+                        chg = _inst_decide(notes, obs_of, cfg, T)
+                        if chg:
+                            for i, best in chg:
+                                n = notes[i]
+                                notes[i] = Note(n.onset, n.duration,
+                                                n.pitch, n.velocity, best)
+                            order = sorted(range(len(notes)),
+                                           key=lambda i:
+                                           notes[i].sort_key())
+                            notes = [notes[i] for i in order]
+                            ch = True
+                            self.stats["inst_changed"] += len(chg)
+                mid.append(NoteSequence(notes) if ch else seq)
+                changed.append(ch)
+                fell.append(fb)
         with stages.timed("ev.pack"):
-            pk = _pack(seqs, self.cfg, T, self.cfg.loop.max_notes)
-        out = self._jit(waves_dev, pk, self._tables_dev)   # async
-        fut = self._fetcher.submit(jax.device_get, out)
-        return (fut, T)
+            pk = _pack(mid, cfg, T, cap)
+        out_b = self._jit_b(waves_dev, pk, self._tables_dev)
+        return mid, changed, fell, jax.device_get(out_b)
 
     def finish(self, handle, seqs: list[NoteSequence],
                waves_host: np.ndarray) -> list[NoteSequence]:
         from ..utils import stages
 
-        fut, T = handle
+        if handle[0] == "host":
+            self.stats["lanes"] += len(seqs)
+            self.stats["fb_tsmall"] += len(seqs)
+            with stages.timed("ev.fallback"):
+                return [refine_emission(s, waves_host[b], self.cfg)
+                        for b, s in enumerate(seqs)]
+        _, fut, T = handle
         with stages.timed("ev.fetch"):
-            out = fut.result()
+            mid, changed, fell, out = fut.result()
         with stages.timed("ev.replay"):
-            result = [self._replay_lane(b, seq, out, T, waves_host[b])
-                      for b, seq in enumerate(seqs)]
-        return result
+            return [self._replay_lane(b, mid[b], changed[b], fell[b],
+                                      seq, out, T, waves_host[b])
+                    for b, seq in enumerate(seqs)]
 
     def refine_batch(self, seqs: list[NoteSequence], waves_dev,
                      waves_host: np.ndarray) -> list[NoteSequence]:
-        if not any(len(s) for s in seqs) or T_small(self.cfg, waves_host):
+        if not any(len(s) for s in seqs):
             return [refine_emission(s, waves_host[b], self.cfg)
                     for b, s in enumerate(seqs)]
         return self.finish(self.dispatch(seqs, waves_dev), seqs, waves_host)
 
     # -- per-lane replay ----------------------------------------------------
 
-    def _replay_lane(self, b: int, seq: NoteSequence, out: EvidenceOut,
-                     T: int, wave_host: np.ndarray) -> NoteSequence:
+    def _replay_lane(self, b: int, mid_seq: NoteSequence,
+                     mid_changed: bool, fell: str | None,
+                     orig_seq: NoteSequence, out: RoundBOut, T: int,
+                     wave_host: np.ndarray) -> NoteSequence:
         cfg, ht = self.cfg, self._tables_host
         loop = cfg.loop
         self.stats["lanes"] += 1
-        if len(seq) == 0:
-            return seq
-        notes = list(seq.notes)
+        if len(orig_seq) == 0:
+            return orig_seq
 
         def fallback(why: str) -> NoteSequence:
             self.stats["fallback"] += 1
@@ -1085,38 +1317,17 @@ class EvidenceRunner:
             from ..utils import stages
 
             with stages.timed("ev.fallback"):
-                return refine_emission(seq, wave_host, cfg)
+                return refine_emission(orig_seq, wave_host, cfg)
 
-        if len(notes) > loop.max_notes:
-            return fallback("cap")
-        # mutating-stage detectors -> pure-host lane (the device saw
-        # the chain-start note list; these stages would change it)
-        if (loop.onset_snap_frames > 0
-                and _snap_would_fire(notes, out.snap_w[b], cfg, T, ht)):
-            return fallback("snap")
-        # twin dedup replays INLINE (it only drops notes and every
-        # later device per-note stat stays valid; the dropped twin's
-        # residual leak contribution in the device recover pass only
-        # SHRINKS unexplained evidence near a kept same-pitch emission
-        # the free-mask owns anyway — fail-closed).
-        pairs = [(n, m) for m, n in enumerate(notes)]
-        changed = False
-        if loop.dedup_twins:
-            keep = _dedup_keep(seq, cfg)
-            if keep is not None:
-                pairs = [(notes[i], i) for i in keep]
-                changed = True
-        if (loop.instrument_evidence_margin > 0
-                and cfg.synth.n_instruments > 1
-                and _inst_would_change([p[0] for p in pairs],
-                                       out.inst_obs[b], cfg, T,
-                                       idx=[p[1] for p in pairs])):
-            return fallback("inst")
+        if fell:
+            return fallback(fell)
         if loop.restrike_split and int(out.rs_n[b]) > RS_CAP:
             return fallback("overflow_rs")
         if loop.recover_absent and int(out.rc_n[b]) > RC_CAP:
             return fallback("overflow_rc")
 
+        notes = list(mid_seq.notes)
+        pairs = [(n, m) for m, n in enumerate(notes)]
         added: list[tuple[Note, np.ndarray, int]] = []
         if loop.restrike_split:
             cands_by_m: dict[int, list] = {}
@@ -1128,11 +1339,11 @@ class EvidenceRunner:
                                                      c))
             added += _replay_restrike(pairs, cands_by_m,
                                       out.rs_sfx[b], cfg, T)
-        if loop.recover_absent and T >= 8:
-            pool = [p[0] for p in pairs] + [a[0] for a in added]
+        if loop.recover_absent:
+            pool = notes + [x[0] for x in added]
             added += _replay_recover(pool, out.rc_p[b], out.rc_k[b],
                                      out.rc_w1[b], out.rc_wh[b], cfg, T, ht)
-        changed = changed or bool(added)
+        changed = mid_changed or bool(added)
         final: list[Note] = []
         if loop.offset_trim:
             spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
@@ -1146,11 +1357,13 @@ class EvidenceRunner:
             for n, win, start in added:
                 final.append(_trim_host_window(n, win, start, cfg, T))
         else:
-            final = [p[0] for p in pairs] + [a[0] for a in added]
+            final = [p[0] for p in pairs] + [x[0] for x in added]
         if not changed:
-            return seq
+            return orig_seq
         return NoteSequence(final).sorted()
 
 
 def T_small(cfg: Config, waves_host: np.ndarray) -> bool:
+    """Retained for callers that want the guard predicate; ``dispatch``
+    itself now applies it (ADVICE r4 item 3)."""
     return cfg.dsp.raw_num_frames(int(waves_host.shape[-1])) < 16

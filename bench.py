@@ -297,13 +297,23 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
 
     emit_walls = []
     ev = tr.evidence_runner() if hasattr(tr, "evidence_runner") else None
+    from concurrent.futures import ThreadPoolExecutor
 
-    def prep(notes_dev, host_batch, dev_batch):
+    from amt_saga_tpu.utils import stages as _stages
+
+    # Note-array fetches ride a thread (GIL released inside the backend
+    # transfer), so the ~MBs-per-batch tunnel transfer overlaps the host
+    # emission of the previous batch instead of blocking prep.
+    nfetch = ThreadPoolExecutor(max_workers=1,
+                                thread_name_prefix="notes-fetch")
+
+    def prep(notes_fut, host_batch, dev_batch):
         """Stage A: fetch notes, refit + convert, dispatch the evidence
         pass (its threaded device_get overlaps stage B of the previous
         batch on the 1-core host)."""
         t0 = time.time()
-        host_notes = jax.device_get(notes_dev)
+        with _stages.timed("emit.notes_fetch"):
+            host_notes = notes_fut.result()
         seqs = notes_batch_to_sequences(
             host_notes, cfg, gram=gram, refiner=refiner,
             snap_waves=host_batch if snaps and ev is None else None)
@@ -316,7 +326,8 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
         t0 = time.time()
         if handle is not None:
             seqs = ev.finish(handle, seqs, host_batch)
-        n_bytes = sum(len(notes_to_midi_bytes(s)) for s in seqs)
+        with _stages.timed("emit.midi"):
+            n_bytes = sum(len(notes_to_midi_bytes(s)) for s in seqs)
         emit_walls.append(time.time() - t0)
         return n_bytes
 
@@ -331,12 +342,13 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
         pend_ev = None
         for i in range(stack):
             notes = tr._fn(dev_waves[i])     # async dispatch
+            nfut = nfetch.submit(jax.device_get, notes)
             if pending is not None:
                 prepped = prep(*pending)
                 if pend_ev is not None:
                     midi_total += emit(*pend_ev)
                 pend_ev = prepped
-            pending = (notes, waves[i], dev_waves[i])
+            pending = (nfut, waves[i], dev_waves[i])
         prepped = prep(*pending)
         if pend_ev is not None:
             midi_total += emit(*pend_ev)

@@ -42,8 +42,7 @@ def _fixture_batch(cfg, seconds=6.0):
 def test_device_traces_match_host_columns(cfg_pair):
     """tr1 (sum of 3 filterbank columns off the device spectrogram)
     must equal the host _ColCache.region to f32 tolerance."""
-    from amt_saga_tpu.saga.evidence import EvidenceRunner, _pack
-    from amt_saga_tpu.saga.evidence import _evidence_program  # noqa: F401
+    from amt_saga_tpu.saga.evidence import EvidenceRunner, _pack  # noqa: F401
     from amt_saga_tpu.saga.snap import (_ColCache, _regions,
                                         snap_stft_mag)
     from amt_saga_tpu.saga.loop import spectrogram_batch
@@ -78,11 +77,13 @@ def test_device_evidence_midi_equals_host_chain(cfg_pair):
         assert notes_to_midi_bytes(h) == notes_to_midi_bytes(d)
 
 
-def test_snap_lane_falls_back_and_matches_host(cfg_pair):
-    """A lane where the onset snap fires must fall back to the
-    pure-host chain and emit identical MIDI (the pinned 4-voice
-    octave-mask clip from tests/test_snap.py, where the snap is known
-    to fire through the full pipeline)."""
+def test_snap_lane_applied_and_matches_host(cfg_pair):
+    """A lane where the onset snap fires must apply it through the
+    two-round evidence path (exact host decisions on shipped windows,
+    round B on the post-snap pool) and emit MIDI identical to the
+    pure-host chain (the pinned 4-voice octave-mask clip from
+    tests/test_snap.py, where the snap is known to fire through the
+    full pipeline)."""
     from amt_saga_tpu.runtime.fixtures import make_corpus
 
     cfg_h, cfg_d = cfg_pair
@@ -93,7 +94,8 @@ def test_snap_lane_falls_back_and_matches_host(cfg_pair):
     tr_d = Transcriber(cfg_d)
     seqs_d = tr_d.transcribe_batch(waves)
     runner = tr_d.evidence_runner()
-    assert runner.stats["fb_snap"] >= 1
+    assert runner.stats["snapped"] >= 1
+    assert runner.stats["fallback"] == 0
     assert notes_to_midi_bytes(seqs_h[0]) == notes_to_midi_bytes(seqs_d[0])
 
 
