@@ -396,13 +396,20 @@ def cmd_transcribe_corpus(args) -> int:
         # i's MIDI (one-deep pipeline of un-fetched device results).
         ev = tr.evidence_runner() if hasattr(tr, "evidence_runner") \
             else None
+        from concurrent.futures import ThreadPoolExecutor
 
-        def finish(paths, notes, dev, t0, blen, host_batch):
-            # Device OOM surfaces when the result is fetched; fall back to
-            # the blocking halved-batch path for just that batch.
-            sat = 0
+        # Note-array fetches ride a thread (the backend transfer/sync
+        # releases the GIL) so the axon execute-to-ready wait overlaps
+        # host emission of earlier batches instead of blocking prep.
+        nfetch = ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix="notes-fetch")
+
+        def prep(paths, notes_fut, dev, t0, blen, host_batch):
+            """Stage A: fetch notes, refit + convert, dispatch the
+            evidence pass.  Device OOM surfaces at the fetch; mark the
+            batch for the blocking halved-batch path in emit."""
             try:
-                host_notes = jax.device_get(notes)
+                host_notes = notes_fut.result()
                 sat = int(np.asarray(host_notes.saturated)
                           [:len(paths)].sum())
                 seqs = notes_batch_to_sequences(
@@ -410,13 +417,25 @@ def cmd_transcribe_corpus(args) -> int:
                     refiner=tr.duration_refiner(),
                     snap_waves=host_batch
                     if tr.snaps_onsets() and ev is None else None)
+                handle = None
                 if ev is not None:
                     # Device emission-evidence pass (saga/evidence.py):
                     # trace extraction + vectorizable gating ride the
                     # accelerator; dev still holds this batch's waves.
-                    seqs = ev.refine_batch(seqs, dev, host_batch)
+                    handle = ev.dispatch(
+                        seqs, dev, np.asarray(host_notes.snap_w),
+                        np.asarray(host_notes.obs_w))
+                return (paths, seqs, handle, host_batch, t0, blen, sat,
+                        None)
             except jax.errors.JaxRuntimeError:
-                seqs = with_oom_retry(tr.transcribe_batch, dev)
+                return (paths, None, None, host_batch, t0, blen, 0, dev)
+
+        def emit(paths, seqs, handle, host_batch, t0, blen, sat, oom_dev):
+            """Stage B: evidence replay + MIDI writes + metrics."""
+            if oom_dev is not None:
+                seqs = with_oom_retry(tr.transcribe_batch, oom_dev)
+            elif handle is not None:
+                seqs = ev.finish(handle, seqs, host_batch)
             postprocess(paths, seqs[:len(paths)])
             metrics.write({
                 "event": "corpus_batch", "clips": len(paths),
@@ -425,18 +444,28 @@ def cmd_transcribe_corpus(args) -> int:
                 / max(time.time() - t0, 1e-9),
             })
 
-        pending = None  # (paths, device NotesBatch, device batch, t0, blen)
+        # Two-deep emit pipeline (mirrors bench.py --e2e): batch i's
+        # evidence round-B executes + is fetched while the host preps
+        # batch i+1 and emits batch i-1 — a 1-deep pipeline exposed
+        # ~150 ms/batch of axon execute-to-ready sync.
+        pending = None  # (paths, notes future, device batch, t0, blen)
+        ready: collections.deque = collections.deque()
         for (batch_paths, blen), dev_batch in zip(
                 plan, prefetch_to_device(gen_batches(),
                                          sharding=tr.input_sharding)):
             t0 = time.time()
             notes = tr._fn(dev_batch)  # async dispatch, no block
+            nfut = nfetch.submit(jax.device_get, notes)
             if pending is not None:
-                finish(*pending)
-            pending = (batch_paths, notes, dev_batch, t0, blen,
+                ready.append(prep(*pending))
+                if len(ready) > 2:
+                    emit(*ready.popleft())
+            pending = (batch_paths, nfut, dev_batch, t0, blen,
                        host_q.popleft())
         if pending is not None:
-            finish(*pending)
+            ready.append(prep(*pending))
+        while ready:
+            emit(*ready.popleft())
     return 0
 
 
@@ -711,6 +740,66 @@ def cmd_selftest(args) -> int:
         gate = _pallas_gate(cfg)
         failures += not gate["ok"]
         results.append(gate)
+    if getattr(args, "parity_budget", 0):
+        # Shipped-config parity budget (round-4 verdict weak #5): run a
+        # clean-fixture corpus under the AUTO defaults (on accelerators:
+        # Pallas K1/K2 + the device emission-evidence pass) and COUNT
+        # flipped MIDI bytes vs the golden oracle — the one-off prose
+        # measurement ("1 flipped byte across 768 clips") becomes a
+        # tracked metric with a pinned ceiling.  Strict bit-parity is
+        # the use_pallas=false + host-evidence contract; this records
+        # how far the shipped fast path strays on clean content.
+        n_clips = int(args.parity_budget)
+        tr_auto = _make_transcriber(
+            cfg.override(**{"run.classifier": "heuristic"}))
+        waves_pb, golds_pb = [], []
+        for i in range(n_clips):
+            kind = "isol" if i % 2 == 0 else "mus"
+            w, _ = make_clip(cfg, kind=kind, seconds=args.seconds,
+                             n_notes=6, n_voices=2 + 2 * (i % 3),
+                             seed=9000 + i)
+            waves_pb.append(w)
+            golds_pb.append(transcribe_golden(
+                w, cfg, atoms=golden_atoms).sequence)
+        import numpy as np
+
+        n = max(len(w) for w in waves_pb)
+        batch_pb = np.stack([np.pad(w, (0, n - len(w)))
+                             for w in waves_pb])
+        preds_pb = tr_auto.transcribe_batch(batch_pb)
+        flipped = clips_diff = total_notes = 0
+        for g, p in zip(golds_pb, preds_pb):
+            gb, pb = notes_to_midi_bytes(g), notes_to_midi_bytes(p)
+            total_notes += len(g)
+            if gb != pb:
+                clips_diff += 1
+                flipped += (sum(a != b for a, b in zip(gb, pb))
+                            + abs(len(gb) - len(pb)))
+        per_1k = flipped / max(total_notes, 1) * 1000.0
+        # Ceiling: the round-4 measurement was ~1 byte / 20990 notes
+        # (0.05 per 1k); 2.0 per 1k allows fixture-mix variance while
+        # still failing on a real decision-path change.
+        ok_pb = per_1k <= 2.0
+        failures += not ok_pb
+        rec_pb = {"case": "parity_budget", "clips": n_clips,
+                  "flipped_bytes": flipped, "clips_differing": clips_diff,
+                  "notes": total_notes,
+                  "flipped_bytes_per_1k_notes": round(per_1k, 3),
+                  "ceiling_per_1k": 2.0, "ok": ok_pb}
+        results.append(rec_pb)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            with open(os.path.join(repo, "benchmarks", "history.jsonl"),
+                      "a") as f:
+                import time as _time
+
+                f.write(json.dumps({
+                    "event": "parity_budget",
+                    "ts": _time.strftime("%Y-%m-%d %H:%M:%S"),
+                    **{k: v for k, v in rec_pb.items() if k != "case"},
+                }) + "\n")
+        except OSError:
+            pass
     if getattr(args, "fresh_gate", False):
         # Fresh-seed regression gate (round-3 verdict item 2): the
         # tracked-seed pins above can be tuned-to; these seeds never
@@ -893,6 +982,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "seeds per suite through the golden oracle; "
                         "fails if any suite mean drops below its pin "
                         "minus tolerance (~7 min on one CPU core)")
+    p.add_argument("--parity-budget", type=int, default=0,
+                   metavar="N_CLIPS",
+                   help="transcribe N clean fixture clips under the "
+                        "AUTO defaults (Pallas + device evidence on "
+                        "accelerators) and record flipped MIDI bytes "
+                        "vs the golden oracle as a tracked metric "
+                        "(flipped_bytes_per_1k_notes, ceiling 2.0) in "
+                        "benchmarks/history.jsonl")
     _add_common(p)
     p.set_defaults(fn=cmd_selftest)
 

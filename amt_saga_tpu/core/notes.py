@@ -121,6 +121,7 @@ def note_arrays_to_sequence(
     refine_programs: Sequence[int] | None = None,
     refine_mask: Sequence[bool] | None = None,
     velocity_override: Sequence[int] | None = None,
+    refined: np.ndarray | None = None,
 ) -> NoteSequence:
     """Convert device-side note arrays to a host NoteSequence.
 
@@ -141,9 +142,15 @@ def note_arrays_to_sequence(
     seq = NoteSequence()
     spf = hop / float(sample_rate)  # seconds per frame
     n = int(count)
-    refine = d_idx is not None and sd is not None and refiner is not None
-    refined = None
-    if refine and n and hasattr(refiner, "refine_many"):
+    refine = d_idx is not None and sd is not None and (
+        refiner is not None or refined is not None)
+    if refined is not None:
+        # Caller-precomputed continuous fits (one refine_many call for a
+        # WHOLE batch of lanes — see saga.loop.notes_batch_to_sequences;
+        # refine_many is elementwise-identical regardless of batch
+        # composition, so the values match the per-lane call exactly).
+        refined = np.asarray(refined)[:n]
+    elif refine and n and hasattr(refiner, "refine_many"):
         # One vectorized fit for the lane (bit-identical per note to the
         # scalar call — see DurationRefiner.refine_many); the per-note
         # scalar path below stays for custom refiners and is the

@@ -74,7 +74,8 @@ def _notes_batch_structure():
 
     return NotesBatch(onset=0, dur=0, pitch=0, gain=0, program=0, d_idx=0,
                       sd=0, dot0=0, vel_pred=0, count=0, residual_energy=0,
-                      poison=0, saturated=0, iterations=0)
+                      poison=0, saturated=0, iterations=0, snap_w=0,
+                      obs_w=0)
 
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:

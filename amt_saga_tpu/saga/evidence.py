@@ -122,7 +122,11 @@ def runtime_emission_device(cfg: Config) -> bool:
 
 
 class EvidenceTables(NamedTuple):
-    """Device copies (f32/i32) of the yardstick tables the gates read."""
+    """f32/i32 yardstick tables the device gates read.  Built (and
+    memoized) as HOST numpy arrays so :func:`emission_windows` can
+    embed them as constants inside the main program's trace (jnp
+    conversion inside a trace would cache tracers); the runner uploads
+    a jnp copy once for the round-B program's arguments."""
 
     ch: jnp.ndarray        # [P, 3] i32 center filterbank bin, h = 1..3
     ch_valid: jnp.ndarray  # [P, 3] bool
@@ -142,6 +146,9 @@ class _HostTables(NamedTuple):
 
 
 def _build_tables(cfg: Config) -> tuple[EvidenceTables, _HostTables]:
+    hit = _TABLES_MEMO.get(cfg)
+    if hit is not None:
+        return hit
     synth = cfg.synth
     n_p, n_i, grid = synth.n_pitches, synth.n_instruments, synth.duration_grid
     n_d = len(grid)
@@ -167,11 +174,17 @@ def _build_tables(cfg: Config) -> tuple[EvidenceTables, _HostTables]:
     fund = _fundamental_strengths(cfg)                  # [I, P] f64
     leak = _leak_matrix(cfg)                            # [I, P, P] f64
     dev = EvidenceTables(
-        ch=jnp.asarray(ch), ch_valid=jnp.asarray(ch_valid),
-        ft=jnp.asarray(ft), hr0=jnp.asarray(hr0),
-        fund=jnp.asarray(fund.max(axis=0).astype(np.float32)),
-        leak=jnp.asarray(leak.astype(np.float32)))
-    return dev, _HostTables(fund=fund, leak=leak, sh=sh)
+        ch=ch, ch_valid=ch_valid, ft=ft, hr0=hr0,
+        fund=fund.max(axis=0).astype(np.float32),
+        leak=leak.astype(np.float32))
+    out = dev, _HostTables(fund=fund, leak=leak, sh=sh)
+    if len(_TABLES_MEMO) > 4:
+        _TABLES_MEMO.clear()
+    _TABLES_MEMO[cfg] = out
+    return out
+
+
+_TABLES_MEMO: dict = {}
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +206,11 @@ class PackedNotes(NamedTuple):
 
 
 def _pack(seqs: list[NoteSequence], cfg: Config, T: int,
-          cap: int) -> PackedNotes:
+          cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pack note fields as TWO consolidated host arrays — ints
+    [B, 7, cap] i32 and floats [B, 2, cap] f32 — so the upload is two
+    transfers, not nine (the device program unpacks them back into
+    :class:`PackedNotes`)."""
     spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
     grid = np.asarray(cfg.synth.duration_grid)
     n_p, n_i = cfg.synth.n_pitches, cfg.synth.n_instruments
@@ -228,41 +245,23 @@ def _pack(seqs: list[NoteSequence], cfg: Config, T: int,
         g[b, :k] = ve / 127.0
         g_sat[b, :k] = np.where(ve >= 127, 2.0, ve / 127.0)
         valid[b, :k] = (pi >= 0) & (pi < n_p)
-    return PackedNotes(*(jnp.asarray(a) for a in
-                         (t0, end_k, t_end, p_idx, prog, d_idx,
-                          g, g_sat, valid)))
+    ints = np.stack([t0, end_k, t_end, p_idx, prog, d_idx,
+                     valid.astype(np.int32)], axis=1)
+    floats = np.stack([g, g_sat], axis=1)
+    return ints, floats
 
 
-def _pack_a(seqs: list[NoteSequence], cfg: Config,
-            cap: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Round-A inputs: onset frames + pitch indices only (the snap and
-    instrument windows are pure gathers; invalid rows gather clipped
-    junk that the host decisions never read)."""
-    spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
-    n_p = cfg.synth.n_pitches
-    B = len(seqs)
-    t0 = np.zeros((B, cap), np.int32)
-    p_idx = np.zeros((B, cap), np.int32)
-    for b, seq in enumerate(seqs):
-        ns = seq.notes[:cap]
-        if not ns:
-            continue
-        k = len(ns)
-        on = np.array([n.onset for n in ns], np.float64)
-        pi = np.array([n.pitch for n in ns], np.int64) - cfg.synth.pitch_min
-        t0[b, :k] = np.round(on / spf)
-        p_idx[b, :k] = np.clip(pi, 0, n_p - 1)
-    return jnp.asarray(t0), jnp.asarray(p_idx)
+def _unpack(ints: jnp.ndarray, floats: jnp.ndarray) -> PackedNotes:
+    """Device-side inverse of :func:`_pack`."""
+    return PackedNotes(
+        t0=ints[:, 0], end_k=ints[:, 1], t_end=ints[:, 2],
+        p_idx=ints[:, 3], prog=ints[:, 4], d_idx=ints[:, 5],
+        g=floats[:, 0], g_sat=floats[:, 1], valid=ints[:, 6] != 0)
 
 
 # ---------------------------------------------------------------------------
 # The jitted device programs.
 # ---------------------------------------------------------------------------
-
-
-class RoundAOut(NamedTuple):
-    snap_w: jnp.ndarray   # [B, M, W+1] f32 fundamental trace at t0..t0+W
-    obs_w: jnp.ndarray    # [B, M, 3, W+3] f32 harmonic strips (n_i > 1)
 
 
 class RoundBOut(NamedTuple):
@@ -285,23 +284,20 @@ def _gather_trace(tr: jnp.ndarray, t_idx: jnp.ndarray,
     return tr[t_c, p_idx[..., None]]
 
 
-def _traces(waves: jnp.ndarray, tb: EvidenceTables,
-            cfg: Config, harmonics: int = 3
-            ) -> tuple[list[jnp.ndarray], int]:
+def _traces_from_spec(spec: jnp.ndarray, tb: EvidenceTables,
+                      cfg: Config, harmonics: int = 3
+                      ) -> list[jnp.ndarray]:
     """[B, T, P] region traces per harmonic: sum of the 3 filterbank
     columns around the harmonic's center bin — the same linear map as
     snap._ColCache.region, evaluated in f32 from the device's own
     log-f spectrogram instead of f64 filterbank dots on a host rfft.
 
-    Slices to the host chain's frame count: the device STFT may cover
-    trailing partial windows the host's raw_num_frames excludes, and
-    phantom tail frames would satisfy trim stay-windows the host
-    never evaluates (measured: spurious end-of-clip trims)."""
-    from .loop import spectrogram_batch
-
+    ``spec`` must already be sliced to the host chain's frame count
+    ([:, :raw_num_frames, :n_bins]): the device STFT may cover trailing
+    partial windows the host excludes, and phantom tail frames would
+    satisfy trim stay-windows the host never evaluates (measured:
+    spurious end-of-clip trims)."""
     dsp = cfg.dsp
-    t_raw = dsp.raw_num_frames(int(waves.shape[-1]))
-    spec = spectrogram_batch(waves, cfg)[:, :t_raw, :dsp.n_bins]
 
     def _h_trace(h: int) -> jnp.ndarray:
         c = tb.ch[:, h]                                   # [P]
@@ -310,38 +306,47 @@ def _traces(waves: jnp.ndarray, tb: EvidenceTables,
                           for o in (-1, 0, 1)], axis=-1).sum(-1)
         return jnp.where(tb.ch_valid[None, None, :, h], cols, 0.0)
 
-    return [_h_trace(h) for h in range(harmonics)], t_raw
+    return [_h_trace(h) for h in range(harmonics)]
 
 
-def _round_a_program(waves: jnp.ndarray, t0a: jnp.ndarray,
-                     p_idx: jnp.ndarray, tb: EvidenceTables,
-                     cfg: Config) -> RoundAOut:
-    """Pre-mutation windows: the onset-snap e1 window per note and (for
-    multi-instrument configs) harmonic strips wide enough to cover any
-    post-snap onset shift (delta <= W)."""
+def emission_windows(spec: jnp.ndarray, onset: jnp.ndarray,
+                     pitch_idx: jnp.ndarray, cfg: Config
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Round-A windows, computed INSIDE the main transcription program
+    (saga.loop.transcribe_waves) from its own spectrogram and final
+    note table: the onset-snap e1 window per note, plus (for multi-
+    instrument configs) harmonic onset strips wide enough to cover any
+    post-snap onset shift (delta <= W).  Riding the main program
+    removes one device program round-trip per batch — on the axon
+    tunnel each program sync costs tens of ms, which dominated the
+    evidence wall when round A was standalone."""
+    tb, _ = _build_tables(cfg)
     n_h = 3 if cfg.synth.n_instruments > 1 else 1
-    trs, _ = _traces(waves, tb, cfg, harmonics=n_h)
+    trs = _traces_from_spec(spec, tb, cfg, harmonics=n_h)
     W = max(int(cfg.loop.onset_snap_frames), 0)
-    B, M = t0a.shape
+    B = onset.shape[0]
     j = jnp.arange(W + 1)
     snap_w = jax.vmap(lambda t, n0, np_: _gather_trace(
-        t, n0[:, None] + j[None, :], np_))(trs[0], t0a, p_idx)
+        t, n0[:, None] + j[None, :], np_))(trs[0], onset, pitch_idx)
     if cfg.synth.n_instruments > 1:
         js = jnp.arange(W + 3)
         obs_w = jnp.stack([jax.vmap(lambda t, n0, np_: _gather_trace(
-            t, n0[:, None] + js[None, :], np_))(tr, t0a, p_idx)
+            t, n0[:, None] + js[None, :], np_))(tr, onset, pitch_idx)
             for tr in trs], axis=2)                       # [B, M, 3, W+3]
     else:
         obs_w = jnp.zeros((B, 0, 0, 0), jnp.float32)
-    return RoundAOut(snap_w=snap_w, obs_w=obs_w)
+    return snap_w, obs_w
 
 
-def _round_b_program(waves: jnp.ndarray, pk: PackedNotes,
-                     tb: EvidenceTables, cfg: Config) -> RoundBOut:
+def _round_b_program(waves: jnp.ndarray, ints: jnp.ndarray,
+                     floats: jnp.ndarray, tb: EvidenceTables,
+                     cfg: Config) -> RoundBOut:
     """Post-mutation stages: offset trim (device-decided for the pool
-    notes), re-strike candidates, absent-recovery candidates.  ``pk``
-    is the POST-snap/dedup/instrument note table, so these mirror the
-    host chain's own stage inputs exactly."""
+    notes), re-strike candidates, absent-recovery candidates.  The
+    packed table is the POST-snap/dedup/instrument note list, so these
+    mirror the host chain's own stage inputs exactly."""
+    from .loop import spectrogram_batch
+
     dsp, synth, loop = cfg.dsp, cfg.synth, cfg.loop
     n_p = synth.n_pitches
     tmax = synth.template_frames
@@ -350,8 +355,10 @@ def _round_b_program(waves: jnp.ndarray, pk: PackedNotes,
     rel_f = int(round(4 * synth.release_seconds / spf)) + 2
     RC_WIN = tmax + 5
 
-    (tr1, tr2, tr3), t_raw = _traces(waves, tb, cfg)
-    T = t_raw
+    pk = _unpack(ints, floats)
+    T = dsp.raw_num_frames(int(waves.shape[-1]))
+    spec = spectrogram_batch(waves, cfg)[:, :T, :dsp.n_bins]
+    tr1, tr2, tr3 = _traces_from_spec(spec, tb, cfg)
     B, M = pk.t0.shape
 
     vb = jax.vmap  # per-lane mapping below
@@ -1059,30 +1066,36 @@ def _trim_host_window(note: Note, e1_win: np.ndarray, win_start: int,
 # ---------------------------------------------------------------------------
 
 
+_M_BUCKETS = (32, 64, 128, 256)
+
+
 class EvidenceRunner:
     """Device evidence pass + host decision stages for a fixed Config.
 
-    ``refine_batch(seqs, waves_dev, waves_host)`` is the drop-in
-    equivalent of mapping snap.refine_emission over the lanes.  The
-    async form is ``dispatch`` -> ``finish``: ``dispatch`` launches
-    round A and hands the rest of the chain (round-A fetch, exact host
-    snap/dedup/instrument decisions, round-B dispatch and fetch) to the
-    fetcher thread, so on a 1-core host the device I/O waits overlap
-    the caller's Python for the PREVIOUS batch.  Lanes fall back to the
-    pure-host chain only on candidate-cap overflow or note-count
-    overflow; ``stats`` counts them."""
+    ``refine_batch(seqs, waves_dev, waves_host, snap_w, obs_w)`` is the
+    drop-in equivalent of mapping snap.refine_emission over the lanes;
+    ``snap_w``/``obs_w`` are the round-A windows the main transcription
+    program already computed (NotesBatch.snap_w/.obs_w — host arrays
+    from the caller's own notes fetch).  The async form is ``dispatch``
+    -> ``finish``: ``dispatch`` hands the mid-chain (exact host
+    snap/dedup/instrument decisions on the windows) + the round-B
+    dispatch to the advancer thread, whose device_get runs on a second
+    thread — so on a 1-core host the device sync waits overlap the
+    caller's Python for the PREVIOUS batch and the advancer is never
+    blocked by them.  Lanes fall back to the pure-host chain only on
+    candidate-cap overflow or note-count overflow; ``stats`` counts
+    them."""
 
     def __init__(self, cfg: Config, aot_dir: str | None = None,
                  mesh=None):
         self.cfg = cfg
-        self._tables_dev, self._tables_host = _build_tables(cfg)
+        tb_np, self._tables_host = _build_tables(cfg)
+        self._tables_dev = EvidenceTables(*(jnp.asarray(a) for a in tb_np))
         self._need_inst = (cfg.loop.instrument_evidence_margin > 0
                            and cfg.synth.n_instruments > 1)
         self._need_a = cfg.loop.onset_snap_frames > 0 or self._need_inst
-        fn_a = lambda waves, t0a, p_idx, tb: _round_a_program(  # noqa: E731
-            waves, t0a, p_idx, tb, cfg)
-        fn_b = lambda waves, pk, tb: _round_b_program(  # noqa: E731
-            waves, pk, tb, cfg)
+        fn_b = lambda waves, ints, floats, tb: _round_b_program(  # noqa: E731
+            waves, ints, floats, tb, cfg)
         aot_dir = aot_dir or cfg.run.aot_cache or None
         if mesh is not None:
             # Mesh mode: lanes shard over the data axis exactly like the
@@ -1096,42 +1109,36 @@ class EvidenceRunner:
 
             lane = NamedSharding(mesh, P(DATA_AXIS))
             repl = NamedSharding(mesh, P())
-            in_pk = PackedNotes(*([lane] * len(PackedNotes._fields)))
             in_tb = EvidenceTables(*([repl] * len(EvidenceTables._fields)))
-            out_a = RoundAOut(*([lane] * len(RoundAOut._fields)))
             out_b = RoundBOut(*([lane] * len(RoundBOut._fields)))
-            jit_a = jax.jit(fn_a, in_shardings=(lane, lane, lane, in_tb),
-                            out_shardings=out_a)
-            jit_b = jax.jit(fn_b, in_shardings=(lane, in_pk, in_tb),
+            jit_b = jax.jit(fn_b, in_shardings=(lane, lane, lane, in_tb),
                             out_shardings=out_b)
             self._tables_dev = jax.device_put(self._tables_dev, in_tb)
             devices = list(mesh.devices.flat)
         else:
-            jit_a, jit_b, devices = jax.jit(fn_a), jax.jit(fn_b), None
+            jit_b, devices = jax.jit(fn_b), None
         if aot_dir:
             # Same executable cache as the main program (runtime/aot.py):
             # without it every process pays an axon compile for the
-            # evidence programs too (measured 27 s - 5 min).
+            # evidence program too (measured 27 s - 5 min).
             from ..runtime.aot import AotCache
 
-            self._jit_a = AotCache(None if mesh is not None else fn_a,
-                                   cfg.to_json() + "|evidenceA", aot_dir,
-                                   jit_fn=jit_a if mesh is not None
-                                   else None, devices=devices)
             self._jit_b = AotCache(None if mesh is not None else fn_b,
                                    cfg.to_json() + "|evidenceB", aot_dir,
                                    jit_fn=jit_b if mesh is not None
                                    else None, devices=devices)
         else:
-            self._jit_a, self._jit_b = jit_a, jit_b
+            self._jit_b = jit_b
         self.stats = {"lanes": 0, "fallback": 0, "fb_cap": 0,
                       "fb_overflow_rs": 0, "fb_overflow_rc": 0,
                       "fb_tsmall": 0, "snapped": 0, "deduped": 0,
                       "inst_changed": 0}
         from concurrent.futures import ThreadPoolExecutor
 
-        self._fetcher = ThreadPoolExecutor(max_workers=1,
-                                           thread_name_prefix="ev-fetch")
+        self._advancer = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="ev-mid")
+        self._getter = ThreadPoolExecutor(max_workers=1,
+                                          thread_name_prefix="ev-fetch")
         spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
         # Device trim/restrike windows are KMAX frames; longer extents
         # (custom duration grids) would silently truncate -> refuse and
@@ -1139,79 +1146,83 @@ class EvidenceRunner:
         self._max_extent = int(round(max(cfg.synth.duration_grid) / spf)) + 10
         self.usable = self._max_extent <= KMAX
 
+    @staticmethod
+    def _m_bucket(n: int) -> int:
+        """Static note-table width for round B: the smallest bucket
+        covering the batch's largest mid-chain note count.  Typical
+        content sits in the 32 bucket — 8x less gather/matmul work and
+        shipping than the loop's max_notes cap — at the cost of one
+        compile per bucket actually seen (AOT-cached across runs)."""
+        for m in _M_BUCKETS:
+            if n <= m:
+                return m
+        return _M_BUCKETS[-1]
+
     def warmup_async(self, batch: int, n_samples: int) -> None:
-        """Resolve the compiled evidence programs for this (batch,
+        """Resolve the compiled evidence program for this (batch,
         n_samples) shape off the serving path (mirrors
-        Transcriber.warmup)."""
+        Transcriber.warmup) — at the typical-content bucket."""
         T = self.cfg.dsp.raw_num_frames(int(n_samples))
         if T < 16:
             return
-        cap = self.cfg.loop.max_notes
         empty = [NoteSequence() for _ in range(batch)]
-        pk = _pack(empty, self.cfg, T, cap)
-        t0a, p_idx = _pack_a(empty, self.cfg, cap)
+        ints, floats = _pack(empty, self.cfg, T, _M_BUCKETS[0])
         waves0 = jnp.zeros((batch, int(n_samples)), jnp.float32)
         from ..runtime.aot import AotCache
 
-        for jit_fn, args in (((self._jit_a,
-                               (waves0, t0a, p_idx, self._tables_dev)),)
-                             if self._need_a else ()) + (
-                (self._jit_b, (waves0, pk, self._tables_dev)),):
-            if isinstance(jit_fn, AotCache):
-                jit_fn.warmup_async(*args)
-            else:
-                import threading
+        args = (waves0, ints, floats, self._tables_dev)
+        if isinstance(self._jit_b, AotCache):
+            self._jit_b.warmup_async(*args)
+        else:
+            import threading
 
-                def run(fn=jit_fn, a=args):
-                    try:
-                        jax.block_until_ready(fn(*a))
-                    except Exception:   # surfaces on the real call
-                        pass
+            def run():
+                try:
+                    jax.block_until_ready(self._jit_b(*args))
+                except Exception:   # surfaces on the real call
+                    pass
 
-                threading.Thread(target=run, daemon=True,
-                                 name="evidence-warmup").start()
+            threading.Thread(target=run, daemon=True,
+                             name="evidence-warmup").start()
 
-    def dispatch(self, seqs: list[NoteSequence], waves_dev) -> tuple:
-        """Async-dispatch round A and hand the mid-chain + round B to
-        the fetcher thread; returns an opaque handle for ``finish``.
+    def dispatch(self, seqs: list[NoteSequence], waves_dev,
+                 snap_w: np.ndarray | None = None,
+                 obs_w: np.ndarray | None = None) -> tuple:
+        """Hand the mid-chain + round B to the advancer thread; returns
+        an opaque handle for ``finish``.
 
-        The fetcher thread blocks on backend RPC/transfer I/O with the
-        GIL released, so on the 1-core host it overlaps with the
-        replay/refit Python of the PREVIOUS batch.  Short inputs
-        (T < 16 frames: below the recovery scan's frame horizon and the
-        host chain's own small-T special cases) take the pure-host
-        chain instead — applied HERE so direct dispatch/finish callers
-        get the same guard as refine_batch (ADVICE r4 item 3)."""
-        from ..utils import stages
-
+        ``snap_w``/``obs_w`` are the main program's NotesBatch windows
+        (host arrays; row i = seqs[b].notes[i]).  Short inputs (T < 16
+        frames: below the recovery scan's frame horizon and the host
+        chain's own small-T special cases) take the pure-host chain
+        instead — applied HERE so direct dispatch/finish callers get
+        the same guard as refine_batch (ADVICE r4 item 3)."""
         T = self.cfg.dsp.raw_num_frames(int(waves_dev.shape[-1]))
         if T < 16:
             return ("host",)
-        out_a = None
-        if self._need_a:
-            with stages.timed("ev.pack"):
-                t0a, p_idx = _pack_a(seqs, self.cfg,
-                                     self.cfg.loop.max_notes)
-            out_a = self._jit_a(waves_dev, t0a, p_idx, self._tables_dev)
-        fut = self._fetcher.submit(self._advance, out_a, seqs,
-                                   waves_dev, T)
+        if self._need_a and snap_w is None:
+            raise ValueError(
+                "dispatch needs the main program's emission windows "
+                "(NotesBatch.snap_w/.obs_w) for this config")
+        fut = self._advancer.submit(self._advance, snap_w, obs_w, seqs,
+                                    waves_dev, T)
         return ("dev", fut, T)
 
-    def _advance(self, out_a, seqs: list[NoteSequence], waves_dev,
-                 T: int):
-        """Fetcher-thread stage: fetch round A, apply the mutating
-        stages exactly (host f64 decisions on shipped f32 windows),
-        pack + dispatch + fetch round B."""
+    def _advance(self, snap_w, obs_w, seqs: list[NoteSequence],
+                 waves_dev, T: int):
+        """Advancer-thread stage: apply the mutating stages exactly
+        (host f64 decisions on the shipped f32 windows), pack +
+        dispatch round B; the round-B fetch goes to the getter thread."""
         from ..utils import stages
 
         cfg, ht = self.cfg, self._tables_host
         loop = cfg.loop
         cap = loop.max_notes
         spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
-        a = jax.device_get(out_a) if out_a is not None else None
         mid: list[NoteSequence] = []
         changed: list[bool] = []
         fell: list[str | None] = []
+        m_max = 1
         with stages.timed("ev.mid"):
             for b, seq in enumerate(seqs):
                 notes = list(seq.notes)
@@ -1220,10 +1231,10 @@ class EvidenceRunner:
                 if len(notes) > cap:
                     fb = "cap"
                 elif notes:
-                    om = list(range(len(notes)))   # round-A row per note
+                    om = list(range(len(notes)))   # window row per note
                     delta_of: dict[int, int] = {}
                     if loop.onset_snap_frames > 0:
-                        dl = _snap_decide(notes, a.snap_w[b], cfg, T, ht)
+                        dl = _snap_decide(notes, snap_w[b], cfg, T, ht)
                         if dl:
                             for i, d in dl:
                                 n = notes[i]
@@ -1248,7 +1259,7 @@ class EvidenceRunner:
                             om = [om[i] for i in keep]
                             ch = True
                     if self._need_inst:
-                        strip = a.obs_w[b]            # [M, 3, W+3]
+                        strip = obs_w[b]              # [M, 3, W+3]
                         obs_of = []
                         for i in range(len(notes)):
                             d = delta_of.get(om[i], 0)
@@ -1266,13 +1277,16 @@ class EvidenceRunner:
                             notes = [notes[i] for i in order]
                             ch = True
                             self.stats["inst_changed"] += len(chg)
+                if fb is None:
+                    m_max = max(m_max, len(notes))
                 mid.append(NoteSequence(notes) if ch else seq)
                 changed.append(ch)
                 fell.append(fb)
         with stages.timed("ev.pack"):
-            pk = _pack(mid, cfg, T, cap)
-        out_b = self._jit_b(waves_dev, pk, self._tables_dev)
-        return mid, changed, fell, jax.device_get(out_b)
+            ints, floats = _pack(mid, cfg, T, self._m_bucket(m_max))
+        out_b = self._jit_b(waves_dev, ints, floats, self._tables_dev)
+        return mid, changed, fell, self._getter.submit(
+            jax.device_get, out_b)
 
     def finish(self, handle, seqs: list[NoteSequence],
                waves_host: np.ndarray) -> list[NoteSequence]:
@@ -1286,18 +1300,23 @@ class EvidenceRunner:
                         for b, s in enumerate(seqs)]
         _, fut, T = handle
         with stages.timed("ev.fetch"):
-            mid, changed, fell, out = fut.result()
+            mid, changed, fell, out_fut = fut.result()
+            out = out_fut.result()
         with stages.timed("ev.replay"):
             return [self._replay_lane(b, mid[b], changed[b], fell[b],
                                       seq, out, T, waves_host[b])
                     for b, seq in enumerate(seqs)]
 
     def refine_batch(self, seqs: list[NoteSequence], waves_dev,
-                     waves_host: np.ndarray) -> list[NoteSequence]:
+                     waves_host: np.ndarray,
+                     snap_w: np.ndarray | None = None,
+                     obs_w: np.ndarray | None = None
+                     ) -> list[NoteSequence]:
         if not any(len(s) for s in seqs):
             return [refine_emission(s, waves_host[b], self.cfg)
                     for b, s in enumerate(seqs)]
-        return self.finish(self.dispatch(seqs, waves_dev), seqs, waves_host)
+        return self.finish(self.dispatch(seqs, waves_dev, snap_w, obs_w),
+                           seqs, waves_host)
 
     # -- per-lane replay ----------------------------------------------------
 

@@ -166,6 +166,16 @@ class NotesBatch(NamedTuple):
     # transcription — the "no silent caps" discipline.
     saturated: jnp.ndarray  # [B] bool
     iterations: jnp.ndarray  # [] int32 while_loop trip count (for MFU)
+    # Emission-evidence round-A windows (saga/evidence.py), computed
+    # post-loop from the ORIGINAL spectrogram and the final note table
+    # so the host mid-chain decisions (onset snap, instrument re-pick)
+    # need no extra device program — on the axon tunnel every program
+    # round-trip costs a sync (~tens of ms), which dominated the
+    # evidence pass's wall when round A was standalone.  Zero-size
+    # when the config's emission chain cannot use them.
+    snap_w: jnp.ndarray   # [B, cap, W+1] f32 e1 at t0..t0+W (or [B,0,0])
+    obs_w: jnp.ndarray    # [B, cap, 3, W+3] f32 harmonic onset strips
+    #                       (multi-instrument configs; else [B,0,0,0])
 
 
 class _Carry(NamedTuple):
@@ -820,6 +830,8 @@ def _run_loop(spec: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
         poison=jnp.zeros((b,), bool),
         saturated=jnp.zeros((b,), bool),
         iterations=jnp.zeros((), jnp.int32),
+        snap_w=jnp.zeros((b, 0, 0), jnp.float32),
+        obs_w=jnp.zeros((b, 0, 0, 0), jnp.float32),
     )
     carry0 = _Carry(res, notes0, jnp.zeros((b,), bool), e0,
                     jnp.zeros((), jnp.int32),
@@ -989,7 +1001,19 @@ def transcribe_waves(waves: jnp.ndarray, cfg: Config, tmpl: TemplateArrays,
         return jax.lax.map(
             lambda w: transcribe_waves(w, cfg, tmpl, score_fn), waves)
     spec = spectrogram_batch(waves, cfg)
-    return transcribe_spectrograms(spec, cfg, tmpl, score_fn)
+    notes = transcribe_spectrograms(spec, cfg, tmpl, score_fn)
+    loop = cfg.loop
+    if (loop.onset_snap_frames > 0
+            or (loop.instrument_evidence_margin > 0
+                and cfg.synth.n_instruments > 1)):
+        from .evidence import emission_windows
+
+        t_raw = cfg.dsp.raw_num_frames(int(waves.shape[-1]))
+        snap_w, obs_w = emission_windows(
+            spec[:, :t_raw, :cfg.dsp.n_bins], notes.onset, notes.pitch,
+            cfg)
+        notes = notes._replace(snap_w=snap_w, obs_w=obs_w)
+    return notes
 
 
 class Transcriber:
@@ -1169,7 +1193,9 @@ class Transcriber:
             seqs = notes_batch_to_sequences(
                 notes, self.cfg, gram=self.host_gram(),
                 refiner=self.duration_refiner(), snap_waves=None)
-            return ev.refine_batch(seqs, dev, waves)
+            return ev.refine_batch(seqs, dev, waves,
+                                   snap_w=np.asarray(notes.snap_w),
+                                   obs_w=np.asarray(notes.obs_w))
         return notes_batch_to_sequences(
             notes, self.cfg, gram=self.host_gram(),
             refiner=self.duration_refiner(),
@@ -1229,7 +1255,10 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             "(truncated transcription); raise loop.max_notes or chunk "
             "the input", int(saturated.sum()), len(saturated),
             cfg.loop.max_notes)
-    def one_lane(b: int) -> NoteSequence:
+    def prep_lane(b: int):
+        """Per-lane refit + velocity staging; returns the emit inputs
+        (None for a poisoned lane) so the continuous duration fit can
+        run ONCE for the whole batch between prep and emit."""
         if poison[b]:
             # Sanitizer: non-finite values were detected in this lane on
             # device — emit an empty sequence + a logged event instead of
@@ -1239,7 +1268,7 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             get_logger("amt_saga_tpu.saga").warning(
                 "lane %d poisoned (non-finite residual/scores); "
                 "emitting empty sequence", b)
-            return NoteSequence()
+            return None
         from ..utils import stages
 
         gains_b = np.asarray(notes.gain[b])
@@ -1298,6 +1327,14 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                     elif overlap:  # "blend"
                         vel_override[a] = int(np.clip(round(
                             0.5 * (v_gain[a] + v_head[a])), 1, 127))
+        return gains_b, progs_b, didx_b, dur_b, refine_mask, vel_override
+
+    def emit_lane(b: int, pr, refined_b) -> NoteSequence:
+        if pr is None:
+            return NoteSequence()
+        from ..utils import stages
+
+        gains_b, progs_b, didx_b, dur_b, refine_mask, vel_override = pr
         with stages.timed("emit.to_sequence"):
             seq = note_arrays_to_sequence(
                 np.asarray(notes.onset[b]), dur_b,
@@ -1311,7 +1348,8 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
                 refine_programs=(np.asarray(notes.program[b])
                                  if refine else None),
                 refine_mask=refine_mask,
-                velocity_override=vel_override)
+                velocity_override=vel_override,
+                refined=refined_b)
         if snap_waves is not None:
             from .snap import refine_emission
 
@@ -1331,6 +1369,35 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
 
         with stages.timed("snap.stft_batch"):
             snap_mags = snap_stft_mag_batch(np.asarray(snap_waves), cfg)
+    def batch_refined(preps):
+        """One refine_many call for ALL lanes' notes (refine_many is
+        elementwise-identical regardless of batch composition, and the
+        per-note dgemv stays per note inside it — bit-parity preserved;
+        the per-lane calls paid ~0.3 ms of fixed numpy overhead each on
+        the 1-core host)."""
+        if not (refine and hasattr(refiner, "refine_many")):
+            return [None] * len(preps)
+        lanes = []
+        d_l, p_l, rp_l, sd_l = [], [], [], []
+        for b, pr in enumerate(preps):
+            n = int(notes.count[b]) if pr is not None else 0
+            if n > 0:
+                lanes.append(b)
+                d_l.append(np.asarray(pr[2][:n], np.int64))
+                p_l.append(np.asarray(notes.pitch[b][:n], np.int64))
+                rp_l.append(np.asarray(notes.program[b][:n], np.int64))
+                sd_l.append(np.asarray(notes.sd[b][:n]))
+        out = [None] * len(preps)
+        if not lanes:
+            return out
+        refined_all = refiner.refine_many(
+            np.concatenate(d_l), np.concatenate(p_l),
+            np.concatenate(rp_l), np.concatenate(sd_l))
+        offs = np.concatenate([[0], np.cumsum([len(x) for x in d_l])])
+        for j, b in enumerate(lanes):
+            out[b] = refined_all[offs[j]:offs[j + 1]]
+        return out
+
     workers = cfg.run.emission_workers
     if workers < 0:                       # auto
         workers = min(8, max(1, (os.cpu_count() or 1) - 1))
@@ -1342,5 +1409,10 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(workers, n_lanes)) as ex:
-            return list(ex.map(one_lane, range(n_lanes)))
-    return [one_lane(b) for b in range(n_lanes)]
+            preps = list(ex.map(prep_lane, range(n_lanes)))
+            refined = batch_refined(preps)
+            return list(ex.map(emit_lane, range(n_lanes), preps,
+                               refined))
+    preps = [prep_lane(b) for b in range(n_lanes)]
+    refined = batch_refined(preps)
+    return [emit_lane(b, preps[b], refined[b]) for b in range(n_lanes)]

@@ -169,7 +169,11 @@ def transcribe_long(wave: np.ndarray, transcriber, cfg: Config,
             host, cfg, gram=gram, refiner=refiner,
             snap_waves=host_batch if snap and ev is None else None)
         if ev is not None:
-            out = ev.refine_batch(out, dev_batch, host_batch)
+            import numpy as _np
+
+            out = ev.refine_batch(out, dev_batch, host_batch,
+                                  snap_w=_np.asarray(host.snap_w),
+                                  obs_w=_np.asarray(host.obs_w))
         seqs.extend(out[:n_keep])
 
     pending = None  # (device NotesBatch, n_real, host batch, dev batch)

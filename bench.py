@@ -317,7 +317,10 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
         seqs = notes_batch_to_sequences(
             host_notes, cfg, gram=gram, refiner=refiner,
             snap_waves=host_batch if snaps and ev is None else None)
-        handle = ev.dispatch(seqs, dev_batch) if ev is not None else None
+        handle = (ev.dispatch(seqs, dev_batch,
+                              np.asarray(host_notes.snap_w),
+                              np.asarray(host_notes.obs_w))
+                  if ev is not None else None)
         emit_walls.append(time.time() - t0)
         return handle, seqs, host_batch
 
@@ -338,21 +341,25 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
         emit_walls.clear()
         midi_total = 0
         t0 = time.time()
+        # Two-deep emit pipeline: batch i's evidence round-B executes
+        # and is fetched (getter thread) while the host preps batch i+1
+        # AND emits batch i-1 — a 1-deep pipeline exposed ~150 ms/batch
+        # of axon execute-to-ready sync in ev.fetch/notes_fetch.
+        import collections
+
         pending = None
-        pend_ev = None
+        ready: collections.deque = collections.deque()
         for i in range(stack):
             notes = tr._fn(dev_waves[i])     # async dispatch
             nfut = nfetch.submit(jax.device_get, notes)
             if pending is not None:
-                prepped = prep(*pending)
-                if pend_ev is not None:
-                    midi_total += emit(*pend_ev)
-                pend_ev = prepped
+                ready.append(prep(*pending))
+                if len(ready) > 2:
+                    midi_total += emit(*ready.popleft())
             pending = (nfut, waves[i], dev_waves[i])
-        prepped = prep(*pending)
-        if pend_ev is not None:
-            midi_total += emit(*pend_ev)
-        midi_total += emit(*prepped)
+        ready.append(prep(*pending))
+        while ready:
+            midi_total += emit(*ready.popleft())
         walls.append(time.time() - t0)
     stages.enable(False)
     wall = min(walls)   # best of repeats: steady-state, warm caches
