@@ -455,11 +455,15 @@ def cmd_transcribe_corpus(args) -> int:
                                          sharding=tr.input_sharding)):
             t0 = time.time()
             notes = tr._fn(dev_batch)  # async dispatch, no block
-            nfut = nfetch.submit(jax.device_get, notes)
+            nfut = nfetch.submit(tr.fetch_notes, notes)
             if pending is not None:
-                ready.append(prep(*pending))
-                if len(ready) > 2:
+                # Emit BEFORE prep: prep blocks on the previous batch's
+                # notes fetch; emitting first hides that execute-to-
+                # ready wait behind the emit's host CPU work (the fetch
+                # rides the nfetch thread, GIL released).
+                if len(ready) >= 2:
                     emit(*ready.popleft())
+                ready.append(prep(*pending))
             pending = (batch_paths, nfut, dev_batch, t0, blen,
                        host_q.popleft())
         if pending is not None:

@@ -86,8 +86,10 @@ from .snap import (
     _RS_PE_FLOOR,
     _RS_RISE,
     _rs_rise_explained,
+    _OT_LEAKSUB,
     _fundamental_region,
     _fundamental_strengths,
+    _h1_dead,
     _leak_matrix,
     _region_trace,
     _regions,
@@ -130,6 +132,14 @@ class EvidenceTables(NamedTuple):
 
     ch: jnp.ndarray        # [P, 3] i32 center filterbank bin, h = 1..3
     ch_valid: jnp.ndarray  # [P, 3] bool
+    ltr1: jnp.ndarray      # [I, P_src, D, P_tgt, KMAX] f32 source-atom
+    #                        trace in the target's h=1 region (per unit
+    #                        gain) — the trim leak subtraction
+    ltr2: jnp.ndarray      # [I, P_src, D, P_tgt, KMAX] f32 ... h=2 region
+    ft2: jnp.ndarray       # [I, P, D, KMAX] f32 own trace in OWN h=2
+    #                        region (held yardstick for h2-routed trims)
+    h2r: jnp.ndarray       # [I, P] bool h1 template statically dead ->
+    #                        trim routes to the h=2 region (snap._h1_dead)
     ft: jnp.ndarray        # [I, P, D, KMAX] f32 fundamental-region trace
     hr0: jnp.ndarray       # [I, P, D, 3] f32 region-trace value at frame 0
     fund: jnp.ndarray      # [P] f32 max-over-instruments fundamental level
@@ -143,6 +153,43 @@ class _HostTables(NamedTuple):
     fund: np.ndarray       # [I, P]
     leak: np.ndarray       # [I, P, P]
     sh: np.ndarray         # [P, 3] conf yardstick _region_trace(p,0,gmax,h,1)[0]
+
+
+def _leak_traces(cfg: Config) -> tuple[np.ndarray, np.ndarray,
+                                       np.ndarray]:
+    """(ltr1, ltr2, ft2) — per-unit-gain source-atom traces rendered in
+    every target pitch's h=1 / h=2 region (the device mirror of
+    snap._region_trace as the trim stage's leak subtraction reads it),
+    plus each atom's own h=2-region trace (the h2-routed held
+    yardstick).  Vectorized over the bank: one region-sum per target
+    pitch instead of n_p^2 x D scalar calls.  Zero when the leak-
+    subtraction A/B switch is off (tables unused; keeps the program
+    structurally identical either way)."""
+    synth = cfg.synth
+    n_p, n_i, n_d = synth.n_pitches, synth.n_instruments, \
+        len(synth.duration_grid)
+    ltr1 = np.zeros((n_i, n_p, n_d, n_p, KMAX), dtype=np.float32)
+    ltr2 = np.zeros_like(ltr1)
+    ft2 = np.zeros((n_i, n_p, n_d, KMAX), dtype=np.float32)
+    if not _OT_LEAKSUB:
+        return ltr1, ltr2, ft2
+    from ..synth.templates import template_bank, template_lead
+
+    bank = template_bank(synth, cfg.dsp)       # [I, P, D, T, F] f32
+    lead = template_lead(cfg.dsp)
+    tl = min(KMAX, bank.shape[3] - lead)
+    for pt in range(n_p):
+        pitch = synth.pitch_min + pt
+        for h, dst in ((1, ltr1), (2, ltr2)):
+            reg = _fundamental_region(pitch, cfg, harmonic=h)
+            if reg is None:
+                continue
+            tr = bank[:, :, :, lead:lead + tl, reg[0]:reg[1]].sum(
+                axis=-1, dtype=np.float64)     # [I, P_src, D, tl]
+            dst[:, :, :, pt, :tl] = tr.astype(np.float32)
+            if h == 2:
+                ft2[:, pt, :, :tl] = tr[:, pt].astype(np.float32)
+    return ltr1, ltr2, ft2
 
 
 def _build_tables(cfg: Config) -> tuple[EvidenceTables, _HostTables]:
@@ -173,8 +220,15 @@ def _build_tables(cfg: Config) -> tuple[EvidenceTables, _HostTables]:
                         ft[i, p, d] = tr0
     fund = _fundamental_strengths(cfg)                  # [I, P] f64
     leak = _leak_matrix(cfg)                            # [I, P, P] f64
+    ltr1, ltr2, ft2 = _leak_traces(cfg)
+    h2r = np.zeros((n_i, n_p), dtype=bool)
+    if _OT_LEAKSUB:
+        for i in range(n_i):
+            for p in range(n_p):
+                h2r[i, p] = _h1_dead(synth.pitch_min + p, i, cfg)
     dev = EvidenceTables(
-        ch=ch, ch_valid=ch_valid, ft=ft, hr0=hr0,
+        ch=ch, ch_valid=ch_valid, ltr1=ltr1, ltr2=ltr2, ft2=ft2,
+        h2r=h2r, ft=ft, hr0=hr0,
         fund=fund.max(axis=0).astype(np.float32),
         leak=leak.astype(np.float32))
     out = dev, _HostTables(fund=fund, leak=leak, sh=sh)
@@ -366,13 +420,71 @@ def _round_b_program(waves: jnp.ndarray, ints: jnp.ndarray,
     # ---- offset trim (fully device-decided for pool notes) -----------------
     kx = jnp.arange(KMAX)
 
-    def _trim(tr, n):
-        # mirrors snap.trim_offsets exactly (f32 values)
+    def _leak_field(ltr, pkb):
+        """([B, T+KMAX, P] predicted total note-trace field, [B, M,
+        KMAX] own-pitch traces): the trim leak subtraction as ONE
+        grouped convolution — impulse trains at each note's onset
+        frame (in channels = notes) convolved with per-lane kernels of
+        the notes' per-unit-gain atom traces in every target region
+        (out channels = pitches).  MXU-native; the pairwise-gather
+        formulation measured 8x slower end-to-end (element gathers of
+        [M, M, KMAX] from a 24 MB table serialize on the scalar
+        pipeline)."""
+        B, M = pkb.t0.shape
+        P = ltr.shape[3]
+        slab = ltr[pkb.prog, pkb.p_idx, pkb.d_idx]     # [B, M, P, KMAX]
+        slab = slab * (pkb.g * pkb.valid)[..., None, None]
+        own = jnp.take_along_axis(
+            slab, pkb.p_idx[..., None, None], axis=2)[:, :, 0, :]
+        tpad = T + KMAX
+        imp = (pkb.t0[..., None]
+               == jnp.arange(tpad)[None, None, :]).astype(slab.dtype)
+        kern = jnp.flip(slab, axis=-1)                 # corr -> conv
+        kern = kern.transpose(0, 2, 1, 3).reshape(B * P, M, KMAX)
+        field = jax.lax.conv_general_dilated(
+            imp.reshape(1, B * M, tpad), kern,
+            window_strides=(1,), padding=[(KMAX - 1, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=B,
+            precision=jax.lax.Precision.HIGHEST)
+        return field.reshape(B, P, tpad).transpose(0, 2, 1), own
+
+    if _OT_LEAKSUB:
+        L1, own1 = _leak_field(tb.ltr1, pk)
+        L2, own2 = _leak_field(tb.ltr2, pk)
+    else:
+        B_, M_ = pk.t0.shape
+        L1 = L2 = jnp.zeros((B_, T + KMAX, n_p), jnp.float32)
+        own1 = own2 = jnp.zeros((B_, M_, KMAX), jnp.float32)
+
+    def _trim(t1, t2, l1, l2, o1, o2, n):
+        # mirrors snap.trim_offsets exactly (f32 values): leak-
+        # subtracted ratio, h=1 unless the pitch's h1 template is
+        # statically dead (tb.h2r -> h=2 region + its own yardstick).
         hi = jnp.minimum(n.t0 + n.end_k + 2, T)           # [M]
         n_r = jnp.maximum(hi - n.t0, 0)
-        e1 = _gather_trace(tr, n.t0[:, None] + kx[None, :], n.p_idx)
-        held = (n.g[:, None]
-                * tb.ft[n.prog, n.p_idx, -1, :])          # [M, KMAX]
+        h2 = tb.h2r[n.prog, n.p_idx]                      # [M] bool
+        tt = n.t0[:, None] + kx[None, :]
+        e1 = jnp.where(h2[:, None], _gather_trace(t2, tt, n.p_idx),
+                       _gather_trace(t1, tt, n.p_idx))
+        if _OT_LEAKSUB:
+            # Field read minus the (pitch, onset frame, program)-
+            # matching self terms (the host's exclusion rule): the
+            # field sums ALL notes, so subtract back each target's
+            # own-key contributions via a tiny match matmul.
+            lread = jnp.where(h2[:, None],
+                              _gather_trace(l2, tt, n.p_idx),
+                              _gather_trace(l1, tt, n.p_idx))
+            match = ((n.p_idx[:, None] == n.p_idx[None, :])
+                     & (n.t0[:, None] == n.t0[None, :])
+                     & (n.prog[:, None] == n.prog[None, :])
+                     ).astype(jnp.float32)     # own rows carry g*valid
+            self_sub = jnp.where(h2[:, None], match @ o2, match @ o1)
+            sub = lread - self_sub
+            e1 = jnp.maximum(e1 - sub, 0.0)
+        held = n.g[:, None] * jnp.where(
+            h2[:, None], tb.ft2[n.prog, n.p_idx, -1, :],
+            tb.ft[n.prog, n.p_idx, -1, :])                # [M, KMAX]
         ratio = e1 / jnp.maximum(held, 1e-9)
         inframe = kx[None, :] < n_r[:, None]
         trust = jnp.max(jnp.where(inframe & (kx[None, :] < _OT_MIN_K),
@@ -390,14 +502,15 @@ def _round_b_program(waves: jnp.ndarray, ints: jnp.ndarray,
                & (kx[None, :] >= _OT_MIN_K))
         k_trim = jnp.argmax(hit, axis=1)
         has = hit.any(axis=1)
-        fund_ok = tb.ch_valid[n.p_idx, 0]
-        ok = (has & trust & fund_ok & (n.t0 >= 0)
+        reg_ok = jnp.where(h2, tb.ch_valid[n.p_idx, 1],
+                           tb.ch_valid[n.p_idx, 0])
+        ok = (has & trust & reg_ok & (n.t0 >= 0)
               & (n.end_k >= _OT_MIN_K + _OT_MIN_TRIM)
               & (n.t0 + 2 < T) & n.valid
               & (k_trim <= n.end_k - _OT_MIN_TRIM))
         return jnp.where(ok, k_trim, -1).astype(jnp.int32)
 
-    trim_k = vb(_trim)(tr1, pk)
+    trim_k = vb(_trim)(tr1, tr2, L1, L2, own1, own2, pk)
 
     # ---- re-strike rise candidates -----------------------------------------
     # Exact stage parity: pk is the post-mutation pool, which is what
@@ -1023,9 +1136,13 @@ def _replay_recover(pool: list[Note], rc_p: np.ndarray, rc_k: np.ndarray,
 
 
 def _trim_host_window(note: Note, e1_win: np.ndarray, win_start: int,
-                      cfg: Config, T: int) -> Note:
+                      cfg: Config, T: int,
+                      sources: list[Note] | None = None) -> Note:
     """snap.trim_offsets for one chain-ADDED note, reading its shipped
-    window (abs frames [win_start, win_start+len))."""
+    window (abs frames [win_start, win_start+len)).  ``sources`` is
+    the post-mid pool — the same leak-subtraction source set the host
+    chain's trim reads (h2-routed pitches never reach here: the
+    replay falls back the lane, since only h=1 windows ship)."""
     dsp = cfg.dsp
     spf = dsp.hop / float(dsp.sample_rate)
     grid_max = float(max(cfg.synth.duration_grid))
@@ -1040,6 +1157,21 @@ def _trim_host_window(note: Note, e1_win: np.ndarray, win_start: int,
     if s < 0 or hi - win_start > len(e1_win):
         return note                     # window does not cover: fail closed
     e1 = e1_win[s:hi - win_start].astype(np.float64)
+    if _OT_LEAKSUB and sources:
+        sub = np.zeros(hi - t0, dtype=np.float64)
+        for m in sources:
+            tm = int(round(m.onset / spf))
+            if (m.pitch == note.pitch and tm == t0
+                    and m.program == note.program):
+                continue
+            if tm >= hi:
+                continue
+            rt = _region_trace(m.pitch, m.program, m.duration,
+                               reg, hi - tm, cfg)
+            j0 = max(t0 - tm, 0)
+            sub[max(tm - t0, 0):] += (m.velocity / 127.0) \
+                * rt[j0:j0 + (hi - t0) - max(tm - t0, 0)]
+        e1 = np.maximum(e1 - sub, 0.0)
     held = (note.velocity / 127.0) * _region_trace(
         note.pitch, note.program, grid_max, reg, hi - t0, cfg)
     ratio = e1 / np.maximum(held, 1e-9)
@@ -1131,8 +1263,8 @@ class EvidenceRunner:
             self._jit_b = jit_b
         self.stats = {"lanes": 0, "fallback": 0, "fb_cap": 0,
                       "fb_overflow_rs": 0, "fb_overflow_rc": 0,
-                      "fb_tsmall": 0, "snapped": 0, "deduped": 0,
-                      "inst_changed": 0}
+                      "fb_tsmall": 0, "fb_h2win": 0, "snapped": 0,
+                      "deduped": 0, "inst_changed": 0}
         from concurrent.futures import ThreadPoolExecutor
 
         self._advancer = ThreadPoolExecutor(max_workers=1,
@@ -1145,6 +1277,8 @@ class EvidenceRunner:
         # let the caller use the host chain instead.
         self._max_extent = int(round(max(cfg.synth.duration_grid) / spf)) + 10
         self.usable = self._max_extent <= KMAX
+        self._mesh = mesh
+        self._win_fns: dict = {}
 
     @staticmethod
     def _m_bucket(n: int) -> int:
@@ -1286,7 +1420,49 @@ class EvidenceRunner:
             ints, floats = _pack(mid, cfg, T, self._m_bucket(m_max))
         out_b = self._jit_b(waves_dev, ints, floats, self._tables_dev)
         return mid, changed, fell, self._getter.submit(
-            jax.device_get, out_b)
+            self._fetch_b, out_b)
+
+    # Candidate-axis shrink buckets for the round-B window fetch.
+    _WIN_BUCKETS = (16, 64)
+
+    def _win_slice_fn(self, rsb: int, rcb: int):
+        fn = self._win_fns.get((rsb, rcb))
+        if fn is None:
+            def s(sfx, w1, wh):
+                return sfx[:, :rsb], w1[:, :rcb], wh[:, :rcb]
+
+            fn = self._win_fns[(rsb, rcb)] = jax.jit(s)
+        return fn
+
+    def _fetch_b(self, out_b: RoundBOut) -> RoundBOut:
+        """Getter-thread fetch with a candidate-bucketed device-side
+        shrink of the window arrays.  rs_sfx/rc_w1 are padded to
+        RS_CAP/RC_CAP rows (~11 MB/batch at B=96) but typical content
+        fills well under 16 — and the axon tunnel moves ~30 MB/s, so
+        the padding dominated ev.fetch.  The small fields land first
+        (one transfer); the max valid row count across lanes picks the
+        smallest bucket; a cached slice program drops the padding on
+        device.  Candidates are front-compacted per lane (top_k by
+        ascending index), so row j < bucket covers every valid cell."""
+        if self._mesh is not None:
+            return jax.device_get(out_b)
+        trim_k, rs_m, rs_k, rs_n, rc_p, rc_k, rc_n = jax.device_get(
+            (out_b.trim_k, out_b.rs_m, out_b.rs_k, out_b.rs_n,
+             out_b.rc_p, out_b.rc_k, out_b.rc_n))
+        rs_used = int((rs_m >= 0).sum(axis=1).max(initial=0))
+        rc_used = int((rc_p >= 0).sum(axis=1).max(initial=0))
+        rsb = next((x for x in self._WIN_BUCKETS if x >= rs_used), RS_CAP)
+        rcb = next((x for x in self._WIN_BUCKETS if x >= rc_used), RC_CAP)
+        if rsb < RS_CAP or rcb < RC_CAP:
+            sfx, w1, wh = jax.device_get(self._win_slice_fn(rsb, rcb)(
+                out_b.rs_sfx, out_b.rc_w1, out_b.rc_wh))
+        else:
+            sfx, w1, wh = jax.device_get(
+                (out_b.rs_sfx, out_b.rc_w1, out_b.rc_wh))
+        return RoundBOut(trim_k=trim_k, rs_m=rs_m[:, :rsb],
+                         rs_k=rs_k[:, :rsb], rs_sfx=sfx, rs_n=rs_n,
+                         rc_p=rc_p[:, :rcb], rc_k=rc_k[:, :rcb],
+                         rc_w1=w1, rc_wh=wh, rc_n=rc_n)
 
     def finish(self, handle, seqs: list[NoteSequence],
                waves_host: np.ndarray) -> list[NoteSequence]:
@@ -1365,6 +1541,14 @@ class EvidenceRunner:
         changed = mid_changed or bool(added)
         final: list[Note] = []
         if loop.offset_trim:
+            if _OT_LEAKSUB and any(
+                    _h1_dead(n.pitch, n.program, cfg)
+                    for n, _, _ in added):
+                # An ADDED note routes to the h=2 trim region, but only
+                # h=1 windows ship — the pure-host chain is the only
+                # exact evaluator for this (rare: h1-dead pitches fail
+                # the add gates' own h1 evidence reads).
+                return fallback("h2win")
             spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
             for n, m in pairs:
                 kt = int(out.trim_k[b, m])
@@ -1374,7 +1558,8 @@ class EvidenceRunner:
                     changed = True
                 final.append(n)
             for n, win, start in added:
-                final.append(_trim_host_window(n, win, start, cfg, T))
+                final.append(_trim_host_window(n, win, start, cfg, T,
+                                               sources=notes))
         else:
             final = [p[0] for p in pairs] + [x[0] for x in added]
         if not changed:

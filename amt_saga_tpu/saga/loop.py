@@ -1125,6 +1125,47 @@ class Transcriber:
         first_exec_s / source) when the AOT cache is active; {} otherwise."""
         return dict(getattr(self._call, "stats", {}) or {})
 
+    # Note-axis shrink buckets for fetch_notes (< loop.max_notes cap).
+    _FETCH_BUCKETS = (32, 64, 128)
+
+    def _shrink_fn(self, m: int):
+        fns = getattr(self, "_shrink_fns", None)
+        if fns is None:
+            fns = self._shrink_fns = {}
+        fn = fns.get(m)
+        if fn is None:
+            fields = ("onset", "dur", "pitch", "gain", "program",
+                      "d_idx", "sd", "dot0", "vel_pred", "snap_w",
+                      "obs_w")
+
+            def s(nb):
+                return nb._replace(**{f: getattr(nb, f)[:, :m]
+                                      for f in fields})
+
+            fn = fns[m] = jax.jit(s)
+        return fn
+
+    def fetch_notes(self, notes):
+        """device_get with a count-bucketed device-side shrink along
+        the notes axis.  The note arrays are padded to loop.max_notes,
+        but typical content fills < 32 rows — and the axon tunnel
+        moves ~30 MB/s, so fetching the full [B, cap, ...] tree costs
+        ~90 ms/batch in pure transfer (measured).  One tiny count
+        fetch picks the smallest bucket covering the batch's fullest
+        lane; a cached slice program drops the padding on device and
+        the bulk fetch shrinks ~8x.  Mesh mode keeps the plain fetch
+        (sliced gathers would need their own shardings for marginal
+        gain at multi-host scale)."""
+        if self.mesh is not None:
+            return jax.device_get(notes)
+        cap = int(notes.onset.shape[1])
+        mx = int(np.max(jax.device_get(notes.count)))
+        for m in self._FETCH_BUCKETS:
+            if mx <= m < cap:
+                notes = self._shrink_fn(m)(notes)
+                break
+        return jax.device_get(notes)
+
     def host_gram(self) -> np.ndarray | None:
         """Host-side POWER-domain Gram of THIS transcriber's bank (for
         the joint gain refit) — consistent with a neural-bank tmpl

@@ -59,6 +59,8 @@ fires on exactly the genuine gross-early onsets and no others):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..config import Config
@@ -217,13 +219,17 @@ class _ColCache:
         return out
 
 
-def _fundamental_region(pitch: int, cfg: Config) -> tuple[int, int] | None:
+def _fundamental_region(pitch: int, cfg: Config,
+                        harmonic: int = 1) -> tuple[int, int] | None:
     """(lo_bin, hi_bin) slice (inclusive-exclusive) of +-1 filterbank bin
     around the fundamental of ``pitch`` — the pitch-unique evidence bins
     (only a +-1/3-semitone neighbor or an exact-subharmonic partial can
-    put energy there)."""
+    put energy there).  ``harmonic`` > 1 returns the region around
+    h x f0 instead — NOT pitch-unique (octave neighbors share it); used
+    only where the fundamental region reads at the spectral floor and
+    the caller subtracts other notes' predicted leak."""
     dsp = cfg.dsp
-    f0 = 440.0 * 2.0 ** ((pitch - 69.0) / 12.0)  # midi_to_hz
+    f0 = harmonic * 440.0 * 2.0 ** ((pitch - 69.0) / 12.0)  # midi_to_hz
     if f0 > 0.475 * dsp.sample_rate:
         return None
     c = int(round(np.log2(f0 / dsp.fmin) * dsp.bins_per_octave))
@@ -1137,10 +1143,28 @@ _OT_STAY = 0.6       # ...and STAYS below this for _OT_STAY_FRAMES
 _OT_STAY_FRAMES = 12
 _OT_MIN_TRIM = 2     # frames; sub-tolerance differences stay untouched
 _OT_MIN_K = 4        # never trim into the onset region
+# A/B switch for the cross-note leak subtraction in trim_offsets (see
+# its body); flipped by env for the fresh-seed A/B, default ON.
+_OT_LEAKSUB = os.environ.get("AMT_TRIM_LEAKSUB", "1") != "0"
+
+
+def _h1_dead(pitch: int, program: int, cfg: Config) -> bool:
+    """True when the template puts NO onset energy in its own
+    fundamental region (region out of band, or the filterbank's low
+    edge zero-weights it) — the static predicate that routes the
+    offset trim to the h=2 region.  Static (tables only, no signal),
+    so the device trim and the host chain route identically."""
+    reg = _fundamental_region(pitch, cfg)
+    if reg is None:
+        return True
+    return float(_region_trace(
+        pitch, program, float(max(cfg.synth.duration_grid)), reg,
+        _OT_MIN_K, cfg).max()) == 0.0
 
 
 def trim_offsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
-                 ev: "_ColCache | None" = None
+                 ev: "_ColCache | None" = None,
+                 sources: list[Note] | None = None
                  ) -> tuple[NoteSequence, int]:
     """Trim gross over-long durations to the fundamental-decay end.
 
@@ -1171,26 +1195,68 @@ def trim_offsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
     grid_max = float(max(cfg.synth.duration_grid))
     out = []
     n_trimmed = 0
+    if sources is None:
+        sources = list(seq.notes)
+
     for note in seq.notes:
         t0 = int(round(note.onset / spf))
         end_k = int(round(note.duration / spf))
-        reg = _fundamental_region(note.pitch, cfg)
-        if (reg is None or t0 < 0
-                or end_k < _OT_MIN_K + _OT_MIN_TRIM or t0 + 2 >= T):
+        if (t0 < 0 or end_k < _OT_MIN_K + _OT_MIN_TRIM or t0 + 2 >= T):
             out.append(note)
             continue
         hi = min(t0 + end_k + 2, T)
+        # Region routing: h=1 unless the template has NO own h=1 onset
+        # content (static predicate — the lowest pitches sit under the
+        # filterbank floor and could previously never be trimmed; the
+        # round-4 off-grid residual after the stay-rule fix was
+        # exactly this class).  h=2 is not pitch-unique, which is why
+        # the leak subtraction below must come with it.
+        h = 2 if (_OT_LEAKSUB
+                  and _h1_dead(note.pitch, note.program, cfg)) else 1
+        reg = _fundamental_region(note.pitch, cfg, harmonic=h)
+        if reg is None:
+            out.append(note)
+            continue
         e1 = ev.region(t0, hi, reg)
+        if _OT_LEAKSUB:
+            # Subtract every OTHER note's predicted template trace in
+            # the region before the ratio test.  A later region-
+            # overlapping onset (adjacent semitone, or an octave-below
+            # note's h=2) re-energizes the region and vetoed every
+            # trim under the stay rule — the round-4 fresh-seed
+            # off-grid misses were exactly this class (all 10 over-
+            # long, all with a leaky neighbor onsetting inside the
+            # extent).  The subtraction uses the exact synthetic
+            # template trace (source atom rendered in the target
+            # region), so a sounding neighbor explains its own energy
+            # and the stay window sees only THIS note's evidence.
+            # ``sources`` is the PRE-split/recover pool (the chain
+            # passes it) so the device evidence pass — which decides
+            # trims before the replay's additions exist — sees the
+            # same source set; self-exclusion is by (pitch, onset
+            # frame, program), not identity, so a split-shortened
+            # original does not subtract its own pool version.
+            sub = np.zeros(hi - t0, dtype=np.float64)
+            for m in sources:
+                tm = int(round(m.onset / spf))
+                if (m.pitch == note.pitch and tm == t0
+                        and m.program == note.program):
+                    continue
+                if tm >= hi:
+                    continue
+                rt = _region_trace(m.pitch, m.program, m.duration,
+                                   reg, hi - tm, cfg)
+                j0 = max(t0 - tm, 0)
+                sub[max(tm - t0, 0):] += (m.velocity / 127.0) \
+                    * rt[j0:j0 + (hi - t0) - max(tm - t0, 0)]
+            e1 = np.maximum(e1 - sub, 0.0)
         held = (note.velocity / 127.0) * _region_trace(
             note.pitch, note.program, grid_max, reg, hi - t0, cfg)
         ratio = e1 / np.maximum(held, 1e-9)
         # Trust gate: the evidence channel must light up at the onset,
         # where the note is KNOWN present — if it never reaches half
-        # the held expectation even there (ultra-low fundamentals at
-        # the spectral floor, mis-scaled yardsticks), absence later
-        # proves nothing.  Added after the rule trimmed a 36.7 Hz note
-        # to the minimum (its fundamental region never read above
-        # noise); fail closed instead.
+        # the held expectation even there (mis-scaled yardsticks,
+        # masked onsets), absence later proves nothing; fail closed.
         if float(ratio[:_OT_MIN_K].max()) < 0.5:
             out.append(note)
             continue
@@ -1257,6 +1323,11 @@ def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config,
             and ev is not None):
         with stages.timed("snap.instruments"):
             seq, _ = reassign_instruments(seq, wave, cfg, ev=ev)
+    # Trim's leak-subtraction sources = the note pool BEFORE the
+    # split/recover additions: the device evidence pass decides pool-
+    # note trims before the replay's additions exist, so the host
+    # chain must read the same source set to stay decision-identical.
+    pool = list(seq.notes)
     if loop.restrike_split and ev is not None:
         with stages.timed("snap.restrike"):
             seq, _ = split_restrikes(seq, wave, cfg, ev=ev)
@@ -1265,5 +1336,5 @@ def refine_emission(seq: NoteSequence, wave: np.ndarray, cfg: Config,
             seq, _ = recover_absent(seq, wave, cfg, ev=ev)
     if loop.offset_trim and ev is not None:
         with stages.timed("snap.trim"):
-            seq, _ = trim_offsets(seq, wave, cfg, ev=ev)
+            seq, _ = trim_offsets(seq, wave, cfg, ev=ev, sources=pool)
     return seq

@@ -351,11 +351,16 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
         ready: collections.deque = collections.deque()
         for i in range(stack):
             notes = tr._fn(dev_waves[i])     # async dispatch
-            nfut = nfetch.submit(jax.device_get, notes)
+            nfut = nfetch.submit(tr.fetch_notes, notes)
             if pending is not None:
-                ready.append(prep(*pending))
-                if len(ready) > 2:
+                # Emit BEFORE prep: prep blocks on the previous batch's
+                # notes fetch, and that axon execute-to-ready wait
+                # (~150 ms) hides behind the emit's host CPU work (its
+                # fetch runs on the nfetch thread, GIL released) —
+                # measured 2,903 -> emit-first removes the exposed wait.
+                if len(ready) >= 2:
                     midi_total += emit(*ready.popleft())
+                ready.append(prep(*pending))
             pending = (nfut, waves[i], dev_waves[i])
         ready.append(prep(*pending))
         while ready:

@@ -335,10 +335,13 @@ def test_trim_keeps_correct_duration(cfg):
     assert n == 0
 
 
-def test_trim_fails_closed_under_region_masker(cfg):
+def test_trim_subtracts_explained_region_masker(cfg):
     """A sub-octave neighbor whose 2nd harmonic sits AT our fundamental
-    and outlives us keeps the region energized -> no trim even though
-    the claimed duration is over-long."""
+    and outlives us energizes the region — but it is an ACCEPTED note,
+    so the leak subtraction explains its energy away and the over-long
+    duration trims to the true end (round-5: previously this class
+    failed closed and the off-grid fresh suite lost 6.5 F1 points to
+    exactly these vetoed trims)."""
     from amt_saga_tpu.saga.snap import trim_offsets
 
     spf = cfg.dsp.hop / cfg.dsp.sample_rate
@@ -350,7 +353,27 @@ def test_trim_fails_closed_under_region_masker(cfg):
                         Note(31 * spf, 2.0, 64, 110, 0)])
     out, n = trim_offsets(seq, wave, cfg)
     trimmed76 = [x for x in out if x.pitch == 76][0]
-    assert trimmed76.duration >= 1.0, "masked region must fail closed"
+    assert abs(trimmed76.duration - 0.5) <= 0.15, \
+        "explained masker must be subtracted; trim lands at true end"
+
+
+def test_trim_fails_closed_under_unexplained_masker(cfg):
+    """Region energy NOT explained by any accepted note (here: a loud
+    sub-octave note present in the AUDIO but absent from the sequence)
+    must still veto the trim — the subtraction only removes energy the
+    note list claims, so unexplained maskers keep the fail-closed
+    physics: a sounding region cannot prove absence."""
+    from amt_saga_tpu.saga.snap import trim_offsets
+
+    spf = cfg.dsp.hop / cfg.dsp.sample_rate
+    ref = NoteSequence()
+    ref.add(31 * spf, 0.5, 76, 110, 0)
+    ref.add(31 * spf, 2.0, 64, 110, 0)   # in the audio...
+    wave = render_notes(ref.sorted(), cfg, int(4.0 * cfg.dsp.sample_rate))
+    seq = NoteSequence([Note(31 * spf, 1.5, 76, 110, 0)])  # ...not the list
+    out, n = trim_offsets(seq, wave, cfg)
+    trimmed76 = [x for x in out if x.pitch == 76][0]
+    assert trimmed76.duration >= 1.0, "unexplained masker must fail closed"
 
 
 def test_trim_disabled_by_config(cfg):
