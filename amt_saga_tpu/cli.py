@@ -444,10 +444,12 @@ def cmd_transcribe_corpus(args) -> int:
                 / max(time.time() - t0, 1e-9),
             })
 
-        # Two-deep emit pipeline (mirrors bench.py --e2e): batch i's
+        # Three-deep emit pipeline (mirrors bench.py --e2e): batch i's
         # evidence round-B executes + is fetched while the host preps
-        # batch i+1 and emits batch i-1 — a 1-deep pipeline exposed
-        # ~150 ms/batch of axon execute-to-ready sync.
+        # batches i+1/i+2 and emits batch i-1 — a 1-deep pipeline
+        # exposed ~150 ms/batch of axon execute-to-ready sync, and the
+        # 2-deep window stopped covering the round-B fetch once the
+        # host replay stages were vectorized (round 5).
         pending = None  # (paths, notes future, device batch, t0, blen)
         ready: collections.deque = collections.deque()
         for (batch_paths, blen), dev_batch in zip(
@@ -461,7 +463,7 @@ def cmd_transcribe_corpus(args) -> int:
                 # notes fetch; emitting first hides that execute-to-
                 # ready wait behind the emit's host CPU work (the fetch
                 # rides the nfetch thread, GIL released).
-                if len(ready) >= 2:
+                if len(ready) >= 3:
                     emit(*ready.popleft())
                 ready.append(prep(*pending))
             pending = (batch_paths, nfut, dev_batch, t0, blen,

@@ -21,6 +21,8 @@ from __future__ import annotations
 import struct
 from typing import Dict, List, Tuple
 
+import numpy as np
+
 from .notes import (
     TEMPO_US_PER_BEAT,
     TICKS_PER_BEAT,
@@ -68,17 +70,35 @@ def notes_to_midi_bytes(seq: NoteSequence) -> bytes:
     programs = [n.program for n in canonical] or [0]
     chan_of = _program_to_channel(programs)
 
-    # Build (tick, order_class, pitch, program, status, data1, data2).
-    # order_class: 0 = note-off, 1 = note-on, so offs sort first at a tick.
-    events: List[Tuple[int, int, int, int, int, int, int]] = []
-    for n in canonical:
-        on_t = seconds_to_ticks(n.onset)
-        off_t = on_t + max(1, seconds_to_ticks(n.duration))
-        ch = chan_of[n.program]
-        vel = max(1, min(127, int(n.velocity)))
-        events.append((on_t, 1, n.pitch, n.program, 0x90 | ch, n.pitch, vel))
-        events.append((off_t, 0, n.pitch, n.program, 0x80 | ch, n.pitch, 64))
-    events.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
+    # Event order: (tick, order_class, pitch, program) with class
+    # 0 = note-off, 1 = note-on, so offs sort first at a tick.
+    # Vectorized construction: within each class events keep canonical
+    # note order (as the append+stable-sort loop did), and lexsort is
+    # stable, so byte order is identical to the scalar build — full-key
+    # ties can only differ in velocity, and within a class canonical
+    # order decides those the same way in both constructions.
+    k = len(canonical.notes)
+    tps = TICKS_PER_BEAT * 1_000_000.0 / TEMPO_US_PER_BEAT
+    onset = np.fromiter((n.onset for n in canonical.notes), np.float64, k)
+    dur = np.fromiter((n.duration for n in canonical.notes),
+                      np.float64, k)
+    pit = np.fromiter((n.pitch for n in canonical.notes), np.int64, k)
+    prg = np.fromiter((n.program for n in canonical.notes), np.int64, k)
+    vel = np.fromiter((n.velocity for n in canonical.notes), np.int64, k)
+    on_t = np.rint(onset * tps).astype(np.int64)
+    off_t = on_t + np.maximum(1, np.rint(dur * tps).astype(np.int64))
+    ch_arr = np.fromiter((chan_of[int(g)] for g in prg), np.int64, k) \
+        if k else np.zeros(0, np.int64)
+    vel_c = np.clip(vel, 1, 127)
+    # offs (class 0) concatenated before ons (class 1), each in
+    # canonical note order.
+    e_tick = np.concatenate([off_t, on_t])
+    e_cls = np.concatenate([np.zeros(k, np.int64), np.ones(k, np.int64)])
+    e_pit = np.concatenate([pit, pit])
+    e_prg = np.concatenate([prg, prg])
+    e_status = np.concatenate([0x80 | ch_arr, 0x90 | ch_arr])
+    e_d2 = np.concatenate([np.full(k, 64, np.int64), vel_c])
+    order = np.lexsort((e_prg, e_pit, e_cls, e_tick))
 
     track = bytearray()
     # Tempo meta at tick 0.
@@ -90,7 +110,9 @@ def notes_to_midi_bytes(seq: NoteSequence) -> bytes:
 
     last_tick = 0
     last_status = -1
-    for tick, _cls, _pitch, _prog, status, d1, d2 in events:
+    et, es = e_tick[order].tolist(), e_status[order].tolist()
+    ep, ed = e_pit[order].tolist(), e_d2[order].tolist()
+    for tick, status, d1, d2 in zip(et, es, ep, ed):
         track += _var_len(tick - last_tick)
         if status != last_status:
             track.append(status)

@@ -61,6 +61,31 @@ class Note:
         )
 
 
+def sort_order(notes: Sequence["Note"]) -> np.ndarray:
+    """Indices that put ``notes`` in canonical :meth:`Note.sort_key`
+    order — the vectorized equivalent of
+    ``sorted(range(n), key=lambda i: notes[i].sort_key())``.
+
+    Identical order is guaranteed: the tick keys use the same f64
+    multiply + round-half-even as :func:`seconds_to_ticks` (``np.rint``
+    and Python ``round`` both round half to even on float64), lexsort
+    compares the same five keys in the same priority, and both sorts
+    are stable, so full-key ties keep original order either way.  The
+    per-note ``sort_key`` tuple construction was a measured emission
+    hot spot (~145k calls per 768-lane batch)."""
+    n = len(notes)
+    tps = TICKS_PER_BEAT * 1_000_000.0 / TEMPO_US_PER_BEAT
+    onset = np.fromiter((m.onset for m in notes), np.float64, n)
+    dur = np.fromiter((m.duration for m in notes), np.float64, n)
+    pitch = np.fromiter((m.pitch for m in notes), np.int64, n)
+    vel = np.fromiter((m.velocity for m in notes), np.int64, n)
+    prog = np.fromiter((m.program for m in notes), np.int64, n)
+    ot = np.rint(onset * tps).astype(np.int64)
+    dt = np.rint(dur * tps).astype(np.int64)
+    # lexsort: LAST key is primary; stable.
+    return np.lexsort((vel, dt, prog, pitch, ot))
+
+
 @dataclass
 class NoteSequence:
     """Ordered container of notes; the host-side L1 data model."""
@@ -74,7 +99,10 @@ class NoteSequence:
 
     def sorted(self) -> "NoteSequence":
         """Deterministic canonical order (the parity surface)."""
-        return NoteSequence(sorted(self.notes, key=Note.sort_key))
+        notes = self.notes
+        if len(notes) < 8:
+            return NoteSequence(sorted(notes, key=Note.sort_key))
+        return NoteSequence([notes[i] for i in sort_order(notes)])
 
     def __len__(self) -> int:
         return len(self.notes)
@@ -487,11 +515,22 @@ def refit_gains_variants_host(
     d_orig = np.asarray(d_idx[:n], dtype=np.int64)
     prog = out_p[:n]
     dsel = d_orig.copy()
-    dt = t[None, :] - t[:, None]
-    in_band = np.abs(dt) < tmax
-    k = np.clip(dt + tmax - 1, 0, gram_pow.shape[0] - 1)
     d0_all = np.asarray(dot0_pow[:n], dtype=np.float64)  # [n, I*3]
     h = np.square(out_g[:n])
+
+    # The [n, n] pair tables feed only the numpy descent fallback and
+    # the stage-3 context vote — when the native kernel runs a single-
+    # instrument config, building them is pure per-lane overhead
+    # (measured on the 768-lane emission path).  Values are identical
+    # whenever they ARE built.
+    dt = in_band = k = None
+
+    def _pair_tables():
+        nonlocal dt, in_band, k
+        if dt is None:
+            dt = t[None, :] - t[:, None]
+            in_band = np.abs(dt) < tmax
+            k = np.clip(dt + tmax - 1, 0, gram_pow.shape[0] - 1)
 
     def descend(qd_var, d_var, i_var, d0, allowed=None):
         """Variant-comparing sweeps over the given per-note variant set
@@ -504,6 +543,7 @@ def refit_gains_variants_host(
         of values that are bit-identical across iterations: gaa depends
         only on the static variant set, and qb changes one entry per
         accepted update."""
+        _pair_tables()
         gaa_all = np.maximum(
             gram_pow[tmax - 1, qd_var, qd_var].astype(np.float64),
             1e-12)                                               # [n, V]
@@ -593,6 +633,7 @@ def refit_gains_variants_host(
         # ``context_frames`` (instruments play contiguous phrases);
         # ties keep the joint-fit choice.  Deterministic f64, shared by
         # both paths: parity preserved.
+        _pair_tables()
         obj_i = np.zeros((n, n_i), dtype=np.float64)
         for a in range(n):
             qd_a = (np.arange(n_i, dtype=np.int64) * n_pitches + p[a]) \

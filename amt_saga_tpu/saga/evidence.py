@@ -63,7 +63,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..core.notes import Note, NoteSequence, gain_to_velocity
+from ..core.notes import (
+    Note,
+    NoteSequence,
+    gain_to_velocity,
+    sort_order,
+)
 from .snap import (
     _OT_DROP,
     _OT_MIN_K,
@@ -92,6 +97,7 @@ from .snap import (
     _h1_dead,
     _leak_matrix,
     _region_trace,
+    _region_trace_full,
     _regions,
     refine_emission,
 )
@@ -800,15 +806,18 @@ def _inst_decide(notes: list[Note], obs_of: list[np.ndarray | None],
                 dt = int(round((note.onset - m.onset) / spf))
                 if dt < 0:
                     continue
-                tr_m = _region_trace(m.pitch, m.program, m.duration,
-                                     r, dt + 3, cfg)[dt:]
-                if tr_m.size:
-                    pol += (m.velocity / 127.0) * float(tr_m.max())
+                # [dt:dt+3] of the zero-padded trace; traces are
+                # non-negative, so max(initial=0) == padded max.
+                tr_m = _region_trace_full(m.pitch, m.program,
+                                          m.duration, r, cfg)[dt:dt + 3]
+                pol += (m.velocity / 127.0) * float(
+                    tr_m.max(initial=0.0))
             obs.append(o)
             clean.append(pol < 0.5 * o)
             for i in range(n_i):
-                exp[i].append(float(_region_trace(
-                    note.pitch, i, note.duration, r, 3, cfg).max()))
+                exp[i].append(float(_region_trace_full(
+                    note.pitch, i, note.duration, r, cfg
+                )[:3].max(initial=0.0)))
         obs, clean = np.asarray(obs), np.asarray(clean)
         if clean.sum() < 2 or (obs[clean] <= 0).any():
             continue
@@ -839,7 +848,7 @@ def _dedup_keep(seq: NoteSequence, cfg: Config) -> list[int] | None:
     fixed mid-chain cost per lane)."""
     spf = cfg.dsp.hop / float(cfg.dsp.sample_rate)
     n = len(seq.notes)
-    order = sorted(range(n), key=lambda i: seq.notes[i].sort_key())
+    order = sort_order(seq.notes)
     notes = [seq.notes[i] for i in order]
     pitch = np.fromiter((m.pitch for m in notes), np.int64, n)
     prog = np.fromiter((m.program for m in notes), np.int64, n)
@@ -940,9 +949,10 @@ def _replay_restrike(pairs: list, cands_by_m: dict,
             t_ref = (lo_r + int(idx[0]) if idx.size else k) + ref_off
             on2 = float(t0 + t_ref) * spf
             mag2 = float(np.sqrt(max(float(win[4]) ** 2 - lm ** 2, 0.0)))
-            g_raw = mag2 / max(_region_trace(
-                note.pitch, note.program, note.duration,
-                regs[0][1], 1, cfg)[0], 1e-9)
+            _rt0 = _region_trace_full(note.pitch, note.program,
+                                      note.duration, regs[0][1], cfg)
+            g_raw = mag2 / max(float(_rt0[0]) if len(_rt0) else 0.0,
+                               1e-9)
             if g_raw < _RS_MIN_GAIN:
                 continue
             g2 = min(max(g_raw, 0.08), 1.0)
@@ -1166,11 +1176,18 @@ def _trim_host_window(note: Note, e1_win: np.ndarray, win_start: int,
                 continue
             if tm >= hi:
                 continue
-            rt = _region_trace(m.pitch, m.program, m.duration,
-                               reg, hi - tm, cfg)
+            # Read the memoized full trace directly; frames past its
+            # length are zero, so a source whose template has decayed
+            # before t0 contributes nothing and is skipped outright.
+            full = _region_trace_full(m.pitch, m.program, m.duration,
+                                      reg, cfg)
             j0 = max(t0 - tm, 0)
-            sub[max(tm - t0, 0):] += (m.velocity / 127.0) \
-                * rt[j0:j0 + (hi - t0) - max(tm - t0, 0)]
+            a0 = max(tm - t0, 0)
+            navail = min((hi - t0) - a0, len(full) - j0)
+            if navail <= 0:
+                continue
+            sub[a0:a0 + navail] += (m.velocity / 127.0) \
+                * full[j0:j0 + navail]
         e1 = np.maximum(e1 - sub, 0.0)
     held = (note.velocity / 127.0) * _region_trace(
         note.pitch, note.program, grid_max, reg, hi - t0, cfg)
@@ -1378,9 +1395,7 @@ class EvidenceRunner:
                                     max(n.duration - d * spf, spf),
                                     n.pitch, n.velocity, n.program)
                                 delta_of[om[i]] = d
-                            order = sorted(range(len(notes)),
-                                           key=lambda i:
-                                           notes[i].sort_key())
+                            order = sort_order(notes)
                             notes = [notes[i] for i in order]
                             om = [om[i] for i in order]
                             ch = True
@@ -1405,9 +1420,7 @@ class EvidenceRunner:
                                 n = notes[i]
                                 notes[i] = Note(n.onset, n.duration,
                                                 n.pitch, n.velocity, best)
-                            order = sorted(range(len(notes)),
-                                           key=lambda i:
-                                           notes[i].sort_key())
+                            order = sort_order(notes)
                             notes = [notes[i] for i in order]
                             ch = True
                             self.stats["inst_changed"] += len(chg)
@@ -1419,8 +1432,18 @@ class EvidenceRunner:
         with stages.timed("ev.pack"):
             ints, floats = _pack(mid, cfg, T, self._m_bucket(m_max))
         out_b = self._jit_b(waves_dev, ints, floats, self._tables_dev)
+        # Eagerly dispatch the smallest-bucket window slice (async) so
+        # the getter's common path is ONE device_get — the two-leg
+        # fetch (counts, then a sized slice) paid a second axon
+        # execute-to-ready sync per batch (~exposed 0.8 s per 8-batch
+        # repeat once the host stages were vectorized).
+        sl16 = None
+        if self._mesh is None:
+            b0 = self._WIN_BUCKETS[0]
+            sl16 = self._win_slice_fn(b0, b0)(
+                out_b.rs_sfx, out_b.rc_w1, out_b.rc_wh)
         return mid, changed, fell, self._getter.submit(
-            self._fetch_b, out_b)
+            self._fetch_b, out_b, sl16)
 
     # Candidate-axis shrink buckets for the round-B window fetch.
     _WIN_BUCKETS = (16, 64)
@@ -1434,26 +1457,39 @@ class EvidenceRunner:
             fn = self._win_fns[(rsb, rcb)] = jax.jit(s)
         return fn
 
-    def _fetch_b(self, out_b: RoundBOut) -> RoundBOut:
+    def _fetch_b(self, out_b: RoundBOut, sl16=None) -> RoundBOut:
         """Getter-thread fetch with a candidate-bucketed device-side
         shrink of the window arrays.  rs_sfx/rc_w1 are padded to
         RS_CAP/RC_CAP rows (~11 MB/batch at B=96) but typical content
         fills well under 16 — and the axon tunnel moves ~30 MB/s, so
-        the padding dominated ev.fetch.  The small fields land first
-        (one transfer); the max valid row count across lanes picks the
-        smallest bucket; a cached slice program drops the padding on
-        device.  Candidates are front-compacted per lane (top_k by
-        ascending index), so row j < bucket covers every valid cell."""
+        the padding dominated ev.fetch.  ``sl16`` is the eagerly
+        dispatched smallest-bucket slice from ``_advance``: the common
+        path is then ONE device_get (small fields + 16-bucket windows);
+        only a batch whose candidate count overflows the first bucket
+        pays a second, larger fetch.  Candidates are front-compacted
+        per lane (top_k by ascending index), so row j < bucket covers
+        every valid cell."""
         if self._mesh is not None:
             return jax.device_get(out_b)
-        trim_k, rs_m, rs_k, rs_n, rc_p, rc_k, rc_n = jax.device_get(
-            (out_b.trim_k, out_b.rs_m, out_b.rs_k, out_b.rs_n,
-             out_b.rc_p, out_b.rc_k, out_b.rc_n))
+        b0 = self._WIN_BUCKETS[0]
+        if sl16 is not None:
+            (trim_k, rs_m, rs_k, rs_n, rc_p, rc_k, rc_n), \
+                (sfx0, w10, wh0) = jax.device_get(
+                    ((out_b.trim_k, out_b.rs_m, out_b.rs_k, out_b.rs_n,
+                      out_b.rc_p, out_b.rc_k, out_b.rc_n), sl16))
+        else:
+            trim_k, rs_m, rs_k, rs_n, rc_p, rc_k, rc_n = jax.device_get(
+                (out_b.trim_k, out_b.rs_m, out_b.rs_k, out_b.rs_n,
+                 out_b.rc_p, out_b.rc_k, out_b.rc_n))
+            sfx0 = w10 = wh0 = None
         rs_used = int((rs_m >= 0).sum(axis=1).max(initial=0))
         rc_used = int((rc_p >= 0).sum(axis=1).max(initial=0))
         rsb = next((x for x in self._WIN_BUCKETS if x >= rs_used), RS_CAP)
         rcb = next((x for x in self._WIN_BUCKETS if x >= rc_used), RC_CAP)
-        if rsb < RS_CAP or rcb < RC_CAP:
+        if sfx0 is not None and rsb <= b0 and rcb <= b0:
+            rsb = rcb = b0
+            sfx, w1, wh = sfx0, w10, wh0
+        elif rsb < RS_CAP or rcb < RC_CAP:
             sfx, w1, wh = jax.device_get(self._win_slice_fn(rsb, rcb)(
                 out_b.rs_sfx, out_b.rc_w1, out_b.rc_wh))
         else:
@@ -1520,6 +1556,20 @@ class EvidenceRunner:
             return fallback("overflow_rs")
         if loop.recover_absent and int(out.rc_n[b]) > RC_CAP:
             return fallback("overflow_rc")
+
+        # Fast path: nothing fired for this lane — no mid-chain
+        # mutation, no shipped candidates (front-packed, so cell 0
+        # empty means all empty), no device trim hits.  The scalar
+        # replay below would reach the same `not changed -> orig_seq`
+        # conclusion after building the per-note structures; skip it
+        # (the unchanged-lane walk was ~40% of ev.replay once the gate
+        # arithmetic was vectorized).
+        if (not mid_changed
+                and (not loop.restrike_split or int(out.rs_m[b, 0]) < 0)
+                and (not loop.recover_absent or int(out.rc_p[b, 0]) < 0)
+                and (not loop.offset_trim
+                     or not bool((out.trim_k[b] >= 0).any()))):
+            return orig_seq
 
         notes = list(mid_seq.notes)
         pairs = [(n, m) for m, n in enumerate(notes)]

@@ -1079,7 +1079,7 @@ class Transcriber:
         """Async-dispatch the jitted program on a device waveform batch."""
         return self._call(waves, self._tmpl_dev)
 
-    def warmup(self, batch: int, lengths) -> None:
+    def warmup(self, batch: int, lengths, stack: int = 1) -> None:
         """Start resolving the compiled program(s) for these
         (batch, n_samples) shapes on a background thread, so the serving
         path never pays load/compile/first-execution (the axon
@@ -1087,8 +1087,14 @@ class Transcriber:
         corpus runner calls this right after planning its batch shapes;
         the warmup overlaps WAV loading and spectrogram feeding.  A
         serving call that arrives first simply does the work itself
-        (per-key lock — never duplicated)."""
+        (per-key lock — never duplicated).  ``stack > 1`` warms the
+        stacked-dispatch [stack, batch, n] program instead (the bench's
+        shape; the evidence pass always runs per sub-batch)."""
         from ..runtime.aot import AotCache
+
+        def shape(n):
+            return ((stack, batch, int(n)) if stack > 1
+                    else (batch, int(n)))
 
         ev = self.evidence_runner()
         if ev is not None:
@@ -1097,7 +1103,7 @@ class Transcriber:
         if isinstance(self._call, AotCache):
             for n in lengths:
                 self._call.warmup_async(
-                    jnp.zeros((batch, int(n)), jnp.float32),
+                    jnp.zeros(shape(n), jnp.float32),
                     self._tmpl_dev)
         else:
             # Plain jit / sharded mode: dispatch a dummy batch per shape
@@ -1109,7 +1115,7 @@ class Transcriber:
                 for n in lengths:
                     try:
                         jax.device_get(self._fn(
-                            jnp.zeros((batch, int(n)), jnp.float32)))
+                            jnp.zeros(shape(n), jnp.float32)))
                     except Exception as e:  # surfaces on the real call
                         from ..utils.logging import get_logger
 
@@ -1150,16 +1156,26 @@ class Transcriber:
         the notes axis.  The note arrays are padded to loop.max_notes,
         but typical content fills < 32 rows — and the axon tunnel
         moves ~30 MB/s, so fetching the full [B, cap, ...] tree costs
-        ~90 ms/batch in pure transfer (measured).  One tiny count
-        fetch picks the smallest bucket covering the batch's fullest
-        lane; a cached slice program drops the padding on device and
-        the bulk fetch shrinks ~8x.  Mesh mode keeps the plain fetch
-        (sliced gathers would need their own shardings for marginal
-        gain at multi-host scale)."""
+        ~90 ms/batch in pure transfer (measured).  The smallest-bucket
+        slice is dispatched EAGERLY (async) so the common path is ONE
+        device_get (counts + sliced tree) — the count-first two-leg
+        fetch paid a second axon execute-to-ready sync per batch; only
+        a batch whose fullest lane overflows the first bucket pays a
+        second, larger fetch.  Mesh mode keeps the plain fetch (sliced
+        gathers would need their own shardings for marginal gain at
+        multi-host scale)."""
         if self.mesh is not None:
             return jax.device_get(notes)
         cap = int(notes.onset.shape[1])
-        mx = int(np.max(jax.device_get(notes.count)))
+        b0 = self._FETCH_BUCKETS[0]
+        if b0 < cap:
+            small = self._shrink_fn(b0)(notes)     # async dispatch
+            count, small_host = jax.device_get((notes.count, small))
+            mx = int(np.max(count))
+            if mx <= b0:
+                return small_host
+        else:
+            mx = int(np.max(jax.device_get(notes.count)))
         for m in self._FETCH_BUCKETS:
             if mx <= m < cap:
                 notes = self._shrink_fn(m)(notes)

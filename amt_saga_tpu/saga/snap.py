@@ -430,8 +430,9 @@ def _rs_rise_explained(note, tt: float, rise_amt: float, pool,
         if abs(m.onset - tt) <= 4 * spf:
             if m.pitch == note.pitch:
                 return True
-            lk = (m.velocity / 127.0) * _region_trace(
-                m.pitch, m.program, m.duration, reg1, 3, cfg).max()
+            lk = (m.velocity / 127.0) * float(_region_trace_full(
+                m.pitch, m.program, m.duration, reg1, cfg
+            )[:3].max(initial=0.0))
             if lk >= _RS_LEAK * rise_amt:
                 return True
             leak_pow += lk * lk
@@ -446,10 +447,10 @@ def _rs_rise_explained(note, tt: float, rise_amt: float, pool,
             # Same-pitch proximity is owned by the covered-check and
             # the onset-gated branch above.
             dt = int(round((tt - m.onset) / spf))
-            tr = _region_trace(m.pitch, m.program, m.duration,
-                               reg1, dt + 1, cfg)
-            lk_t = (m.velocity / 127.0) * float(tr[dt]) \
-                if dt < len(tr) else 0.0
+            full = _region_trace_full(m.pitch, m.program, m.duration,
+                                      reg1, cfg)
+            lk_t = (m.velocity / 127.0) * float(full[dt]) \
+                if 0 <= dt < len(full) else 0.0
             if 2.0 * lk_t >= _RS_BEAT_FRAC * rise_amt:
                 return True
     if _RS_LEAK_SUM and leak_pow >= (_RS_LEAK * rise_amt) ** 2:
@@ -482,17 +483,23 @@ def _regions(pitch: int, cfg: Config) -> list[tuple[int, tuple[int, int]]]:
 _REGIONS_MEMO: dict = {}
 
 
-def _region_trace(pitch: int, program: int, duration: float,
-                  reg: tuple[int, int], k_max: int,
-                  cfg: Config) -> np.ndarray:
-    """Template magnitude trace in an arbitrary region for the nearest
-    grid duration — per unit gain, frames 0..k_max from the onset.
-    Memoized at full template length (repeated pitches re-read the
-    same rows constantly) and sliced per call."""
+def _region_trace_full(pitch: int, program: int, duration: float,
+                       reg: tuple[int, int], cfg: Config) -> np.ndarray:
+    """Memoized FULL-length template magnitude trace in an arbitrary
+    region for the nearest grid duration — per unit gain, frames from
+    the onset.  Returns the memo entry itself (READ-ONLY); frames past
+    ``len(full)`` are implicitly zero.  Callers that need a fixed-width
+    zero-padded window use :func:`_region_trace`; point reads index
+    this directly — the per-call zeros+copy slice was a measured
+    emission-replay hot spot (~32k calls per 768-lane batch)."""
     from ..synth.templates import template_bank, template_lead
 
     p = pitch - cfg.synth.pitch_min
-    grid = np.asarray(cfg.synth.duration_grid)
+    gkey = cfg.synth
+    grid = _RTRACE_GRID_MEMO.get(gkey)
+    if grid is None:
+        grid = _RTRACE_GRID_MEMO[gkey] = np.asarray(
+            cfg.synth.duration_grid)
     d = int(np.argmin(np.abs(grid - duration)))
     key = (cfg.synth, cfg.dsp, pitch, program, d, reg)
     full = _RTRACE_MEMO.get(key)
@@ -507,6 +514,14 @@ def _region_trace(pitch: int, program: int, duration: float,
         if len(_RTRACE_MEMO) > 4096:
             _RTRACE_MEMO.clear()
         _RTRACE_MEMO[key] = full
+    return full
+
+
+def _region_trace(pitch: int, program: int, duration: float,
+                  reg: tuple[int, int], k_max: int,
+                  cfg: Config) -> np.ndarray:
+    """Zero-padded [k_max] window of :func:`_region_trace_full`."""
+    full = _region_trace_full(pitch, program, duration, reg, cfg)
     out = np.zeros(k_max, dtype=np.float64)
     n = min(k_max, len(full))
     out[:n] = full[:n]
@@ -514,6 +529,7 @@ def _region_trace(pitch: int, program: int, duration: float,
 
 
 _RTRACE_MEMO: dict = {}
+_RTRACE_GRID_MEMO: dict = {}
 
 
 def reassign_instruments(seq: NoteSequence, wave: np.ndarray,
@@ -564,15 +580,18 @@ def reassign_instruments(seq: NoteSequence, wave: np.ndarray,
                 dt = int(round((note.onset - m.onset) / spf))
                 if dt < 0:
                     continue
-                tr_m = _region_trace(m.pitch, m.program, m.duration,
-                                     r, dt + 3, cfg)[dt:]
-                if tr_m.size:
-                    pol += (m.velocity / 127.0) * float(tr_m.max())
+                # [dt:dt+3] of the zero-padded trace; traces are
+                # non-negative, so max(initial=0) == padded max.
+                tr_m = _region_trace_full(m.pitch, m.program,
+                                          m.duration, r, cfg)[dt:dt + 3]
+                pol += (m.velocity / 127.0) * float(
+                    tr_m.max(initial=0.0))
             obs.append(o)
             clean.append(pol < 0.5 * o)
             for i in range(n_i):
-                exp[i].append(float(_region_trace(
-                    note.pitch, i, note.duration, r, 3, cfg).max()))
+                exp[i].append(float(_region_trace_full(
+                    note.pitch, i, note.duration, r, cfg
+                )[:3].max(initial=0.0)))
         obs, clean = np.asarray(obs), np.asarray(clean)
         if clean.sum() < 2 or (obs[clean] <= 0).any():
             out.append(note)
@@ -730,9 +749,10 @@ def split_restrikes(seq: NoteSequence, wave: np.ndarray, cfg: Config,
             # sqrt(e1^2 - pre-rise^2), not the difference.
             lm = float(local_min[k - _RS_MIN_K])
             mag2 = float(np.sqrt(max(float(e1[k]) ** 2 - lm ** 2, 0.0)))
-            g_raw = mag2 / max(_region_trace(
-                note.pitch, note.program, note.duration,
-                regs[0][1], 1, cfg)[0], 1e-9)
+            _rt0 = _region_trace_full(note.pitch, note.program,
+                                      note.duration, regs[0][1], cfg)
+            g_raw = mag2 / max(float(_rt0[0]) if len(_rt0) else 0.0,
+                               1e-9)
             if g_raw < _RS_MIN_GAIN:
                 continue
             g2 = min(max(g_raw, 0.08), 1.0)
@@ -1244,11 +1264,15 @@ def trim_offsets(seq: NoteSequence, wave: np.ndarray, cfg: Config,
                     continue
                 if tm >= hi:
                     continue
-                rt = _region_trace(m.pitch, m.program, m.duration,
-                                   reg, hi - tm, cfg)
+                full = _region_trace_full(m.pitch, m.program,
+                                          m.duration, reg, cfg)
                 j0 = max(t0 - tm, 0)
-                sub[max(tm - t0, 0):] += (m.velocity / 127.0) \
-                    * rt[j0:j0 + (hi - t0) - max(tm - t0, 0)]
+                a0 = max(tm - t0, 0)
+                navail = min((hi - t0) - a0, len(full) - j0)
+                if navail <= 0:
+                    continue
+                sub[a0:a0 + navail] += (m.velocity / 127.0) \
+                    * full[j0:j0 + navail]
             e1 = np.maximum(e1 - sub, 0.0)
         held = (note.velocity / 127.0) * _region_trace(
             note.pitch, note.program, grid_max, reg, hi - t0, cfg)

@@ -105,6 +105,26 @@ def _make_waves(cfg, batch: int, seconds: float) -> np.ndarray:
     return np.stack(waves)
 
 
+def _bench_aot_dir() -> str | None:
+    """Executable-cache directory for the bench programs.
+
+    IN-REPO (``<repo>/.cache/aot_bench``) so a warm cache ships with
+    the checkout: the driver's end-of-round bench runs in a fresh
+    process (and possibly a fresh HOME), and without a warm cache its
+    first call pays the axon remote compile + server-side finalize
+    (measured 303 s in BENCH_r04 vs ~30 s warm).  Entries are keyed by
+    code fingerprint + config + shapes (runtime/aot.py), so a stale
+    executable can never be reloaded silently — a cache populated
+    before a code change is simply ignored.  Override the location
+    with AMT_BENCH_AOT_DIR; AMT_NO_BENCH_AOT=1 opts out (e.g. to
+    measure true cold compile)."""
+    if os.environ.get("AMT_NO_BENCH_AOT"):
+        return None
+    return (os.environ.get("AMT_BENCH_AOT_DIR")
+            or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".cache", "aot_bench"))
+
+
 def bench_tpu(batch: int, seconds: float, repeats: int,
               use_pallas: bool = True, stack: int = 8,
               classifier: str = "heuristic",
@@ -123,8 +143,24 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
         "run.use_pallas": use_pallas,
         "run.classifier": classifier,
         "run.cnn_gate": cnn_gate})
-    waves = _make_waves(cfg, batch, seconds)
-    if stack > 1:
+    if classifier == "cnn":
+        # CNN mode loads the shipped checkpoint through the CLI's
+        # factory (same path a user takes).
+        from amt_saga_tpu.cli import _make_transcriber
+
+        tr = _make_transcriber(
+            cfg.override(**{"run.aot_cache": _bench_aot_dir() or ""}))
+    else:
+        tr = Transcriber(cfg, aot_dir=_bench_aot_dir())
+    # Warm the stacked program BEFORE the (slow, host-side) fixture
+    # synthesis: the AOT load + axon server finalize — or the cold
+    # compile — runs on a daemon thread while make_clip renders the
+    # corpus, so the first measured call finds the executable resolved.
+    n_samples_w = int(round(seconds * cfg.dsp.sample_rate))
+    tr.warmup(batch, [n_samples_w], stack=max(1, stack))
+    if stack <= 1:
+        waves = _make_waves(cfg, batch, seconds)
+    else:
         # Stacked dispatch: M sub-batches run sequentially on device in
         # ONE program (saga.loop.transcribe_waves on a [M, B, N] input).
         # The per-dispatch host/RPC cost — ~36 ms through the axon
@@ -141,27 +177,6 @@ def bench_tpu(batch: int, seconds: float, repeats: int,
         dens = np.argsort([_flux_density(w, cfg.dsp.sample_rate)
                            for w in waves], kind="stable")
         waves = waves[dens].reshape(stack, batch, -1)
-    # AOT executable cache: a later bench process (e.g. the BENCH
-    # protocol's fresh run) reloads the compiled program instead of
-    # paying the axon remote compile (107-900 s observed variance; a
-    # deserialized first execution worst-cases at ~half that and
-    # best-cases at ~0.3 s).  Keyed by code fingerprint + config +
-    # shapes, so a stale executable can never be reloaded silently.
-    # AMT_NO_BENCH_AOT=1 opts out (e.g. to measure true cold compile).
-    import os
-
-    aot_dir = (None if os.environ.get("AMT_NO_BENCH_AOT") else
-               os.path.join(os.path.expanduser("~"), ".cache",
-                            "amt_saga_tpu", "aot_bench"))
-    if classifier == "cnn":
-        # CNN mode loads the shipped checkpoint through the CLI's
-        # factory (same path a user takes).
-        from amt_saga_tpu.cli import _make_transcriber
-
-        tr = _make_transcriber(
-            cfg.override(**{"run.aot_cache": aot_dir or ""}))
-    else:
-        tr = Transcriber(cfg, aot_dir=aot_dir)
     dev_waves = jax.device_put(waves)
 
     # Warmup must FETCH the result: on the axon backend
@@ -267,23 +282,20 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
     cfg = default_config().override(**{
         "run.use_pallas": use_pallas,
         "run.classifier": classifier})
-    waves = _make_waves(cfg, stack * batch, seconds)
-    dens = np.argsort([_flux_density(w, cfg.dsp.sample_rate)
-                       for w in waves], kind="stable")
-    waves = waves[dens].reshape(stack, batch, -1)
-
-    import os
-
-    aot_dir = (None if os.environ.get("AMT_NO_BENCH_AOT") else
-               os.path.join(os.path.expanduser("~"), ".cache",
-                            "amt_saga_tpu", "aot_bench"))
     if classifier == "cnn":
         from amt_saga_tpu.cli import _make_transcriber
 
         tr = _make_transcriber(
-            cfg.override(**{"run.aot_cache": aot_dir or ""}))
+            cfg.override(**{"run.aot_cache": _bench_aot_dir() or ""}))
     else:
-        tr = Transcriber(cfg, aot_dir=aot_dir)
+        tr = Transcriber(cfg, aot_dir=_bench_aot_dir())
+    # Warm the per-sub-batch program + evidence pass while the host
+    # renders the fixture corpus (see bench_tpu).
+    tr.warmup(batch, [int(round(seconds * cfg.dsp.sample_rate))])
+    waves = _make_waves(cfg, stack * batch, seconds)
+    dens = np.argsort([_flux_density(w, cfg.dsp.sample_rate)
+                       for w in waves], kind="stable")
+    waves = waves[dens].reshape(stack, batch, -1)
     dev_waves = [jax.device_put(waves[i]) for i in range(stack)]
     gram = tr.host_gram()
     refiner = tr.duration_refiner()
@@ -341,10 +353,13 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
         emit_walls.clear()
         midi_total = 0
         t0 = time.time()
-        # Two-deep emit pipeline: batch i's evidence round-B executes
-        # and is fetched (getter thread) while the host preps batch i+1
-        # AND emits batch i-1 — a 1-deep pipeline exposed ~150 ms/batch
-        # of axon execute-to-ready sync in ev.fetch/notes_fetch.
+        # Three-deep emit pipeline: batch i's evidence round-B executes
+        # and is fetched (getter thread) while the host preps batches
+        # i+1/i+2 AND emits batch i-1 — a 1-deep pipeline exposed
+        # ~150 ms/batch of axon execute-to-ready sync in
+        # ev.fetch/notes_fetch; once the host replay stages were
+        # vectorized (round 5) the 2-deep window no longer covered the
+        # round-B execute + single-transfer fetch either.
         import collections
 
         pending = None
@@ -358,7 +373,7 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
                 # (~150 ms) hides behind the emit's host CPU work (its
                 # fetch runs on the nfetch thread, GIL released) —
                 # measured 2,903 -> emit-first removes the exposed wait.
-                if len(ready) >= 2:
+                if len(ready) >= 3:
                     midi_total += emit(*ready.popleft())
                 ready.append(prep(*pending))
             pending = (nfut, waves[i], dev_waves[i])

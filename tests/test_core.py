@@ -320,3 +320,96 @@ def test_refine_many_bitwise_matches_scalar():
             assert np.isnan(batch[i])
         else:
             assert batch[i] == scalar, (i, batch[i], scalar)
+
+
+def test_sort_order_matches_scalar_sort_key_fuzz():
+    """sort_order (vectorized lexsort) must equal the scalar
+    sorted(key=Note.sort_key) order — including engineered tick ties,
+    half-even rounding boundaries, and full-key duplicates (where
+    stability decides)."""
+    from amt_saga_tpu.core.notes import Note, sort_order
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n = int(rng.integers(1, 60))
+        notes = []
+        for _ in range(n):
+            # Cluster onsets so tick ties are common; include exact
+            # half-tick values (x.5/960s) to exercise round-half-even.
+            base = float(rng.integers(0, 8)) / 960.0 * rng.integers(1, 4)
+            if rng.random() < 0.3:
+                base += 0.5 / 960.0
+            notes.append(Note(
+                base, float(rng.integers(1, 5)) / 960.0,
+                int(rng.integers(60, 64)), int(rng.integers(1, 4)),
+                int(rng.integers(0, 2))))
+        # Duplicate some notes outright (full-key ties).
+        for i in range(0, len(notes), 7):
+            notes.append(notes[i])
+        ref = sorted(range(len(notes)),
+                     key=lambda i: notes[i].sort_key())
+        got = list(sort_order(notes))
+        assert got == ref, (trial, got, ref)
+
+
+def test_midi_bytes_match_scalar_reference_fuzz():
+    """The vectorized notes_to_midi_bytes must be byte-identical to the
+    scalar event-loop construction it replaced, on random sequences
+    with tick ties and duplicate notes."""
+    import struct as _struct
+
+    from amt_saga_tpu.core.midi import (
+        _program_to_channel,
+        _var_len,
+        notes_to_midi_bytes,
+    )
+    from amt_saga_tpu.core.notes import (
+        TEMPO_US_PER_BEAT,
+        TICKS_PER_BEAT,
+        NoteSequence,
+        seconds_to_ticks,
+    )
+
+    def scalar_writer(seq):
+        canonical = seq.sorted()
+        programs = [n.program for n in canonical] or [0]
+        chan_of = _program_to_channel(programs)
+        events = []
+        for n in canonical:
+            on_t = seconds_to_ticks(n.onset)
+            off_t = on_t + max(1, seconds_to_ticks(n.duration))
+            ch = chan_of[n.program]
+            vel = max(1, min(127, int(n.velocity)))
+            events.append((on_t, 1, n.pitch, n.program, 0x90 | ch,
+                           n.pitch, vel))
+            events.append((off_t, 0, n.pitch, n.program, 0x80 | ch,
+                           n.pitch, 64))
+        events.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
+        track = bytearray()
+        track += _var_len(0) + bytes([0xFF, 0x51, 0x03])
+        track += _struct.pack(">I", TEMPO_US_PER_BEAT)[1:]
+        for prog, ch in sorted(chan_of.items(), key=lambda kv: kv[1]):
+            track += _var_len(0) + bytes([0xC0 | ch, prog & 0x7F])
+        last_tick, last_status = 0, -1
+        for tick, _c, _p, _g, status, d1, d2 in events:
+            track += _var_len(tick - last_tick)
+            if status != last_status:
+                track.append(status)
+                last_status = status
+            track += bytes([d1, d2])
+            last_tick = tick
+        track += _var_len(0) + bytes([0xFF, 0x2F, 0x00])
+        header = b"MThd" + _struct.pack(">IHHH", 6, 0, 1, TICKS_PER_BEAT)
+        return header + b"MTrk" + _struct.pack(">I", len(track)) \
+            + bytes(track)
+
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        seq = NoteSequence()
+        for _ in range(int(rng.integers(0, 50))):
+            seq.add(float(rng.integers(0, 12)) / 960.0
+                    * float(rng.integers(1, 5)),
+                    float(rng.integers(1, 8)) / 960.0,
+                    int(rng.integers(40, 46)),
+                    int(rng.integers(1, 128)), int(rng.integers(0, 3)))
+        assert notes_to_midi_bytes(seq) == scalar_writer(seq), trial
