@@ -457,7 +457,8 @@ def cmd_transcribe_corpus(args) -> int:
                                          sharding=tr.input_sharding)):
             t0 = time.time()
             notes = tr._fn(dev_batch)  # async dispatch, no block
-            nfut = nfetch.submit(tr.fetch_notes, notes)
+            small = tr.dispatch_shrink(notes)
+            nfut = nfetch.submit(tr.fetch_notes_shrunk, notes, small)
             if pending is not None:
                 # Emit BEFORE prep: prep blocks on the previous batch's
                 # notes fetch; emitting first hides that execute-to-

@@ -677,6 +677,65 @@ def refit_gains_variants_host(
     return out_g, out_p, out_d, dsel != d_orig
 
 
+def refit_gains_variants_batch_host(
+    onset_frames: np.ndarray,
+    pitches: np.ndarray,
+    d_idx: np.ndarray,
+    programs: np.ndarray,
+    dot0_pow: np.ndarray,
+    gains: np.ndarray,
+    counts: np.ndarray,
+    gram_pow: np.ndarray,
+    n_pitches: int,
+    n_durations: int,
+    sweeps: int = 4,
+    duration_grid: Sequence[float] | None = None,
+    context_frames: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+    """Whole-batch :func:`refit_gains_variants_host` — ONE native call
+    for every lane (all arrays [B, cap]; ``counts`` [B]).
+
+    Returns (gains, programs, d_idx, changed) with [B, cap] layout, or
+    None when the batch fast path does not apply (no native library,
+    non-f32 gram, or an active stage-3 context vote — the vote is
+    per-lane Python and multi-instrument only).  Per-lane results are
+    bit-identical to calling the per-lane function: the native batch
+    driver shares the exact descent core and variant-set construction,
+    and rows past ``counts[b]`` keep the caller's original values (no
+    sqrt(square(x)) round-trip)."""
+    from .. import native
+
+    n_i = int(dot0_pow.shape[-1]) // 3
+    if (not native.available() or gram_pow.dtype != np.float32
+            or not gram_pow.flags.c_contiguous
+            or duration_grid is None
+            or (context_frames > 0 and n_i > 1)):
+        return None
+    B, cap = onset_frames.shape[:2]
+    t = np.ascontiguousarray(onset_frames, dtype=np.int64)
+    p = np.ascontiguousarray(pitches, dtype=np.int64)
+    d_orig = np.ascontiguousarray(d_idx, dtype=np.int64)
+    cnt = np.ascontiguousarray(counts, dtype=np.int64)
+    d0 = np.ascontiguousarray(dot0_pow, dtype=np.float64)
+    g64 = np.asarray(gains, dtype=np.float64)
+    out_p = np.ascontiguousarray(programs, dtype=np.int64).copy()
+    out_d = d_orig.copy()
+    h = np.ascontiguousarray(np.square(g64))
+    changed = np.zeros((B, cap), dtype=np.uint8)
+    tmax = (gram_pow.shape[0] + 1) // 2
+    native.refit_variants_batch(
+        t, p, d_orig, cnt, d0, gram_pow, int(tmax), n_i,
+        int(n_pitches), int(n_durations), int(sweeps),
+        np.asarray(duration_grid, dtype=np.float64),
+        float(DURATION_RESELECT_MAX_STEP), out_p, out_d, h, changed)
+    valid = np.arange(cap)[None, :] < cnt[:, None]
+    out_g = np.where(valid, np.sqrt(np.maximum(h, 0.0)), g64)
+    out_p = np.where(valid, out_p,
+                     np.asarray(programs, dtype=np.int64))
+    out_d = np.where(valid, out_d, np.asarray(d_idx, dtype=np.int64))
+    return out_g, out_p, out_d, changed.astype(bool) & valid
+
+
 # Must match saga.loop.DECISION_DROP_BITS / golden.pipeline (see the
 # comment there): discrete decisions compare mantissa-truncated floats
 # so cross-backend last-ulp differences cannot flip them.

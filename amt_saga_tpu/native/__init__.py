@@ -88,6 +88,13 @@ def _build() -> ctypes.CDLL | None:
     lib.refit_gains.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         i64, i64]
+    lib.refit_variants_batch.restype = None
+    lib.refit_variants_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        i64, i64, i64, i64, i64, i64, i64, i64,
+        ctypes.c_void_p, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     return lib
 
 
@@ -165,6 +172,39 @@ def refit_descend(t: np.ndarray, qd_var: np.ndarray, d_var: np.ndarray,
         _ptr(al_c) if al_c is not None else ctypes.c_void_p(0),
         _ptr(gram), qd_n, tmax, n, V, n_pitches, n_durations, sweeps,
         _ptr(p), _ptr(prog), _ptr(dsel), _ptr(h), _ptr(qb))
+
+
+def refit_variants_batch(t: np.ndarray, p: np.ndarray,
+                         d_orig: np.ndarray, counts: np.ndarray,
+                         d0_all: np.ndarray, gram: np.ndarray,
+                         tmax: int, n_i: int, n_pitches: int,
+                         n_durations: int, sweeps: int,
+                         grid_sec: np.ndarray, max_step: float,
+                         prog: np.ndarray, dsel: np.ndarray,
+                         h: np.ndarray, changed: np.ndarray) -> None:
+    """Whole-batch joint-refit stages 1+2; mutates prog/dsel/h/changed
+    in place.  Array contracts: t/p/d_orig/prog/dsel int64 [B, cap];
+    counts int64 [B]; d0_all float64 [B, cap, n_i*3]; h float64
+    [B, cap] (squared gains); changed uint8 [B, cap]; gram float32
+    C-contiguous [2*tmax-1, QD, QD]; grid_sec float64 [n_durations].
+    Per-lane results are bit-identical to looping refit_descend
+    (stages share descend_core)."""
+    lib = get()
+    assert lib is not None
+    B, cap = t.shape
+    qd_n = gram.shape[1]
+    assert gram.dtype == np.float32 and gram.flags.c_contiguous
+    for a in (t, p, d_orig, counts, prog, dsel):
+        assert a.dtype == np.int64 and a.flags.c_contiguous
+    assert d0_all.dtype == np.float64 and d0_all.flags.c_contiguous
+    assert h.dtype == np.float64 and h.flags.c_contiguous
+    assert changed.dtype == np.uint8 and changed.flags.c_contiguous
+    grid_c = np.ascontiguousarray(grid_sec, dtype=np.float64)
+    lib.refit_variants_batch(
+        _ptr(t), _ptr(p), _ptr(d_orig), _ptr(counts), _ptr(d0_all),
+        _ptr(gram), qd_n, tmax, B, cap, n_i, n_pitches, n_durations,
+        sweeps, _ptr(grid_c), ctypes.c_double(float(max_step)),
+        _ptr(prog), _ptr(dsel), _ptr(h), _ptr(changed))
 
 
 def refit_gains(G: np.ndarray, diag: np.ndarray, d0: np.ndarray,

@@ -1166,16 +1166,33 @@ class Transcriber:
         multi-host scale)."""
         if self.mesh is not None:
             return jax.device_get(notes)
-        cap = int(notes.onset.shape[1])
+        return self.fetch_notes_shrunk(notes, self.dispatch_shrink(notes))
+
+    def dispatch_shrink(self, notes):
+        """Asynchronously dispatch the smallest-bucket note-axis slice
+        (or None when the cap is already small / mesh mode).  Call on
+        the MAIN thread at dispatch time: the jit dispatch needs the
+        GIL, so doing it on the fetcher thread made the fetch stall
+        behind the host emission Python instead of overlapping it."""
+        if self.mesh is not None:
+            return None
         b0 = self._FETCH_BUCKETS[0]
-        if b0 < cap:
-            small = self._shrink_fn(b0)(notes)     # async dispatch
+        if b0 < int(notes.onset.shape[1]):
+            return self._shrink_fn(b0)(notes)
+        return None
+
+    def fetch_notes_shrunk(self, notes, small):
+        """device_get of a dispatched (notes, small) pair — one
+        transfer on the common path (see fetch_notes); GIL-free, safe
+        for a fetcher thread."""
+        if small is not None:
             count, small_host = jax.device_get((notes.count, small))
             mx = int(np.max(count))
-            if mx <= b0:
+            if mx <= int(small.onset.shape[1]):
                 return small_host
         else:
             mx = int(np.max(jax.device_get(notes.count)))
+        cap = int(notes.onset.shape[1])
         for m in self._FETCH_BUCKETS:
             if mx <= m < cap:
                 notes = self._shrink_fn(m)(notes)
@@ -1312,6 +1329,27 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
             "(truncated transcription); raise loop.max_notes or chunk "
             "the input", int(saturated.sum()), len(saturated),
             cfg.loop.max_notes)
+    _ctx_frames = round(cfg.loop.instrument_context_seconds
+                        * cfg.dsp.sample_rate / cfg.dsp.hop)
+    refit_all = None
+    if refit:
+        # Whole-batch native joint refit: one C call for all lanes
+        # (per-lane Python orchestration + two ctypes crossings per
+        # lane measured ~0.3 s per 768-lane batch).  None when the
+        # fast path does not apply; lanes then refit individually.
+        from ..core.notes import refit_gains_variants_batch_host
+        from ..utils import stages as _st
+
+        with _st.timed("emit.refit"):
+            refit_all = refit_gains_variants_batch_host(
+                np.asarray(notes.onset), np.asarray(notes.pitch),
+                np.asarray(notes.d_idx), np.asarray(notes.program),
+                np.asarray(notes.dot0), np.asarray(notes.gain),
+                np.asarray(notes.count), gram, n_p, n_d,
+                cfg.loop.refit_sweeps,
+                duration_grid=cfg.synth.duration_grid,
+                context_frames=_ctx_frames)
+
     def prep_lane(b: int):
         """Per-lane refit + velocity staging; returns the emit inputs
         (None for a poisoned lane) so the continuous duration fit can
@@ -1334,19 +1372,25 @@ def notes_batch_to_sequences(notes: NotesBatch, cfg: Config,
         dur_b = np.asarray(notes.dur[b])
         refine_mask = None
         if refit:
-            with stages.timed("emit.refit"):
-                gains_b, progs_b, didx_b, changed = \
-                    refit_gains_variants_host(
-                        np.asarray(notes.onset[b]),
-                        np.asarray(notes.pitch[b]),
-                        np.asarray(notes.d_idx[b]), progs_b,
-                        np.asarray(notes.dot0[b]), gains_b,
-                        int(notes.count[b]), gram, n_p, n_d,
-                        cfg.loop.refit_sweeps,
-                        duration_grid=cfg.synth.duration_grid,
-                        context_frames=round(
-                            cfg.loop.instrument_context_seconds
-                            * cfg.dsp.sample_rate / cfg.dsp.hop))
+            if refit_all is not None:
+                # Whole-batch native refit ran once before the lane
+                # loop (bit-identical to the per-lane call).
+                gains_b, progs_b, didx_b = (refit_all[0][b],
+                                            refit_all[1][b],
+                                            refit_all[2][b])
+                changed = refit_all[3][b][:int(notes.count[b])]
+            else:
+                with stages.timed("emit.refit"):
+                    gains_b, progs_b, didx_b, changed = \
+                        refit_gains_variants_host(
+                            np.asarray(notes.onset[b]),
+                            np.asarray(notes.pitch[b]),
+                            np.asarray(notes.d_idx[b]), progs_b,
+                            np.asarray(notes.dot0[b]), gains_b,
+                            int(notes.count[b]), gram, n_p, n_d,
+                            cfg.loop.refit_sweeps,
+                            duration_grid=cfg.synth.duration_grid,
+                            context_frames=_ctx_frames)
             if changed.any():
                 # Re-selected durations: emit the corrected grid frames;
                 # the sd-based refiner is skipped for those notes (their

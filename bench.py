@@ -366,7 +366,8 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
         ready: collections.deque = collections.deque()
         for i in range(stack):
             notes = tr._fn(dev_waves[i])     # async dispatch
-            nfut = nfetch.submit(tr.fetch_notes, notes)
+            small = tr.dispatch_shrink(notes)
+            nfut = nfetch.submit(tr.fetch_notes_shrunk, notes, small)
             if pending is not None:
                 # Emit BEFORE prep: prep blocks on the previous batch's
                 # notes fetch, and that axon execute-to-ready wait

@@ -88,3 +88,71 @@ def test_golden_pipeline_identical_with_and_without_native(
             for n in seq_nat.notes] == \
            [(n.onset, n.duration, n.pitch, n.velocity, n.program)
             for n in seq_np.notes]
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native kernel unavailable (no g++?)")
+@pytest.mark.parametrize("n_i", [1, 3])
+def test_refit_variants_batch_bitwise_matches_per_lane(n_i):
+    """refit_gains_variants_batch_host must reproduce the per-lane
+    native path EXACTLY: identical discrete decisions AND bitwise-equal
+    gains (same descent core, same variant construction), with rows
+    past each lane's count untouched."""
+    from amt_saga_tpu.core.notes import refit_gains_variants_batch_host
+
+    rng = np.random.default_rng(99)
+    n_p, n_d, tmax = 5, 4, 6
+    B, cap = 9, 32
+    qd = n_i * n_p * n_d
+    gram = _random_gram(rng, qd, tmax)
+    grid = np.cumsum(rng.uniform(0.2, 0.5, size=n_d))
+    counts = rng.integers(0, cap + 1, size=B)
+    counts[0] = 0
+    counts[1] = cap
+    t = rng.integers(0, 4 * tmax, size=(B, cap))
+    p = rng.integers(0, n_p, size=(B, cap))
+    d = rng.integers(0, n_d, size=(B, cap))
+    prog = rng.integers(0, n_i, size=(B, cap))
+    d0 = rng.uniform(0.0, 50.0, size=(B, cap, n_i * 3))
+    gains = rng.uniform(0.0, 1.0, size=(B, cap))
+
+    out = refit_gains_variants_batch_host(
+        t, p, d, prog, d0, gains, counts, gram, n_p, n_d, sweeps=4,
+        duration_grid=grid, context_frames=0)
+    assert out is not None
+    bg, bp, bd, bch = out
+    for b in range(B):
+        g1, p1, d1, ch1 = refit_gains_variants_host(
+            t[b], p[b], d[b], prog[b], d0[b], gains[b],
+            int(counts[b]), gram, n_p, n_d, sweeps=4,
+            duration_grid=grid, context_frames=0)
+        n = int(counts[b])
+        assert np.array_equal(bg[b][:n], g1[:n]), b       # bitwise
+        assert np.array_equal(bp[b][:n], p1[:n]), b
+        assert np.array_equal(bd[b][:n], d1[:n]), b
+        assert np.array_equal(bch[b][:n], ch1), b
+        # Rows past count keep caller values exactly.
+        assert np.array_equal(bg[b][n:], gains[b][n:].astype(np.float64))
+        assert np.array_equal(bp[b][n:], prog[b][n:])
+        assert np.array_equal(bd[b][n:], d[b][n:])
+        assert not bch[b][n:].any()
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native kernel unavailable (no g++?)")
+def test_refit_variants_batch_declines_context_vote():
+    """The batch fast path must decline (return None) when the stage-3
+    context vote is active with multiple instruments — that stage is
+    per-lane Python only."""
+    from amt_saga_tpu.core.notes import refit_gains_variants_batch_host
+
+    rng = np.random.default_rng(5)
+    n_i, n_p, n_d, tmax = 2, 3, 3, 4
+    gram = _random_gram(rng, n_i * n_p * n_d, tmax)
+    grid = np.cumsum(rng.uniform(0.2, 0.5, size=n_d))
+    z = np.zeros((2, 4), dtype=np.int64)
+    out = refit_gains_variants_batch_host(
+        z, z, z, z, np.zeros((2, 4, n_i * 3)), np.zeros((2, 4)),
+        np.array([2, 2]), gram, n_p, n_d, sweeps=2,
+        duration_grid=grid, context_frames=10)
+    assert out is None
