@@ -452,6 +452,21 @@ def cmd_transcribe_corpus(args) -> int:
         # host replay stages were vectorized (round 5).
         pending = None  # (paths, notes future, device batch, t0, blen)
         ready: collections.deque = collections.deque()
+        # Dispatch-ahead queue: batch j's main program + note shrink
+        # are dispatched as soon as its device batch is prefetched,
+        # one slot BEFORE the pipeline consumes it, so the device
+        # starts batch j+1 while the host is still mid-chain on j.
+        disp: collections.deque = collections.deque()
+
+        def consume(item):
+            nonlocal pending
+            if pending is not None:
+                # Emit BEFORE prep (see below).
+                if len(ready) >= 3:
+                    emit(*ready.popleft())
+                ready.append(prep(*pending))
+            pending = item
+
         for (batch_paths, blen), dev_batch in zip(
                 plan, prefetch_to_device(gen_batches(),
                                          sharding=tr.input_sharding)):
@@ -459,16 +474,12 @@ def cmd_transcribe_corpus(args) -> int:
             notes = tr._fn(dev_batch)  # async dispatch, no block
             small = tr.dispatch_shrink(notes)
             nfut = nfetch.submit(tr.fetch_notes_shrunk, notes, small)
-            if pending is not None:
-                # Emit BEFORE prep: prep blocks on the previous batch's
-                # notes fetch; emitting first hides that execute-to-
-                # ready wait behind the emit's host CPU work (the fetch
-                # rides the nfetch thread, GIL released).
-                if len(ready) >= 3:
-                    emit(*ready.popleft())
-                ready.append(prep(*pending))
-            pending = (batch_paths, nfut, dev_batch, t0, blen,
-                       host_q.popleft())
+            disp.append((batch_paths, nfut, dev_batch, t0, blen,
+                         host_q.popleft()))
+            if len(disp) >= 2:
+                consume(disp.popleft())
+        while disp:
+            consume(disp.popleft())
         if pending is not None:
             ready.append(prep(*pending))
         while ready:

@@ -324,6 +324,20 @@ def _unpack(ints: jnp.ndarray, floats: jnp.ndarray) -> PackedNotes:
 # ---------------------------------------------------------------------------
 
 
+# Candidate-axis shrink buckets for the round-B window fetch — the
+# program itself emits slices at these widths (rs_sfx_s/_m etc. below)
+# so the common-path fetch is ONE device_get with no separate slice
+# dispatch (each extra program dispatch paid an axon RPC +
+# execute-to-ready sync per batch).  Two widths because candidate
+# counts track content density (measured on the density-sorted bench
+# corpus: sparse batches max 2-4 candidates, dense batches 20-26):
+# the fetcher picks by the host-known note-table bucket, so dense
+# batches go straight to the wide slice instead of paying an overflow
+# re-fetch every batch.
+WIN_B0 = 16
+WIN_B1 = 48
+
+
 class RoundBOut(NamedTuple):
     trim_k: jnp.ndarray   # [B, M] i32 trim frame, -1 = keep
     rs_m: jnp.ndarray     # [B, RS_CAP] i32 note index (-1 = empty)
@@ -335,6 +349,12 @@ class RoundBOut(NamedTuple):
     rc_w1: jnp.ndarray    # [B, RC_CAP, RC_WIN] f32 e1 from k-4
     rc_wh: jnp.ndarray    # [B, RC_CAP, 2, 7] f32 harmonic traces from k-4
     rc_n: jnp.ndarray     # [B] i32 eligible cells (overflow detector)
+    rs_sfx_s: jnp.ndarray | None = None  # [B, WIN_B0, KMAX+8] slice
+    rc_w1_s: jnp.ndarray | None = None   # [B, WIN_B0, RC_WIN] slice
+    rc_wh_s: jnp.ndarray | None = None   # [B, WIN_B0, 2, 7] slice
+    rs_sfx_m: jnp.ndarray | None = None  # [B, WIN_B1, KMAX+8] slice
+    rc_w1_m: jnp.ndarray | None = None   # [B, WIN_B1, RC_WIN] slice
+    rc_wh_m: jnp.ndarray | None = None   # [B, WIN_B1, 2, 7] slice
 
 
 def _gather_trace(tr: jnp.ndarray, t_idx: jnp.ndarray,
@@ -697,7 +717,13 @@ def _round_b_program(waves: jnp.ndarray, ints: jnp.ndarray,
     return RoundBOut(trim_k=trim_k,
                      rs_m=rs_m, rs_k=rs_k, rs_sfx=rs_sfx, rs_n=rs_n,
                      rc_p=rc_p, rc_k=rc_k, rc_w1=rc_w1, rc_wh=rc_wh,
-                     rc_n=rc_n)
+                     rc_n=rc_n,
+                     rs_sfx_s=rs_sfx[:, :WIN_B0],
+                     rc_w1_s=rc_w1[:, :WIN_B0],
+                     rc_wh_s=rc_wh[:, :WIN_B0],
+                     rs_sfx_m=rs_sfx[:, :WIN_B1],
+                     rc_w1_m=rc_w1[:, :WIN_B1],
+                     rc_wh_m=rc_wh[:, :WIN_B1])
 
 
 # ---------------------------------------------------------------------------
@@ -1432,21 +1458,14 @@ class EvidenceRunner:
         with stages.timed("ev.pack"):
             ints, floats = _pack(mid, cfg, T, self._m_bucket(m_max))
         out_b = self._jit_b(waves_dev, ints, floats, self._tables_dev)
-        # Eagerly dispatch the smallest-bucket window slice (async) so
-        # the getter's common path is ONE device_get — the two-leg
-        # fetch (counts, then a sized slice) paid a second axon
-        # execute-to-ready sync per batch (~exposed 0.8 s per 8-batch
-        # repeat once the host stages were vectorized).
-        sl16 = None
-        if self._mesh is None:
-            b0 = self._WIN_BUCKETS[0]
-            sl16 = self._win_slice_fn(b0, b0)(
-                out_b.rs_sfx, out_b.rc_w1, out_b.rc_wh)
         return mid, changed, fell, self._getter.submit(
-            self._fetch_b, out_b, sl16)
+            self._fetch_b, out_b, self._m_bucket(m_max))
 
-    # Candidate-axis shrink buckets for the round-B window fetch.
-    _WIN_BUCKETS = (16, 64)
+    # Candidate-axis shrink buckets for the round-B window fetch; the
+    # first two buckets' slices ship inside the round-B program itself
+    # (RoundBOut.rs_sfx_s/_m), larger widths re-fetch via a slice
+    # program on overflow.
+    _WIN_BUCKETS = (WIN_B0, WIN_B1)
 
     def _win_slice_fn(self, rsb: int, rcb: int):
         fn = self._win_fns.get((rsb, rcb))
@@ -1457,38 +1476,48 @@ class EvidenceRunner:
             fn = self._win_fns[(rsb, rcb)] = jax.jit(s)
         return fn
 
-    def _fetch_b(self, out_b: RoundBOut, sl16=None) -> RoundBOut:
+    def _fetch_b(self, out_b: RoundBOut, m_bucket: int = 0) -> RoundBOut:
         """Getter-thread fetch with a candidate-bucketed device-side
         shrink of the window arrays.  rs_sfx/rc_w1 are padded to
         RS_CAP/RC_CAP rows (~11 MB/batch at B=96) but typical content
-        fills well under 16 — and the axon tunnel moves ~30 MB/s, so
-        the padding dominated ev.fetch.  ``sl16`` is the eagerly
-        dispatched smallest-bucket slice from ``_advance``: the common
-        path is then ONE device_get (small fields + 16-bucket windows);
-        only a batch whose candidate count overflows the first bucket
-        pays a second, larger fetch.  Candidates are front-compacted
-        per lane (top_k by ascending index), so row j < bucket covers
-        every valid cell."""
+        fills well under WIN_B0 — and the axon tunnel moves ~30 MB/s,
+        so the padding dominated ev.fetch.  The round-B program itself
+        emits WIN_B0- and WIN_B1-bucket slices, so the common path is
+        ONE device_get (small fields + sliced windows, no slice
+        dispatch) with the width picked by ``m_bucket``; an overflow
+        within WIN_B1 costs one extra transfer, and only counts beyond
+        WIN_B1 dispatch a slice program.  Candidates are
+        front-compacted per lane (top_k by ascending index), so row
+        j < bucket covers every valid cell."""
         if self._mesh is not None:
             return jax.device_get(out_b)
-        b0 = self._WIN_BUCKETS[0]
-        if sl16 is not None:
-            (trim_k, rs_m, rs_k, rs_n, rc_p, rc_k, rc_n), \
-                (sfx0, w10, wh0) = jax.device_get(
-                    ((out_b.trim_k, out_b.rs_m, out_b.rs_k, out_b.rs_n,
-                      out_b.rc_p, out_b.rc_k, out_b.rc_n), sl16))
-        else:
-            trim_k, rs_m, rs_k, rs_n, rc_p, rc_k, rc_n = jax.device_get(
-                (out_b.trim_k, out_b.rs_m, out_b.rs_k, out_b.rs_n,
-                 out_b.rc_p, out_b.rc_k, out_b.rc_n))
-            sfx0 = w10 = wh0 = None
+        # Initial slice choice by the host-known note-table bucket:
+        # candidate counts track density (dense batches pack 64-wide
+        # tables and 20+ candidates; sparse ones 32-wide and <5), so
+        # dense batches fetch the wide slice up front instead of
+        # overflowing the narrow one every time.
+        guess_wide = m_bucket >= 64
+        first = ((out_b.rs_sfx_m, out_b.rc_w1_m, out_b.rc_wh_m)
+                 if guess_wide else
+                 (out_b.rs_sfx_s, out_b.rc_w1_s, out_b.rc_wh_s))
+        (trim_k, rs_m, rs_k, rs_n, rc_p, rc_k, rc_n), \
+            (sfx0, w10, wh0) = jax.device_get(
+                ((out_b.trim_k, out_b.rs_m, out_b.rs_k, out_b.rs_n,
+                  out_b.rc_p, out_b.rc_k, out_b.rc_n), first))
+        got = WIN_B1 if guess_wide else WIN_B0
         rs_used = int((rs_m >= 0).sum(axis=1).max(initial=0))
         rc_used = int((rc_p >= 0).sum(axis=1).max(initial=0))
         rsb = next((x for x in self._WIN_BUCKETS if x >= rs_used), RS_CAP)
         rcb = next((x for x in self._WIN_BUCKETS if x >= rc_used), RC_CAP)
-        if sfx0 is not None and rsb <= b0 and rcb <= b0:
-            rsb = rcb = b0
+        if rsb <= got and rcb <= got:
+            rsb = rcb = got
             sfx, w1, wh = sfx0, w10, wh0
+        elif rsb <= WIN_B1 and rcb <= WIN_B1:
+            # The in-program wide slice covers it: one more transfer,
+            # still no slice-program dispatch.
+            rsb = rcb = WIN_B1
+            sfx, w1, wh = jax.device_get(
+                (out_b.rs_sfx_m, out_b.rc_w1_m, out_b.rc_wh_m))
         elif rsb < RS_CAP or rcb < RC_CAP:
             sfx, w1, wh = jax.device_get(self._win_slice_fn(rsb, rcb)(
                 out_b.rs_sfx, out_b.rc_w1, out_b.rc_wh))

@@ -364,10 +364,25 @@ def bench_e2e(batch: int, seconds: float, repeats: int,
 
         pending = None
         ready: collections.deque = collections.deque()
+        nfuts: dict = {}
+
+        def dispatch(j):
+            """Dispatch main program + note shrink for batch j (async)
+            and queue its fetch.  Called one batch AHEAD of the
+            pipeline so the device starts batch j+1 while the host is
+            still mid-chain on batch j — the per-batch execute-to-
+            ready wait otherwise lands in emit.notes_fetch."""
+            if 0 <= j < stack and j not in nfuts:
+                nts = tr._fn(dev_waves[j])
+                sml = tr.dispatch_shrink(nts)
+                nfuts[j] = nfetch.submit(tr.fetch_notes_shrunk, nts, sml)
+
+        ahead = int(os.environ.get("AMT_DISPATCH_AHEAD", "1"))
+        for j in range(ahead):
+            dispatch(j)
         for i in range(stack):
-            notes = tr._fn(dev_waves[i])     # async dispatch
-            small = tr.dispatch_shrink(notes)
-            nfut = nfetch.submit(tr.fetch_notes_shrunk, notes, small)
+            dispatch(i + ahead)
+            nfut = nfuts.pop(i)
             if pending is not None:
                 # Emit BEFORE prep: prep blocks on the previous batch's
                 # notes fetch, and that axon execute-to-ready wait
